@@ -1,0 +1,31 @@
+"""Backend: math helpers, schedules, verification metrics.
+
+The reference's ``odin/backend`` was a multi-framework (TF/torch/NumPy)
+dispatch layer (``odin/backend/tensor.py:32-104``).  Here there is exactly one
+tensor backend — JAX — so this package keeps only what is not already
+first-class in jnp: interpolation schedules, verification metrics, and a few
+math utilities.
+"""
+from odin_tpu.backend import interpolation
+from odin_tpu.backend.interpolation import Interpolation
+from odin_tpu.backend.maths import (
+    length_norm,
+    log_norm,
+    softplus_inverse,
+    whitening,
+)
+from odin_tpu.backend.metrics import (
+    LER,
+    binary_accuracy,
+    categorical_accuracy,
+    compute_AUC,
+    compute_Cavg,
+    compute_Cnorm,
+    compute_EER,
+    compute_minDCF,
+    confusion_matrix,
+    det_curve,
+    frechet_distance,
+    frechet_inception_distance,
+    prc_curve,
+)

@@ -1,0 +1,12 @@
+"""Probabilistic core (reference: ``odin/bay``)."""
+from odin_tpu.bay import distributions
+from odin_tpu.bay.distribution_alias import DistSpec, parse_distribution
+from odin_tpu.bay.helpers import concat_distributions, kl_divergence
+from odin_tpu.bay.layers import (
+    DenseDeterministic,
+    DistributionDense,
+    MixtureDensityNetwork,
+    MVNDiagLatents,
+    NormalLatents,
+)
+from odin_tpu.bay.random_variable import RVconf

@@ -1,0 +1,488 @@
+"""Continuous distributions: Normal family, Gamma/Beta/Dirichlet, Logistic.
+
+Replaces the TFP families the reference registers in
+``odin/bay/distribution_alias.py`` ('normal', 'mvndiag', 'mvntril', 'mvnfull',
+'lognormal', 'gamma', 'beta', 'dirichlet') with in-repo JAX pytrees.
+"""
+from __future__ import annotations
+
+import math
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+from jax.scipy.special import betaln, digamma, gammaln
+
+from odin_tpu.bay.distributions.base import (
+    Distribution,
+    Independent,
+    register_kl,
+    _shapes_broadcast,
+)
+
+__all__ = [
+    "Normal", "LogNormal", "Logistic", "Uniform", "Laplace", "Gamma", "Beta",
+    "Dirichlet", "MultivariateNormalDiag", "MultivariateNormalTriL",
+]
+
+_LOG2PI = math.log(2.0 * math.pi)
+
+
+class Normal(Distribution):
+  _params = ("loc", "scale")
+
+  def __init__(self, loc, scale):
+    self.loc = jnp.asarray(loc)
+    self.scale = jnp.asarray(scale)
+
+  @property
+  def batch_shape(self):
+    return _shapes_broadcast(jnp.shape(self.loc), jnp.shape(self.scale))
+
+  def sample(self, seed, sample_shape=()):
+    shape = tuple(sample_shape) + self.batch_shape
+    eps = jax.random.normal(seed, shape, self.loc.dtype)
+    return self.loc + self.scale * eps
+
+  def log_prob(self, x):
+    z = (x - self.loc) / self.scale
+    return -0.5 * (z * z + _LOG2PI) - jnp.log(self.scale)
+
+  def mean(self):
+    return jnp.broadcast_to(self.loc, self.batch_shape)
+
+  def mode(self):
+    return self.mean()
+
+  def variance(self):
+    return jnp.broadcast_to(self.scale * self.scale, self.batch_shape)
+
+  def stddev(self):
+    return jnp.broadcast_to(self.scale, self.batch_shape)
+
+  def entropy(self):
+    return jnp.broadcast_to(0.5 * (1.0 + _LOG2PI) + jnp.log(self.scale),
+                            self.batch_shape)
+
+  def cdf(self, x):
+    return 0.5 * (1.0 + jax.scipy.special.erf((x - self.loc) / (self.scale * math.sqrt(2.0))))
+
+
+@register_kl(Normal, Normal)
+def _kl_normal(q: Normal, p: Normal):
+  var_ratio = (q.scale / p.scale) ** 2
+  t = ((q.loc - p.loc) / p.scale) ** 2
+  return 0.5 * (var_ratio + t - 1.0 - jnp.log(var_ratio))
+
+
+class LogNormal(Normal):
+  """exp(Normal). log_prob includes the 1/x Jacobian."""
+
+  def sample(self, seed, sample_shape=()):
+    return jnp.exp(super().sample(seed, sample_shape))
+
+  def log_prob(self, x):
+    logx = jnp.log(x)
+    return super().log_prob(logx) - logx
+
+  def mean(self):
+    return jnp.exp(self.loc + 0.5 * self.scale ** 2)
+
+  def mode(self):
+    return jnp.exp(self.loc - self.scale ** 2)
+
+  def variance(self):
+    s2 = self.scale ** 2
+    return (jnp.exp(s2) - 1.0) * jnp.exp(2.0 * self.loc + s2)
+
+  def entropy(self):
+    return super().entropy() + self.loc
+
+
+@register_kl(LogNormal, LogNormal)
+def _kl_lognormal(q, p):
+  return _kl_normal(q, p)  # invariant under the shared exp bijector
+
+
+class Logistic(Distribution):
+  _params = ("loc", "scale")
+
+  def __init__(self, loc, scale):
+    self.loc = jnp.asarray(loc)
+    self.scale = jnp.asarray(scale)
+
+  @property
+  def batch_shape(self):
+    return _shapes_broadcast(jnp.shape(self.loc), jnp.shape(self.scale))
+
+  def sample(self, seed, sample_shape=()):
+    shape = tuple(sample_shape) + self.batch_shape
+    u = jax.random.uniform(seed, shape, self.loc.dtype,
+                           minval=jnp.finfo(self.loc.dtype).tiny, maxval=1.0)
+    return self.loc + self.scale * (jnp.log(u) - jnp.log1p(-u))
+
+  def log_prob(self, x):
+    z = (x - self.loc) / self.scale
+    return -z - 2.0 * jax.nn.softplus(-z) - jnp.log(self.scale)
+
+  def cdf(self, x):
+    return jax.nn.sigmoid((x - self.loc) / self.scale)
+
+  def log_cdf(self, x):
+    return -jax.nn.softplus(-(x - self.loc) / self.scale)
+
+  def mean(self):
+    return jnp.broadcast_to(self.loc, self.batch_shape)
+
+  def mode(self):
+    return self.mean()
+
+  def variance(self):
+    return jnp.broadcast_to((self.scale * math.pi) ** 2 / 3.0, self.batch_shape)
+
+  def entropy(self):
+    return jnp.broadcast_to(jnp.log(self.scale) + 2.0, self.batch_shape)
+
+
+class Uniform(Distribution):
+  _params = ("low", "high")
+
+  def __init__(self, low=0.0, high=1.0):
+    self.low = jnp.asarray(low)
+    self.high = jnp.asarray(high)
+
+  @property
+  def batch_shape(self):
+    return _shapes_broadcast(jnp.shape(self.low), jnp.shape(self.high))
+
+  def sample(self, seed, sample_shape=()):
+    shape = tuple(sample_shape) + self.batch_shape
+    u = jax.random.uniform(seed, shape, jnp.result_type(self.low, jnp.float32))
+    return self.low + (self.high - self.low) * u
+
+  def log_prob(self, x):
+    inside = (x >= self.low) & (x <= self.high)
+    lp = -jnp.log(self.high - self.low)
+    return jnp.where(inside, lp, -jnp.inf)
+
+  def mean(self):
+    return jnp.broadcast_to(0.5 * (self.low + self.high), self.batch_shape)
+
+  def variance(self):
+    return jnp.broadcast_to((self.high - self.low) ** 2 / 12.0, self.batch_shape)
+
+  def entropy(self):
+    return jnp.broadcast_to(jnp.log(self.high - self.low), self.batch_shape)
+
+
+class Laplace(Distribution):
+  _params = ("loc", "scale")
+
+  def __init__(self, loc, scale):
+    self.loc = jnp.asarray(loc)
+    self.scale = jnp.asarray(scale)
+
+  @property
+  def batch_shape(self):
+    return _shapes_broadcast(jnp.shape(self.loc), jnp.shape(self.scale))
+
+  def sample(self, seed, sample_shape=()):
+    shape = tuple(sample_shape) + self.batch_shape
+    return self.loc + self.scale * jax.random.laplace(seed, shape, self.loc.dtype)
+
+  def log_prob(self, x):
+    return -jnp.abs(x - self.loc) / self.scale - jnp.log(2.0 * self.scale)
+
+  def mean(self):
+    return jnp.broadcast_to(self.loc, self.batch_shape)
+
+  def mode(self):
+    return self.mean()
+
+  def variance(self):
+    return jnp.broadcast_to(2.0 * self.scale ** 2, self.batch_shape)
+
+  def entropy(self):
+    return jnp.broadcast_to(jnp.log(2.0 * self.scale) + 1.0, self.batch_shape)
+
+
+class Gamma(Distribution):
+  """Gamma(concentration, rate)."""
+
+  _params = ("concentration", "rate")
+
+  def __init__(self, concentration, rate):
+    self.concentration = jnp.asarray(concentration)
+    self.rate = jnp.asarray(rate)
+
+  @property
+  def batch_shape(self):
+    return _shapes_broadcast(jnp.shape(self.concentration), jnp.shape(self.rate))
+
+  def sample(self, seed, sample_shape=()):
+    shape = tuple(sample_shape) + self.batch_shape
+    g = jax.random.gamma(seed, jnp.broadcast_to(self.concentration, shape))
+    return g / self.rate
+
+  def log_prob(self, x):
+    a, b = self.concentration, self.rate
+    return a * jnp.log(b) - gammaln(a) + (a - 1.0) * jnp.log(x) - b * x
+
+  def mean(self):
+    return jnp.broadcast_to(self.concentration / self.rate, self.batch_shape)
+
+  def mode(self):
+    return jnp.broadcast_to(jnp.maximum(self.concentration - 1.0, 0.0) / self.rate,
+                            self.batch_shape)
+
+  def variance(self):
+    return jnp.broadcast_to(self.concentration / self.rate ** 2, self.batch_shape)
+
+  def entropy(self):
+    a, b = self.concentration, self.rate
+    return jnp.broadcast_to(
+        a - jnp.log(b) + gammaln(a) + (1.0 - a) * digamma(a), self.batch_shape)
+
+
+@register_kl(Gamma, Gamma)
+def _kl_gamma(q: Gamma, p: Gamma):
+  a1, b1 = q.concentration, q.rate
+  a2, b2 = p.concentration, p.rate
+  return ((a1 - a2) * digamma(a1) - gammaln(a1) + gammaln(a2) +
+          a2 * (jnp.log(b1) - jnp.log(b2)) + a1 * (b2 / b1 - 1.0))
+
+
+class Beta(Distribution):
+  _params = ("concentration1", "concentration0")
+
+  def __init__(self, concentration1, concentration0):
+    self.concentration1 = jnp.asarray(concentration1)  # alpha
+    self.concentration0 = jnp.asarray(concentration0)  # beta
+
+  @property
+  def batch_shape(self):
+    return _shapes_broadcast(jnp.shape(self.concentration1),
+                             jnp.shape(self.concentration0))
+
+  def sample(self, seed, sample_shape=()):
+    shape = tuple(sample_shape) + self.batch_shape
+    return jax.random.beta(seed,
+                           jnp.broadcast_to(self.concentration1, shape),
+                           jnp.broadcast_to(self.concentration0, shape))
+
+  def log_prob(self, x):
+    a, b = self.concentration1, self.concentration0
+    return ((a - 1.0) * jnp.log(x) + (b - 1.0) * jnp.log1p(-x) - betaln(a, b))
+
+  def mean(self):
+    a, b = self.concentration1, self.concentration0
+    return jnp.broadcast_to(a / (a + b), self.batch_shape)
+
+  def mode(self):
+    a, b = self.concentration1, self.concentration0
+    return jnp.broadcast_to((a - 1.0) / (a + b - 2.0), self.batch_shape)
+
+  def variance(self):
+    a, b = self.concentration1, self.concentration0
+    t = a + b
+    return jnp.broadcast_to(a * b / (t * t * (t + 1.0)), self.batch_shape)
+
+
+@register_kl(Beta, Beta)
+def _kl_beta(q: Beta, p: Beta):
+  a1, b1 = q.concentration1, q.concentration0
+  a2, b2 = p.concentration1, p.concentration0
+  t1 = a1 + b1
+  return (betaln(a2, b2) - betaln(a1, b1) +
+          (a1 - a2) * digamma(a1) + (b1 - b2) * digamma(b1) +
+          (a2 - a1 + b2 - b1) * digamma(t1))
+
+
+class Dirichlet(Distribution):
+  _params = ("concentration",)
+
+  def __init__(self, concentration):
+    self.concentration = jnp.asarray(concentration)
+
+  @property
+  def batch_shape(self):
+    return jnp.shape(self.concentration)[:-1]
+
+  @property
+  def event_shape(self):
+    return jnp.shape(self.concentration)[-1:]
+
+  def sample(self, seed, sample_shape=()):
+    shape = tuple(sample_shape) + self.batch_shape + self.event_shape
+    g = jax.random.gamma(seed, jnp.broadcast_to(self.concentration, shape))
+    return g / jnp.sum(g, axis=-1, keepdims=True)
+
+  def log_prob(self, x):
+    a = self.concentration
+    return (jnp.sum((a - 1.0) * jnp.log(x), axis=-1) +
+            gammaln(jnp.sum(a, axis=-1)) - jnp.sum(gammaln(a), axis=-1))
+
+  def mean(self):
+    return self.concentration / jnp.sum(self.concentration, axis=-1, keepdims=True)
+
+  def mode(self):
+    a = self.concentration
+    a0 = jnp.sum(a, axis=-1, keepdims=True)
+    return (a - 1.0) / (a0 - a.shape[-1])
+
+  def variance(self):
+    a = self.concentration
+    a0 = jnp.sum(a, axis=-1, keepdims=True)
+    m = a / a0
+    return m * (1.0 - m) / (a0 + 1.0)
+
+  def entropy(self):
+    a = self.concentration
+    a0 = jnp.sum(a, axis=-1)
+    K = a.shape[-1]
+    return (jnp.sum(gammaln(a), axis=-1) - gammaln(a0) +
+            (a0 - K) * digamma(a0) -
+            jnp.sum((a - 1.0) * digamma(a), axis=-1))
+
+
+@register_kl(Dirichlet, Dirichlet)
+def _kl_dirichlet(q: Dirichlet, p: Dirichlet):
+  a, b = q.concentration, p.concentration
+  a0 = jnp.sum(a, axis=-1, keepdims=True)
+  return (gammaln(jnp.sum(a, axis=-1)) - gammaln(jnp.sum(b, axis=-1)) -
+          jnp.sum(gammaln(a), axis=-1) + jnp.sum(gammaln(b), axis=-1) +
+          jnp.sum((a - b) * (digamma(a) - digamma(a0)), axis=-1))
+
+
+class MultivariateNormalDiag(Distribution):
+  _params = ("loc", "scale_diag")
+
+  def __init__(self, loc, scale_diag):
+    self.loc = jnp.asarray(loc)
+    self.scale_diag = jnp.asarray(scale_diag)
+
+  @property
+  def batch_shape(self):
+    return _shapes_broadcast(jnp.shape(self.loc), jnp.shape(self.scale_diag))[:-1]
+
+  @property
+  def event_shape(self):
+    return _shapes_broadcast(jnp.shape(self.loc), jnp.shape(self.scale_diag))[-1:]
+
+  def sample(self, seed, sample_shape=()):
+    shape = tuple(sample_shape) + self.batch_shape + self.event_shape
+    eps = jax.random.normal(seed, shape, self.loc.dtype)
+    return self.loc + self.scale_diag * eps
+
+  def log_prob(self, x):
+    z = (x - self.loc) / self.scale_diag
+    d = self.event_shape[0]
+    return (-0.5 * jnp.sum(z * z, axis=-1)
+            - jnp.sum(jnp.log(self.scale_diag) * jnp.ones_like(z), axis=-1)
+            - 0.5 * d * _LOG2PI)
+
+  def mean(self):
+    return jnp.broadcast_to(self.loc, self.batch_shape + self.event_shape)
+
+  def mode(self):
+    return self.mean()
+
+  def variance(self):
+    return jnp.broadcast_to(self.scale_diag ** 2, self.batch_shape + self.event_shape)
+
+  def stddev(self):
+    return jnp.broadcast_to(self.scale_diag, self.batch_shape + self.event_shape)
+
+  def entropy(self):
+    d = self.event_shape[0]
+    return (0.5 * d * (1.0 + _LOG2PI) +
+            jnp.sum(jnp.broadcast_to(jnp.log(self.scale_diag),
+                                     self.batch_shape + self.event_shape), axis=-1))
+
+
+@register_kl(MultivariateNormalDiag, MultivariateNormalDiag)
+def _kl_mvndiag(q, p):
+  var_ratio = (q.scale_diag / p.scale_diag) ** 2
+  t = ((q.loc - p.loc) / p.scale_diag) ** 2
+  return 0.5 * jnp.sum(var_ratio + t - 1.0 - jnp.log(var_ratio), axis=-1)
+
+
+class MultivariateNormalTriL(Distribution):
+  _params = ("loc", "scale_tril")
+
+  def __init__(self, loc, scale_tril):
+    self.loc = jnp.asarray(loc)
+    self.scale_tril = jnp.asarray(scale_tril)
+
+  @property
+  def batch_shape(self):
+    return jnp.shape(self.scale_tril)[:-2]
+
+  @property
+  def event_shape(self):
+    return jnp.shape(self.scale_tril)[-1:]
+
+  def sample(self, seed, sample_shape=()):
+    shape = tuple(sample_shape) + self.batch_shape + self.event_shape
+    eps = jax.random.normal(seed, shape, self.loc.dtype)
+    return self.loc + jnp.einsum("...ij,...j->...i", self.scale_tril, eps)
+
+  def log_prob(self, x):
+    d = self.event_shape[0]
+    diff = x - self.loc
+    L = jnp.broadcast_to(self.scale_tril, diff.shape[:-1] + (d, d))
+    z = jax.scipy.linalg.solve_triangular(L, diff[..., None],
+                                          lower=True)[..., 0]
+    halflogdet = jnp.sum(jnp.log(jnp.diagonal(self.scale_tril, axis1=-2, axis2=-1)),
+                         axis=-1)
+    return -0.5 * jnp.sum(z * z, axis=-1) - halflogdet - 0.5 * d * _LOG2PI
+
+  def covariance(self):
+    return jnp.einsum("...ij,...kj->...ik", self.scale_tril, self.scale_tril)
+
+  def mean(self):
+    return jnp.broadcast_to(self.loc, self.batch_shape + self.event_shape)
+
+  def mode(self):
+    return self.mean()
+
+  def variance(self):
+    return jnp.diagonal(self.covariance(), axis1=-2, axis2=-1)
+
+  def entropy(self):
+    d = self.event_shape[0]
+    halflogdet = jnp.sum(jnp.log(jnp.diagonal(self.scale_tril, axis1=-2, axis2=-1)),
+                         axis=-1)
+    return 0.5 * d * (1.0 + _LOG2PI) + halflogdet
+
+
+@register_kl(MultivariateNormalTriL, MultivariateNormalTriL)
+def _kl_mvntril(q: MultivariateNormalTriL, p: MultivariateNormalTriL):
+  d = q.event_shape[0]
+  # KL = 0.5 (tr(Sp^-1 Sq) + (mp-mq)^T Sp^-1 (mp-mq) - d + logdet Sp - logdet Sq)
+  Lq, Lp = q.scale_tril, p.scale_tril
+  M = jax.scipy.linalg.solve_triangular(Lp, Lq, lower=True)
+  tr = jnp.sum(M * M, axis=(-2, -1))
+  diff = (p.loc - q.loc) * jnp.ones(q.batch_shape + q.event_shape)
+  Lp_b = jnp.broadcast_to(Lp, diff.shape[:-1] + (d, d))
+  z = jax.scipy.linalg.solve_triangular(Lp_b, diff[..., None], lower=True)[..., 0]
+  maha = jnp.sum(z * z, axis=-1)
+  logdet_q = jnp.sum(jnp.log(jnp.diagonal(Lq, axis1=-2, axis2=-1)), axis=-1)
+  logdet_p = jnp.sum(jnp.log(jnp.diagonal(Lp, axis1=-2, axis2=-1)), axis=-1)
+  return 0.5 * (tr + maha - d) + logdet_p - logdet_q
+
+
+@register_kl(MultivariateNormalDiag, MultivariateNormalTriL)
+def _kl_diag_tril(q: MultivariateNormalDiag, p: MultivariateNormalTriL):
+  d = q.event_shape[0]
+  Lq = jnp.einsum("...i,ij->...ij", jnp.broadcast_to(q.scale_diag, q.batch_shape + (d,)),
+                  jnp.eye(d, dtype=q.scale_diag.dtype))
+  return _kl_mvntril(MultivariateNormalTriL(q.loc, Lq), p)
+
+
+@register_kl(Normal, MultivariateNormalDiag)
+def _kl_normal_mvndiag(q: Normal, p: MultivariateNormalDiag):
+  # Independent-Normal posterior against an MVNDiag prior: elementwise normal
+  # KL summed over the event axis.
+  qn = MultivariateNormalDiag(q.loc, jnp.broadcast_to(q.scale, jnp.shape(q.loc)))
+  return _kl_mvndiag(qn, p)

@@ -1,0 +1,7 @@
+from odin_tpu.bay.layers.dense_distribution import (
+    DenseDeterministic,
+    DistributionDense,
+    MixtureDensityNetwork,
+    MVNDiagLatents,
+    NormalLatents,
+)

@@ -1,0 +1,108 @@
+"""Distribution heads: Dense projection -> Distribution pytree.
+
+Reference: ``odin/bay/layers/dense_distribution.py:75`` (`DistributionDense`)
+— a Dense(params_size) followed by a DistributionLambda, with the prior and
+`KL_divergence` attached.  Here the head is a flax module whose __call__
+returns a Distribution (a pytree, so it crosses jit boundaries untouched);
+the prior is available via ``.prior`` (built from the alias registry's
+defaults, ``odin/bay/random_variable.py:47-157``).
+"""
+from __future__ import annotations
+
+from typing import Any, Callable, Dict, Optional, Sequence, Tuple, Union
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from odin_tpu.bay.distribution_alias import DistSpec, parse_distribution
+from odin_tpu.bay.distributions import Distribution
+
+__all__ = [
+    "DistributionDense", "MixtureDensityNetwork", "DenseDeterministic",
+    "NormalLatents", "MVNDiagLatents",
+]
+
+
+class DistributionDense(nn.Module):
+  """Dense(params_size) -> distribution builder.
+
+  Attributes:
+    event_shape: shape of one event (e.g. ``(32,)`` latents, ``(28,28,1)``
+      images).
+    posterior: alias string into the distribution registry.
+    posterior_kwargs: extra kwargs for the builder (e.g. n_components).
+    projection: if False the input is assumed to already be the raw params.
+    dropout: dropout rate on the raw params during training.
+  """
+
+  event_shape: Tuple[int, ...] = ()
+  posterior: str = "normal"
+  posterior_kwargs: Optional[Dict[str, Any]] = None
+  projection: bool = True
+  dropout: float = 0.0
+  use_bias: bool = True
+
+  @property
+  def spec(self) -> DistSpec:
+    return parse_distribution(self.posterior)
+
+  @property
+  def event_size(self) -> int:
+    return int(np.prod(self.event_shape)) if len(self.event_shape) else 1
+
+  @property
+  def params_size(self) -> int:
+    kw = self.posterior_kwargs or {}
+    return int(self.spec.params_size(self.event_size, **kw))
+
+  @property
+  def prior(self) -> Optional[Distribution]:
+    kw = self.posterior_kwargs or {}
+    return self.spec.default_prior(tuple(self.event_shape), **kw)
+
+  @nn.compact
+  def __call__(self, x, training: bool = False) -> Distribution:
+    kw = self.posterior_kwargs or {}
+    if self.projection:
+      params = nn.Dense(self.params_size, use_bias=self.use_bias,
+                        name="projection")(x)
+    else:
+      params = x
+    if self.dropout > 0:
+      params = nn.Dropout(self.dropout, deterministic=not training)(params)
+    return self.spec.builder(params, tuple(self.event_shape), **kw)
+
+
+class MixtureDensityNetwork(DistributionDense):
+  """Gaussian mixture head (reference ``dense_distribution.py:464``)."""
+
+  posterior: str = "gmmdiag"
+
+  @classmethod
+  def create(cls, units: int, n_components: int = 2, covariance: str = "diag",
+             **kwargs):
+    alias = {"diag": "gmmdiag", "none": "gmmdiag", "tril": "gmmtril",
+             "full": "gmmtril"}[covariance]
+    return cls(event_shape=(int(units),), posterior=alias,
+               posterior_kwargs={"n_components": int(n_components)}, **kwargs)
+
+
+class DenseDeterministic(DistributionDense):
+  """Deterministic (point-mass) head — the autoencoder baseline
+  (reference ``dense_distribution.py:625``)."""
+
+  posterior: str = "vdeterministic"
+
+
+class NormalLatents(DistributionDense):
+  """Independent-Normal latent head shortcut."""
+
+  posterior: str = "normal"
+
+
+class MVNDiagLatents(DistributionDense):
+  """MVN-diag latent head shortcut (reference ``bay/layers/latents.py:23``)."""
+
+  posterior: str = "mvndiag"

@@ -1,0 +1,108 @@
+"""Device-mesh layer: mesh creation + sharding helpers.
+
+The reference (trungnt13/odin-ai) is single-node: its only "distributed backend"
+is a multiprocess job map (``odin/utils/mpi.py:386``).  On TPU the equivalent
+first-class component is a ``jax.sharding.Mesh`` over which batches are sharded
+and parameters replicated (data parallel), with XLA inserting the ``psum``
+collectives for gradient and EM-statistic reduction.
+"""
+from __future__ import annotations
+
+import functools
+from typing import Any, Optional, Sequence
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+__all__ = [
+    "get_mesh",
+    "shard_batch",
+    "replicate",
+    "data_parallel_jit",
+    "local_batch_size",
+    "P",
+    "Mesh",
+    "NamedSharding",
+]
+
+_DEFAULT_MESH: Optional[Mesh] = None
+
+
+def get_mesh(
+    axis_names: Sequence[str] = ("data",),
+    shape: Optional[Sequence[int]] = None,
+    devices: Optional[Sequence[jax.Device]] = None,
+) -> Mesh:
+  """Create a device mesh.
+
+  By default a 1-D ``('data',)`` mesh over all visible devices — the
+  data-parallel layout that replaces the reference's implicit single-device
+  training.  Pass e.g. ``axis_names=('data', 'model'), shape=(4, 2)`` for
+  mixed data/tensor parallelism.
+  """
+  if devices is None:
+    devices = jax.devices()
+  devices = np.asarray(devices)
+  if shape is None:
+    shape = (len(devices),) + (1,) * (len(axis_names) - 1)
+  return Mesh(devices.reshape(tuple(shape)), tuple(axis_names))
+
+
+def default_mesh() -> Mesh:
+  global _DEFAULT_MESH
+  if _DEFAULT_MESH is None or _DEFAULT_MESH.devices.size != len(jax.devices()):
+    _DEFAULT_MESH = get_mesh()
+  return _DEFAULT_MESH
+
+
+def set_default_mesh(mesh: Mesh) -> None:
+  global _DEFAULT_MESH
+  _DEFAULT_MESH = mesh
+
+
+def _batch_sharding(mesh: Mesh, ndim: int, axis: str = "data") -> NamedSharding:
+  spec = [None] * ndim
+  if ndim > 0:
+    spec[0] = axis
+  return NamedSharding(mesh, P(*spec))
+
+
+def shard_batch(batch: Any, mesh: Optional[Mesh] = None, axis: str = "data") -> Any:
+  """Place a host pytree of arrays onto the mesh, sharded along dim 0."""
+  mesh = mesh or default_mesh()
+
+  def _put(x):
+    x = np.asarray(x)
+    return jax.device_put(x, _batch_sharding(mesh, x.ndim, axis))
+
+  return jax.tree_util.tree_map(_put, batch)
+
+
+def replicate(tree: Any, mesh: Optional[Mesh] = None) -> Any:
+  """Replicate a pytree (params / optimizer state) across the mesh."""
+  mesh = mesh or default_mesh()
+  sharding = NamedSharding(mesh, P())
+  return jax.tree_util.tree_map(lambda x: jax.device_put(x, sharding), tree)
+
+
+def local_batch_size(global_batch_size: int, mesh: Optional[Mesh] = None) -> int:
+  mesh = mesh or default_mesh()
+  n = mesh.devices.size
+  if global_batch_size % n != 0:
+    raise ValueError(f"batch size {global_batch_size} not divisible by mesh size {n}")
+  return global_batch_size // n
+
+
+def data_parallel_jit(fn, mesh: Optional[Mesh] = None, donate_state: bool = True):
+  """jit a ``(state, batch, *rest) -> (state, aux)`` step for data parallelism.
+
+  ``state`` is replicated, ``batch`` sharded along its leading axis; XLA/GSPMD
+  inserts the gradient ``psum``.  This is the TPU-native replacement for the
+  reference's ``tf.function(optimize)`` graph boundary
+  (``odin/training/trainer.py:500-534``).
+  """
+  del mesh  # shardings are taken from the (already device_put) inputs:
+  # callers place `state` with replicate() and `batch` with shard_batch();
+  # jit propagates those placements, so one compile serves the whole run.
+  return jax.jit(fn, donate_argnums=(0,) if donate_state else ())

@@ -1,0 +1,169 @@
+"""Generic utilities (reference: ``odin/utils/__init__.py``).
+
+Only the pieces the rest of the framework actually needs are kept; the
+reference's 5.7k-LoC grab-bag (Progbar, ArgController, crypto, caching, ...)
+maps onto a much smaller surface here because tqdm/hashlib/functools cover it.
+"""
+from __future__ import annotations
+
+import hashlib
+import os
+import pickle
+import time
+from typing import Any, Callable, Iterable, Iterator, List, Optional, Sequence, Union
+
+import numpy as np
+
+__all__ = [
+    "as_tuple",
+    "minibatch",
+    "md5_checksum",
+    "UnitTimer",
+    "get_cache_path",
+    "get_data_path",
+    "get_exp_path",
+    "one_hot",
+    "cache_disk",
+]
+
+
+def as_tuple(x: Any, N: Optional[int] = None, t: Optional[type] = None) -> tuple:
+  """Coerce `x` into a tuple, optionally repeated to length `N` and cast to `t`.
+
+  Mirrors the semantics of the reference's `as_tuple`
+  (``odin/utils/__init__.py``): scalars are repeated; sequences of length 1
+  are broadcast to N; length mismatches raise.
+  """
+  if isinstance(x, (list, tuple, np.ndarray)) and not isinstance(x, str):
+    x = tuple(x)
+  else:
+    x = (x,)
+  if N is not None:
+    if len(x) == 1:
+      x = x * int(N)
+    elif len(x) != N:
+      raise ValueError(f"expected {N} values but got {len(x)}: {x}")
+  if t is not None:
+    x = tuple(t(i) for i in x)
+  return x
+
+
+def minibatch(batch_size: int,
+              n: Optional[int] = None,
+              *arrays,
+              seed: Optional[int] = None,
+              shuffle: bool = False) -> Iterator:
+  """Yield (start, end) index pairs — or array slices — of size `batch_size`.
+
+  Reference: ``odin/utils/__init__.py:191`` (`minibatch`).
+  """
+  if len(arrays) > 0 and n is None:
+    n = len(arrays[0])
+  assert n is not None, "either n or arrays must be given"
+  indices = None
+  if shuffle:
+    rng = np.random.RandomState(seed)
+    indices = rng.permutation(n)
+  for start in range(0, n, batch_size):
+    end = min(start + batch_size, n)
+    if len(arrays) == 0:
+      if indices is None:
+        yield start, end
+      else:
+        yield indices[start:end]
+    else:
+      if indices is None:
+        yield tuple(a[start:end] for a in arrays) if len(arrays) > 1 else arrays[0][start:end]
+      else:
+        idx = indices[start:end]
+        yield tuple(a[idx] for a in arrays) if len(arrays) > 1 else arrays[0][idx]
+
+
+def md5_checksum(obj: Any) -> str:
+  """md5 of a file path, bytes, ndarray, or arbitrary picklable object.
+
+  Reference: ``odin/utils/crypto.py:117``.
+  """
+  md5 = hashlib.md5()
+  if isinstance(obj, str) and os.path.isfile(obj):
+    with open(obj, "rb") as f:
+      for chunk in iter(lambda: f.read(1 << 20), b""):
+        md5.update(chunk)
+  elif isinstance(obj, bytes):
+    md5.update(obj)
+  elif isinstance(obj, np.ndarray):
+    md5.update(np.ascontiguousarray(obj).tobytes())
+  else:
+    md5.update(pickle.dumps(obj))
+  return md5.hexdigest()
+
+
+class UnitTimer:
+  """Context-manager timer (reference: ``odin/utils/__init__.py:127``)."""
+
+  def __init__(self, name: str = "", verbose: bool = True):
+    self.name = name
+    self.verbose = verbose
+    self.duration = 0.0
+
+  def __enter__(self):
+    self._start = time.perf_counter()
+    return self
+
+  def __exit__(self, *exc):
+    self.duration = time.perf_counter() - self._start
+    if self.verbose:
+      print(f"[timer]{' ' + self.name if self.name else ''}: {self.duration:.4f}s")
+    return False
+
+
+def _managed_path(kind: str) -> str:
+  base = os.environ.get("ODIN_TPU_HOME", os.path.join(os.path.expanduser("~"), ".odin_tpu"))
+  path = os.path.join(base, kind)
+  os.makedirs(path, exist_ok=True)
+  return path
+
+
+def get_cache_path() -> str:
+  """Managed cache dir (reference: ``odin/utils/__init__.py:1170-1276``)."""
+  return _managed_path("cache")
+
+
+def get_data_path() -> str:
+  return _managed_path("datasets")
+
+
+def get_exp_path() -> str:
+  return _managed_path("experiments")
+
+
+def one_hot(y: np.ndarray, num_classes: Optional[int] = None, dtype="float32") -> np.ndarray:
+  """Dense one-hot encoding (reference: ``odin/preprocessing/signal.py:1140``)."""
+  y = np.asarray(y, dtype="int64").ravel()
+  if num_classes is None:
+    num_classes = int(y.max()) + 1
+  out = np.zeros((len(y), num_classes), dtype=dtype)
+  out[np.arange(len(y)), y] = 1.0
+  return out
+
+
+def cache_disk(fn: Callable) -> Callable:
+  """Disk-memoize `fn` keyed by the md5 of its arguments.
+
+  Reference: ``odin/utils/cache_utils.py:124`` (`cache_disk`).
+  """
+  import functools
+
+  @functools.wraps(fn)
+  def wrapped(*args, **kwargs):
+    key = md5_checksum((fn.__module__, fn.__qualname__, args, tuple(sorted(kwargs.items()))))
+    path = os.path.join(get_cache_path(), f"{fn.__name__}_{key}.pkl")
+    if os.path.exists(path):
+      with open(path, "rb") as f:
+        return pickle.load(f)
+    out = fn(*args, **kwargs)
+    with open(path, "wb") as f:
+      pickle.dump(out, f)
+    return out
+
+  return wrapped

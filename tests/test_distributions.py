@@ -1,0 +1,361 @@
+"""Golden-value tests for the distribution library.
+
+Strategy (SURVEY.md §4): log_prob checked against scipy.stats; analytic KLs
+checked against torch.distributions (an independent implementation); shape
+semantics (batch/event/sample) checked structurally; samplers checked by
+moment-matching.
+"""
+import numpy as np
+import pytest
+import jax
+import jax.numpy as jnp
+import scipy.stats as ss
+
+from odin_tpu.bay import distributions as D
+from odin_tpu.bay.helpers import kl_divergence
+
+RNG = np.random.RandomState(0)
+KEY = jax.random.PRNGKey(0)
+
+
+def _allclose(a, b, rtol=1e-4, atol=1e-4):
+  np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=rtol, atol=atol)
+
+
+# ---------------------------------------------------------------------------
+# log_prob vs scipy
+# ---------------------------------------------------------------------------
+def test_normal_logprob():
+  loc = RNG.randn(5).astype("f"); scale = RNG.rand(5).astype("f") + 0.5
+  x = RNG.randn(7, 5).astype("f")
+  _allclose(D.Normal(loc, scale).log_prob(x), ss.norm.logpdf(x, loc, scale))
+
+
+def test_lognormal_logprob():
+  loc = RNG.randn(4).astype("f"); scale = RNG.rand(4).astype("f") + 0.5
+  x = RNG.rand(6, 4).astype("f") + 0.1
+  _allclose(D.LogNormal(loc, scale).log_prob(x),
+            ss.lognorm.logpdf(x, s=scale, scale=np.exp(loc)))
+
+
+def test_logistic_logprob_cdf():
+  loc, scale = 0.3, 1.7
+  x = RNG.randn(10).astype("f")
+  d = D.Logistic(loc, scale)
+  _allclose(d.log_prob(x), ss.logistic.logpdf(x, loc, scale))
+  _allclose(d.cdf(x), ss.logistic.cdf(x, loc, scale))
+
+
+def test_gamma_logprob():
+  a = RNG.rand(3).astype("f") + 0.5; b = RNG.rand(3).astype("f") + 0.5
+  x = RNG.rand(5, 3).astype("f") + 0.1
+  _allclose(D.Gamma(a, b).log_prob(x), ss.gamma.logpdf(x, a, scale=1.0 / b))
+
+
+def test_beta_logprob():
+  a = RNG.rand(3).astype("f") * 3 + 0.5; b = RNG.rand(3).astype("f") * 3 + 0.5
+  x = RNG.rand(5, 3).astype("f") * 0.9 + 0.05
+  _allclose(D.Beta(a, b).log_prob(x), ss.beta.logpdf(x, a, b), rtol=1e-2, atol=1e-3)
+
+
+def test_dirichlet_logprob():
+  a = RNG.rand(4).astype("f") * 2 + 0.5
+  x = RNG.dirichlet(a, size=6).astype("f")
+  x64 = x.astype("float64")
+  x64 = x64 / x64.sum(-1, keepdims=True)
+  _allclose(D.Dirichlet(a).log_prob(x), [ss.dirichlet.logpdf(xi, a) for xi in x64],
+            rtol=1e-3, atol=1e-3)
+
+
+def test_laplace_uniform():
+  x = RNG.randn(10).astype("f")
+  _allclose(D.Laplace(0.5, 2.0).log_prob(x), ss.laplace.logpdf(x, 0.5, 2.0))
+  u = RNG.rand(10).astype("f")
+  _allclose(D.Uniform(0.0, 2.0).log_prob(u), ss.uniform.logpdf(u, 0, 2))
+
+
+def test_poisson_logprob():
+  rate = RNG.rand(3).astype("f") * 5 + 0.5
+  x = RNG.poisson(rate, size=(6, 3)).astype("f")
+  _allclose(D.Poisson(rate=rate).log_prob(x), ss.poisson.logpmf(x, rate), rtol=1e-3)
+
+
+def test_bernoulli_logprob():
+  p = RNG.rand(5).astype("f") * 0.8 + 0.1
+  logits = np.log(p / (1 - p))
+  x = (RNG.rand(7, 5) < p).astype("f")
+  _allclose(D.Bernoulli(logits=logits).log_prob(x), ss.bernoulli.logpmf(x, p), rtol=1e-3)
+
+
+def test_binomial_logprob():
+  n, p = 10.0, 0.3
+  x = RNG.binomial(10, p, size=8).astype("f")
+  logits = np.log(p / (1 - p)).astype("f")
+  _allclose(D.Binomial(n, logits=logits).log_prob(x), ss.binom.logpmf(x, 10, p), rtol=1e-3)
+
+
+def test_negative_binomial_logprob():
+  r, p = 5.0, 0.4  # success prob p: pmf(k) = C(k+r-1,k) (1-p)^r p^k
+  logits = np.log(p / (1 - p)).astype("f")
+  x = np.arange(8).astype("f")
+  _allclose(D.NegativeBinomial(r, logits=logits).log_prob(x),
+            ss.nbinom.logpmf(x, r, 1 - p), rtol=1e-3)
+
+
+def test_negative_binomial_disp_matches_nb():
+  mu, theta = 4.0, 2.0
+  d = D.NegativeBinomialDisp(mu, theta)
+  x = np.arange(10).astype("f")
+  # equivalent classic NB: r=theta, p=mu/(mu+theta)
+  p = mu / (mu + theta)
+  _allclose(d.log_prob(x), ss.nbinom.logpmf(x, theta, 1 - p), rtol=1e-3)
+  _allclose(d.mean(), mu)
+  _allclose(d.variance(), mu + mu ** 2 / theta)
+
+
+def test_categorical_onehot():
+  logits = RNG.randn(4, 6).astype("f")
+  probs = np.exp(logits) / np.exp(logits).sum(-1, keepdims=True)
+  idx = np.array([0, 2, 5, 3])
+  _allclose(D.Categorical(logits=logits).log_prob(idx),
+            np.log(probs[np.arange(4), idx]), rtol=1e-3)
+  onehot = np.eye(6, dtype="f")[idx]
+  _allclose(D.OneHotCategorical(logits=logits).log_prob(onehot),
+            np.log(probs[np.arange(4), idx]), rtol=1e-3)
+
+
+def test_multinomial_logprob():
+  n = 10
+  probs = np.array([0.2, 0.3, 0.5], "f")
+  x = RNG.multinomial(n, probs, size=5).astype("f")
+  d = D.Multinomial(float(n), probs=probs)
+  _allclose(d.log_prob(x), [ss.multinomial.logpmf(xi, n, probs) for xi in x], rtol=1e-3)
+
+
+def test_zero_inflated():
+  pi, rate = 0.3, 2.0
+  d = D.ZeroInflated(D.Poisson(rate=rate), probs=pi)
+  x = np.arange(6).astype("f")
+  expected = np.where(
+      x == 0,
+      np.log(pi + (1 - pi) * np.exp(ss.poisson.logpmf(0, rate))),
+      np.log(1 - pi) + ss.poisson.logpmf(x, rate))
+  _allclose(d.log_prob(x), expected, rtol=1e-3)
+
+
+def test_mvn_diag_tril():
+  d = 4
+  loc = RNG.randn(d).astype("f")
+  scale = RNG.rand(d).astype("f") + 0.5
+  x = RNG.randn(6, d).astype("f")
+  _allclose(D.MultivariateNormalDiag(loc, scale).log_prob(x),
+            ss.multivariate_normal.logpdf(x, loc, np.diag(scale ** 2)), rtol=1e-3)
+  A = RNG.randn(d, d).astype("f")
+  cov = A @ A.T + np.eye(d, dtype="f")
+  L = np.linalg.cholesky(cov)
+  _allclose(D.MultivariateNormalTriL(loc, L).log_prob(x),
+            ss.multivariate_normal.logpdf(x, loc, cov), rtol=1e-3)
+
+
+def test_quantized_logistic():
+  # probability over all 256 bins must sum to 1
+  d = D.QuantizedLogistic(jnp.asarray(100.0), jnp.asarray(20.0),
+                          low=0, high=255, inputs_domain="raw")
+  xs = jnp.arange(256.0)
+  total = jnp.sum(jnp.exp(d.log_prob(xs)))
+  _allclose(total, 1.0, rtol=1e-3)
+
+
+def test_mixture_logprob():
+  logits = np.array([0.2, -0.4, 1.0], "f")
+  locs = np.array([[-1.0, 0.0], [1.0, 1.0], [0.0, -2.0]], "f")
+  scales = np.ones((3, 2), "f") * 0.7
+  gm = D.GaussianMixture(logits, locs, scales, covariance="diag")
+  x = RNG.randn(5, 2).astype("f")
+  w = np.exp(logits) / np.exp(logits).sum()
+  expected = np.log(sum(
+      w[k] * ss.multivariate_normal.pdf(x, locs[k], np.diag(scales[k] ** 2))
+      for k in range(3)))
+  _allclose(gm.log_prob(x), expected, rtol=1e-3)
+  assert gm.mean().shape == (2,)
+  s = gm.sample(KEY, (11,))
+  assert s.shape == (11, 2)
+
+
+# ---------------------------------------------------------------------------
+# analytic KL vs torch.distributions
+# ---------------------------------------------------------------------------
+def test_kl_normal_torch():
+  import torch
+  import torch.distributions as td
+  q_loc, q_s = RNG.randn(5).astype("f"), RNG.rand(5).astype("f") + 0.5
+  p_loc, p_s = RNG.randn(5).astype("f"), RNG.rand(5).astype("f") + 0.5
+  ours = D.Normal(q_loc, q_s).kl_divergence(D.Normal(p_loc, p_s))
+  torchs = td.kl_divergence(td.Normal(torch.tensor(q_loc), torch.tensor(q_s)),
+                            td.Normal(torch.tensor(p_loc), torch.tensor(p_s)))
+  _allclose(ours, torchs.numpy())
+
+
+def test_kl_gamma_beta_dirichlet_torch():
+  import torch
+  import torch.distributions as td
+  a1, b1 = RNG.rand(4).astype("f") + 0.5, RNG.rand(4).astype("f") + 0.5
+  a2, b2 = RNG.rand(4).astype("f") + 0.5, RNG.rand(4).astype("f") + 0.5
+  _allclose(
+      D.Gamma(a1, b1).kl_divergence(D.Gamma(a2, b2)),
+      td.kl_divergence(td.Gamma(torch.tensor(a1), torch.tensor(b1)),
+                       td.Gamma(torch.tensor(a2), torch.tensor(b2))).numpy(),
+      rtol=1e-3)
+  _allclose(
+      D.Beta(a1, b1).kl_divergence(D.Beta(a2, b2)),
+      td.kl_divergence(td.Beta(torch.tensor(a1), torch.tensor(b1)),
+                       td.Beta(torch.tensor(a2), torch.tensor(b2))).numpy(),
+      rtol=1e-3)
+  _allclose(
+      D.Dirichlet(a1).kl_divergence(D.Dirichlet(a2)),
+      td.kl_divergence(td.Dirichlet(torch.tensor(a1)),
+                       td.Dirichlet(torch.tensor(a2))).numpy(),
+      rtol=1e-3)
+
+
+def test_kl_bernoulli_categorical_poisson_torch():
+  import torch
+  import torch.distributions as td
+  lq, lp = RNG.randn(6).astype("f"), RNG.randn(6).astype("f")
+  _allclose(
+      D.Bernoulli(logits=lq).kl_divergence(D.Bernoulli(logits=lp)),
+      td.kl_divergence(td.Bernoulli(logits=torch.tensor(lq)),
+                       td.Bernoulli(logits=torch.tensor(lp))).numpy(),
+      rtol=1e-3)
+  cq, cp = RNG.randn(4, 5).astype("f"), RNG.randn(4, 5).astype("f")
+  _allclose(
+      D.Categorical(logits=cq).kl_divergence(D.Categorical(logits=cp)),
+      td.kl_divergence(td.Categorical(logits=torch.tensor(cq)),
+                       td.Categorical(logits=torch.tensor(cp))).numpy(),
+      rtol=1e-3)
+  r1, r2 = RNG.rand(3).astype("f") + 0.5, RNG.rand(3).astype("f") + 0.5
+  _allclose(
+      D.Poisson(rate=r1).kl_divergence(D.Poisson(rate=r2)),
+      td.kl_divergence(td.Poisson(torch.tensor(r1)),
+                       td.Poisson(torch.tensor(r2))).numpy(),
+      rtol=1e-3)
+
+
+def test_kl_mvn_torch():
+  import torch
+  import torch.distributions as td
+  d = 3
+  loc1, s1 = RNG.randn(d).astype("f"), RNG.rand(d).astype("f") + 0.5
+  loc2, s2 = RNG.randn(d).astype("f"), RNG.rand(d).astype("f") + 0.5
+  ours = D.MultivariateNormalDiag(loc1, s1).kl_divergence(
+      D.MultivariateNormalDiag(loc2, s2))
+  torchs = td.kl_divergence(
+      td.MultivariateNormal(torch.tensor(loc1), torch.diag(torch.tensor(s1) ** 2)),
+      td.MultivariateNormal(torch.tensor(loc2), torch.diag(torch.tensor(s2) ** 2)))
+  _allclose(ours, torchs.numpy(), rtol=1e-3)
+  A = RNG.randn(d, d).astype("f")
+  cov = A @ A.T + np.eye(d, dtype="f")
+  L = np.linalg.cholesky(cov).astype("f")
+  ours2 = D.MultivariateNormalTriL(loc1, L).kl_divergence(
+      D.MultivariateNormalTriL(loc2, L * 0.5))
+  torchs2 = td.kl_divergence(
+      td.MultivariateNormal(torch.tensor(loc1), scale_tril=torch.tensor(L)),
+      td.MultivariateNormal(torch.tensor(loc2), scale_tril=torch.tensor(L * 0.5)))
+  _allclose(ours2, torchs2.numpy(), rtol=1e-3)
+
+
+def test_kl_independent_and_free_bits():
+  loc = RNG.randn(4, 8).astype("f")
+  scale = RNG.rand(4, 8).astype("f") + 0.5
+  q = D.Independent(D.Normal(loc, scale), 1)
+  p = D.Independent(D.Normal(np.zeros((8,), "f"), np.ones((8,), "f")), 1)
+  kl = kl_divergence(q, p, analytic=True)
+  manual = (0.5 * (scale ** 2 + loc ** 2 - 1 - 2 * np.log(scale))).sum(-1)
+  _allclose(kl, manual, rtol=1e-3)
+  # free bits clamps from below
+  kl_fb = kl_divergence(q, p, analytic=True, free_bits=100.0)
+  assert np.all(np.asarray(kl_fb) >= 100.0)
+
+
+def test_mc_kl_close_to_analytic():
+  loc = RNG.randn(3, 4).astype("f")
+  scale = RNG.rand(3, 4).astype("f") * 0.3 + 0.7
+  q = D.Independent(D.Normal(loc, scale), 1)
+  p = D.Independent(D.Normal(np.zeros((4,), "f"), np.ones((4,), "f")), 1)
+  analytic = kl_divergence(q, p, analytic=True)
+  mc = kl_divergence(q, p, analytic=False, q_sample=5000, seed=KEY)
+  _allclose(mc, analytic, rtol=0.15, atol=0.15)
+
+
+# ---------------------------------------------------------------------------
+# shapes & sampling moments
+# ---------------------------------------------------------------------------
+def test_shape_semantics():
+  d = D.Independent(D.Normal(jnp.zeros((7, 5)), jnp.ones((7, 5))), 1)
+  assert d.batch_shape == (7,)
+  assert d.event_shape == (5,)
+  s = d.sample(KEY, (3,))
+  assert s.shape == (3, 7, 5)
+  assert d.log_prob(s).shape == (3, 7)
+
+
+def test_sampler_moments():
+  key = jax.random.PRNGKey(42)
+  n = D.Normal(2.0, 1.5)
+  s = n.sample(key, (20000,))
+  assert abs(float(s.mean()) - 2.0) < 0.05
+  assert abs(float(s.std()) - 1.5) < 0.05
+  g = D.Gamma(3.0, 2.0)
+  sg = g.sample(key, (20000,))
+  assert abs(float(sg.mean()) - 1.5) < 0.05
+  b = D.Bernoulli(logits=0.8)
+  sb = b.sample(key, (20000,))
+  assert abs(float(sb.mean()) - 1 / (1 + np.exp(-0.8))) < 0.02
+
+
+def test_spherical():
+  mu = np.array([0.0, 0.0, 1.0], "f")
+  for dist in (D.VonMisesFisher(mu, 10.0), D.PowerSpherical(mu, 10.0)):
+    s = dist.sample(KEY, (500,))
+    # samples on the unit sphere
+    _allclose(np.linalg.norm(np.asarray(s), axis=-1), np.ones(500), rtol=1e-3)
+    # concentrated around mu
+    assert float(np.mean(np.asarray(s) @ mu)) > 0.8
+    # KL to uniform is positive
+    kl = dist.kl_divergence(D.SphericalUniform(3))
+    assert float(kl) > 0
+  # log_prob integrates to ~1 on the sphere via MC with uniform proposal
+  uni = D.SphericalUniform(3)
+  xs = uni.sample(jax.random.PRNGKey(7), (20000,))
+  vmf = D.VonMisesFisher(mu, 3.0)
+  integral = np.mean(np.exp(np.asarray(vmf.log_prob(xs)))) * 4 * np.pi
+  assert abs(integral - 1.0) < 0.1
+
+
+def test_distribution_is_pytree():
+  d = D.Normal(jnp.zeros(3), jnp.ones(3))
+
+  @jax.jit
+  def f(dist):
+    return dist.log_prob(jnp.zeros(3))
+
+  out = f(d)
+  assert out.shape == (3,)
+  # distributions can be returned from jit
+  @jax.jit
+  def g(x):
+    return D.Normal(x, jnp.ones_like(x))
+
+  dd = g(jnp.arange(4.0))
+  assert isinstance(dd, D.Normal)
+
+
+def test_batchwise():
+  ds = [D.Independent(D.Normal(jnp.zeros((4, 3)), jnp.ones((4, 3))), 1)
+        for _ in range(3)]
+  bw = D.Batchwise(ds)
+  assert bw.batch_shape == (12,)
+  assert bw.event_shape == (3,)
+  assert bw.mean().shape == (12, 3)
+  x = jnp.zeros((12, 3))
+  assert bw.log_prob(x).shape == (12,)
