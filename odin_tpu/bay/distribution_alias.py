@@ -373,6 +373,22 @@ register_distribution_alias(("mdntril", "gmmtril", "mdnfull", "gmmfull"), DistSp
     lambda d, n_components=2, **kw: _gmm_params_size(d, n_components, "tril"),
     lambda p, e, n_components=2, **kw: _gmm_builder(p, e, n_components, "tril"),
     _mvndiag_prior))
+def _qlogistic_builder(params, event_shape, low=0, high=255, **kw):
+  """PixelCNN-style quantized logistic: raw loc in ~[-1,1] mapped onto the
+  pixel grid exactly as the reference
+  (``odin/bay/distributions/quantized.py:96-102``):
+  loc = low + 0.5(high-low)(loc+1), scale = softplus(raw)·0.5(high-low)."""
+  loc, raw = _split(params, 2, event_shape)
+  support = 0.5 * (high - low)
+  loc = low + support * (loc + 1.0)
+  scale = (jax.nn.softplus(raw) + math.exp(-7.0)) * support
+  return _indep(
+      D.QuantizedLogistic(loc, scale, low=low, high=high,
+                          inputs_domain="sigmoid"), event_shape)
+
+
+register_distribution_alias(("qlogistic", "quantizedlogistic"), DistSpec(
+    "qlogistic", _n_params(2), _qlogistic_builder, _no_prior))
 register_distribution_alias(("mixqlogist", "mixqlogistic"), DistSpec(
     "mixqlogistic", _mixqlogistic_params_size, _mixqlogistic_builder, _no_prior))
 register_distribution_alias(("vonmisesfisher", "vmf"), DistSpec(

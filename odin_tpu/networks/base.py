@@ -1,0 +1,319 @@
+"""Network engine: uniform flax layers + SequentialNetwork + factories.
+
+Reference: ``odin/networks/base_networks.py`` — the Keras `Networks`/
+`SequentialNetwork` machinery and the dense/conv/deconv factory conventions
+(``:965-1213``) and `NetConf` (``:1219-1538``).  The TPU redesign keeps the
+*factory API* but models are flax modules: pure pytrees of params with
+``apply`` functions; the training loop lives in ``odin_tpu.training``.
+
+Every layer here accepts ``(x, training=False)`` so sequences can thread the
+training flag uniformly (dropout/batchnorm), mirroring the reference's
+arg-aware layer calls (``base_networks.py:883-959``).
+"""
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Callable, Dict, Optional, Sequence, Tuple, Union
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+__all__ = [
+    "Lambda", "Dense", "Conv", "ConvTranspose", "Flatten", "Reshape",
+    "CenterAt0", "LogNorm", "Dropout", "BatchNorm", "SequentialNetwork",
+    "dense_network", "conv_network", "deconv_network", "NetConf",
+    "get_activation",
+]
+
+_ACTIVATIONS: Dict[str, Callable] = {
+    "linear": lambda x: x,
+    "identity": lambda x: x,
+    "relu": jax.nn.relu,
+    "elu": jax.nn.elu,
+    "selu": jax.nn.selu,
+    "gelu": jax.nn.gelu,
+    "silu": jax.nn.silu,
+    "swish": jax.nn.silu,
+    "tanh": jnp.tanh,
+    "sigmoid": jax.nn.sigmoid,
+    "softplus": jax.nn.softplus,
+    "softmax": jax.nn.softmax,
+    "leaky_relu": jax.nn.leaky_relu,
+    "relu6": jax.nn.relu6,
+}
+
+
+def get_activation(fn: Union[str, Callable, None]) -> Callable:
+  """Resolve an activation alias (reference ``odin/backend/alias.py``)."""
+  if fn is None:
+    return lambda x: x
+  if callable(fn):
+    return fn
+  key = str(fn).lower()
+  if key not in _ACTIVATIONS:
+    raise ValueError(f"unknown activation '{fn}'; available: {sorted(_ACTIVATIONS)}")
+  return _ACTIVATIONS[key]
+
+
+class Lambda(nn.Module):
+  """Wrap a pure function as a layer."""
+
+  fn: Callable
+
+  def __call__(self, x, training: bool = False):
+    return self.fn(x)
+
+
+class Dense(nn.Module):
+  units: int
+  activation: Union[str, Callable, None] = None
+  use_bias: bool = True
+
+  @nn.compact
+  def __call__(self, x, training: bool = False):
+    x = nn.Dense(self.units, use_bias=self.use_bias)(x)
+    return get_activation(self.activation)(x)
+
+
+class Conv(nn.Module):
+  """2-D convolution, 'same' padding, He init — the reference's conv factory
+  convention (``image_networks.py:157-174``)."""
+
+  filters: int
+  kernel_size: Union[int, Tuple[int, int]] = 3
+  strides: Union[int, Tuple[int, int]] = 1
+  activation: Union[str, Callable, None] = None
+  padding: str = "SAME"
+  use_bias: bool = True
+
+  @nn.compact
+  def __call__(self, x, training: bool = False):
+    k = self.kernel_size if isinstance(self.kernel_size, (tuple, list)) \
+        else (self.kernel_size, self.kernel_size)
+    s = self.strides if isinstance(self.strides, (tuple, list)) \
+        else (self.strides, self.strides)
+    x = nn.Conv(self.filters, k, strides=s, padding=self.padding,
+                use_bias=self.use_bias,
+                kernel_init=nn.initializers.he_normal())(x)
+    return get_activation(self.activation)(x)
+
+
+class ConvTranspose(nn.Module):
+  filters: int
+  kernel_size: Union[int, Tuple[int, int]] = 3
+  strides: Union[int, Tuple[int, int]] = 1
+  activation: Union[str, Callable, None] = None
+  padding: str = "SAME"
+  use_bias: bool = True
+
+  @nn.compact
+  def __call__(self, x, training: bool = False):
+    k = self.kernel_size if isinstance(self.kernel_size, (tuple, list)) \
+        else (self.kernel_size, self.kernel_size)
+    s = self.strides if isinstance(self.strides, (tuple, list)) \
+        else (self.strides, self.strides)
+    x = nn.ConvTranspose(self.filters, k, strides=s, padding=self.padding,
+                         use_bias=self.use_bias,
+                         kernel_init=nn.initializers.he_normal())(x)
+    return get_activation(self.activation)(x)
+
+
+class Flatten(nn.Module):
+
+  def __call__(self, x, training: bool = False):
+    return x.reshape(x.shape[:1] + (-1,)) if x.ndim > 1 else x
+
+
+class Reshape(nn.Module):
+  shape: Tuple[int, ...]
+
+  def __call__(self, x, training: bool = False):
+    return x.reshape(x.shape[:1] + tuple(self.shape))
+
+
+class CenterAt0(nn.Module):
+  """[0,1] images -> [-1,1] (reference ``image_networks.py:108-135``)."""
+
+  enable: bool = True
+  div_255: bool = False
+
+  def __call__(self, x, training: bool = False):
+    if not self.enable:
+      return x
+    if self.div_255:
+      x = x / 255.0
+    return 2.0 * x - 1.0
+
+
+class LogNorm(nn.Module):
+  """log1p count normalization for gene data
+  (reference ``image_networks.py:138``)."""
+
+  scale_factor: float = 10000.0
+
+  def __call__(self, x, training: bool = False):
+    s = jnp.sum(x, axis=-1, keepdims=True)
+    return jnp.log1p(x / jnp.maximum(s, 1e-8) * self.scale_factor)
+
+
+class Dropout(nn.Module):
+  rate: float = 0.5
+
+  @nn.compact
+  def __call__(self, x, training: bool = False):
+    return nn.Dropout(self.rate, deterministic=not training)(x)
+
+
+class BatchNorm(nn.Module):
+  """Batch normalization with running averages in the 'batch_stats'
+  collection."""
+
+  @nn.compact
+  def __call__(self, x, training: bool = False):
+    return nn.BatchNorm(use_running_average=not training)(x)
+
+
+class SequentialNetwork(nn.Module):
+  """Call layers in order, threading the training flag.
+
+  ``return_hidden=True`` also returns the list of all intermediate outputs —
+  the functional replacement for the reference's stateful capture of encoder
+  activations by hierarchical-VAE layer wrappers
+  (``odin/bay/vi/autoencoder/hierarchical_vae.py:130``).
+  """
+
+  layers: Sequence[nn.Module] = ()
+
+  @nn.compact
+  def __call__(self, x, training: bool = False, return_hidden: bool = False):
+    hidden = []
+    for layer in self.layers:
+      x = layer(x, training=training) if isinstance(layer, nn.Module) else layer(x)
+      hidden.append(x)
+    if return_hidden:
+      return x, hidden
+    return x
+
+
+# ---------------------------------------------------------------------------
+# factories (reference base_networks.py:965-1213)
+# ---------------------------------------------------------------------------
+def dense_network(units: Sequence[int],
+                  activation: Union[str, Callable] = "relu",
+                  batchnorm: bool = False,
+                  dropout: float = 0.0,
+                  flatten_inputs: bool = True,
+                  input_dropout: float = 0.0) -> list:
+  """List of layers for an MLP following the reference conventions."""
+  layers: list = []
+  if flatten_inputs:
+    layers.append(Flatten())
+  if input_dropout > 0:
+    layers.append(Dropout(input_dropout))
+  for u in units:
+    layers.append(Dense(int(u), activation=None if batchnorm else activation))
+    if batchnorm:
+      layers.append(BatchNorm())
+      layers.append(Lambda(get_activation(activation)))
+    if dropout > 0:
+      layers.append(Dropout(dropout))
+  return layers
+
+
+def conv_network(filters: Sequence[int],
+                 kernel_size: Union[int, Sequence[int]] = 3,
+                 strides: Union[int, Sequence[int]] = 2,
+                 activation: Union[str, Callable] = "relu",
+                 batchnorm: bool = False,
+                 dropout: float = 0.0,
+                 flatten_outputs: bool = True) -> list:
+  n = len(filters)
+  ks = kernel_size if isinstance(kernel_size, (list, tuple)) else [kernel_size] * n
+  ss = strides if isinstance(strides, (list, tuple)) else [strides] * n
+  layers: list = []
+  for f, k, s in zip(filters, ks, ss):
+    layers.append(Conv(int(f), k, s, activation=None if batchnorm else activation))
+    if batchnorm:
+      layers.append(BatchNorm())
+      layers.append(Lambda(get_activation(activation)))
+    if dropout > 0:
+      layers.append(Dropout(dropout))
+  if flatten_outputs:
+    layers.append(Flatten())
+  return layers
+
+
+def deconv_network(filters: Sequence[int],
+                   kernel_size: Union[int, Sequence[int]] = 3,
+                   strides: Union[int, Sequence[int]] = 2,
+                   activation: Union[str, Callable] = "relu",
+                   batchnorm: bool = False,
+                   dropout: float = 0.0) -> list:
+  n = len(filters)
+  ks = kernel_size if isinstance(kernel_size, (list, tuple)) else [kernel_size] * n
+  ss = strides if isinstance(strides, (list, tuple)) else [strides] * n
+  layers: list = []
+  for f, k, s in zip(filters, ks, ss):
+    layers.append(ConvTranspose(int(f), k, s,
+                                activation=None if batchnorm else activation))
+    if batchnorm:
+      layers.append(BatchNorm())
+      layers.append(Lambda(get_activation(activation)))
+    if dropout > 0:
+      layers.append(Dropout(dropout))
+  return layers
+
+
+@dataclasses.dataclass
+class NetConf:
+  """Typed network-configuration descriptor
+  (reference ``base_networks.py:1225`` `NetConf`).
+
+  `create_network()` builds an MLP or CNN; `create_decoder_network()` builds
+  the mirror-image decoder (the reference's `create_autoencoder` convention).
+  """
+
+  units: Union[int, Sequence[int]] = 64
+  kernel: Union[int, Sequence[int]] = 3
+  strides: Union[int, Sequence[int]] = 1
+  activation: Union[str, Callable] = "relu"
+  batchnorm: bool = False
+  input_dropout: float = 0.0
+  dropout: float = 0.0
+  network: str = "dense"  # 'dense' | 'conv' | 'deconv'
+  flatten_inputs: bool = True
+  name: Optional[str] = None
+
+  def create_network(self, name: Optional[str] = None) -> SequentialNetwork:
+    units = [self.units] if isinstance(self.units, int) else list(self.units)
+    if self.network == "dense":
+      layers = dense_network(units, self.activation, self.batchnorm,
+                             self.dropout, self.flatten_inputs,
+                             self.input_dropout)
+    elif self.network == "conv":
+      layers = conv_network(units, self.kernel, self.strides, self.activation,
+                            self.batchnorm, self.dropout)
+    elif self.network == "deconv":
+      layers = deconv_network(units, self.kernel, self.strides,
+                              self.activation, self.batchnorm, self.dropout)
+    else:
+      raise ValueError(f"unknown network type {self.network}")
+    return SequentialNetwork(tuple(layers), name=name or self.name)
+
+  def create_decoder_network(self, output_shape: Sequence[int],
+                             name: Optional[str] = None) -> SequentialNetwork:
+    """Mirror-image decoder ending at `output_shape` features."""
+    units = [self.units] if isinstance(self.units, int) else list(self.units)
+    rev = list(reversed(units))
+    if self.network == "dense":
+      layers = dense_network(rev, self.activation, self.batchnorm,
+                             self.dropout, flatten_inputs=False)
+      layers.append(Dense(int(np.prod(output_shape)), activation=None))
+      layers.append(Reshape(tuple(output_shape)))
+    else:
+      layers = deconv_network(rev, self.kernel, self.strides, self.activation,
+                              self.batchnorm, self.dropout)
+      layers.append(Conv(int(output_shape[-1]), 1, 1, activation=None))
+    return SequentialNetwork(tuple(layers), name=name or (self.name and self.name + "_decoder"))

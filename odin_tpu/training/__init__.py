@@ -1,0 +1,9 @@
+"""Training loop & experiment management (reference: ``odin/training``)."""
+from odin_tpu.training.core import (
+    TrainState,
+    TrainStep,
+    build_train_step_fn,
+    make_optimizer,
+)
+from odin_tpu.training.early_stopping import EarlyStopping
+from odin_tpu.training.trainer import Trainer, get_current_trainer

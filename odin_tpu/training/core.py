@@ -1,0 +1,172 @@
+"""Training-step machinery: TrainState, TrainStep, optimizer building.
+
+Reference: ``odin/networks/base_networks.py`` — `TrainStep` (:129),
+`Networks.optimize` (:415,490-624: per-step GradientTape over a parameter
+partition, NaN-gradient policies, clipping, skip-update threshold) and
+`Networks.fit`'s optimizer-from-alias construction (:642-812).
+
+TPU redesign: the whole multi-step optimize is ONE pure function
+``(state, batch, rng) -> (state, metrics)`` — jitted once, sharded by the
+caller (params replicated, batch split on the 'data' mesh axis; XLA inserts
+the gradient psum).  Parameter partitions are top-level keys of the params
+dict (e.g. ``{'vae': ..., 'discriminator': ...}``), each with its own optax
+optimizer — the functional equivalent of the reference's multi-optimizer
+`train_steps` dispatch.
+"""
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Callable, Dict, List, Optional, Sequence, Tuple, Union
+
+import flax
+import jax
+import jax.numpy as jnp
+import optax
+
+__all__ = ["TrainState", "TrainStep", "make_optimizer", "build_train_step_fn"]
+
+
+@flax.struct.dataclass
+class TrainState:
+  """Pure training state: one pytree holding everything a step touches,
+  checkpointable as a unit (replaces the reference's three overlapping
+  checkpoint systems, SURVEY.md §5)."""
+
+  params: Dict[str, Any]
+  opt_states: Dict[str, Any]
+  step: jax.Array
+  rng: jax.Array
+  mutables: Dict[str, Any] = flax.struct.field(default_factory=dict)
+  skipped_updates: jax.Array = flax.struct.field(
+      default_factory=lambda: jnp.zeros((), jnp.int32))
+
+
+@dataclasses.dataclass
+class TrainStep:
+  """One optimization stage inside a training iteration.
+
+  Attributes:
+    loss_fn: ``(params, batch, rng, step, mutables) -> (loss, (metrics,
+      mutables))`` pure function; `params` is the FULL params dict (so a
+      stage can read frozen partitions), gradients are taken only w.r.t.
+      `partitions`.
+    partitions: top-level params keys this step optimizes.
+    optimizer: name of the optimizer (key into the optimizers dict);
+      defaults to the first partition name.
+  """
+
+  loss_fn: Callable
+  partitions: Tuple[str, ...] = ("params",)
+  optimizer: Optional[str] = None
+  name: str = "step"
+
+
+_OPT_ALIASES = {
+    "adam": optax.adam,
+    "adamw": optax.adamw,
+    "sgd": optax.sgd,
+    "rmsprop": optax.rmsprop,
+    "adagrad": optax.adagrad,
+    "adamax": optax.adamax,
+    "lamb": optax.lamb,
+    "lion": optax.lion,
+    "nadam": optax.nadam,
+}
+
+
+def make_optimizer(name: Union[str, optax.GradientTransformation] = "adam",
+                   learning_rate: Union[float, Callable] = 1e-3,
+                   clipnorm: Optional[float] = None,
+                   global_clipnorm: Optional[float] = None,
+                   clipvalue: Optional[float] = None,
+                   **kwargs) -> optax.GradientTransformation:
+  """Optimizer from alias + clipping options (mirrors `_to_optimizer`,
+  reference ``base_networks.py:85-112`` and the clipnorm handling at
+  :579-596)."""
+  if isinstance(name, optax.GradientTransformation):
+    opt = name
+  else:
+    key = str(name).lower()
+    if key not in _OPT_ALIASES:
+      raise ValueError(f"unknown optimizer '{name}'; available: {sorted(_OPT_ALIASES)}")
+    opt = _OPT_ALIASES[key](learning_rate, **kwargs)
+  chain = []
+  if clipvalue is not None:
+    chain.append(optax.clip(clipvalue))
+  if clipnorm is not None:
+    chain.append(optax.clip_by_block_rms(clipnorm))
+  if global_clipnorm is not None:
+    chain.append(optax.clip_by_global_norm(global_clipnorm))
+  chain.append(opt)
+  return optax.chain(*chain) if len(chain) > 1 else opt
+
+
+def build_train_step_fn(
+    train_steps: Sequence[TrainStep],
+    optimizers: Dict[str, optax.GradientTransformation],
+    nan_policy: str = "skip",
+) -> Callable:
+  """Compose TrainSteps into one pure ``(state, batch) -> (state, metrics)``.
+
+  `nan_policy` (reference `nan_gradients_policy`, ``base_networks.py:520-578``):
+    'skip'   — drop the update when any gradient is non-finite and count it;
+    'apply'  — always apply (debugging);
+    'stop'   — like skip, plus emits metrics['nan_gradients']=1 so the host
+               Trainer can halt/restore.
+  """
+  train_steps = list(train_steps)
+
+  def step_fn(state: TrainState, batch) -> Tuple[TrainState, Dict[str, jax.Array]]:
+    metrics: Dict[str, jax.Array] = {}
+    params = dict(state.params)
+    opt_states = dict(state.opt_states)
+    mutables = state.mutables
+    rng = state.rng
+    skipped = state.skipped_updates
+    any_nan = jnp.zeros((), jnp.bool_)
+    for i, ts in enumerate(train_steps):
+      rng, step_rng = jax.random.split(rng)
+      sub = {k: params[k] for k in ts.partitions}
+      frozen = {k: v for k, v in params.items() if k not in ts.partitions}
+
+      def loss_of(sub_params, frozen=frozen, ts=ts, step_rng=step_rng,
+                  mutables=mutables):
+        full = {**frozen, **sub_params}
+        return ts.loss_fn(full, batch, step_rng, state.step, mutables)
+
+      (loss, (step_metrics, mutables)), grads = jax.value_and_grad(
+          loss_of, has_aux=True)(sub)
+      opt_name = ts.optimizer or ts.partitions[0]
+      updates, new_opt = optimizers[opt_name].update(
+          grads, opt_states[opt_name], sub)
+      new_sub = optax.apply_updates(sub, updates)
+      finite = jnp.all(jnp.asarray(
+          [jnp.all(jnp.isfinite(g)) for g in jax.tree_util.tree_leaves(grads)]
+      )) if nan_policy in ("skip", "stop") else jnp.asarray(True)
+      any_nan = jnp.logical_or(any_nan, ~finite)
+      # select old vs new atomically per step
+      new_sub = jax.tree_util.tree_map(
+          lambda new, old: jnp.where(finite, new, old), new_sub, sub)
+      new_opt = jax.tree_util.tree_map(
+          lambda new, old: jnp.where(finite, new, old), new_opt,
+          opt_states[opt_name])
+      params.update(new_sub)
+      opt_states[opt_name] = new_opt
+      prefix = f"{ts.name}/" if len(train_steps) > 1 else ""
+      metrics[f"{prefix}loss"] = loss
+      for k, v in step_metrics.items():
+        metrics[f"{prefix}{k}"] = v
+    skipped = skipped + any_nan.astype(jnp.int32)
+    if nan_policy == "stop":
+      metrics["nan_gradients"] = any_nan.astype(jnp.float32)
+    new_state = TrainState(
+        params=params,
+        opt_states=opt_states,
+        step=state.step + 1,
+        rng=rng,
+        mutables=mutables,
+        skipped_updates=skipped,
+    )
+    return new_state, metrics
+
+  return step_fn

@@ -1,0 +1,98 @@
+"""End-to-end slice: get_networks -> VariationalAutoencoder -> fit
+(SURVEY.md §7 stage 4). Runs on the 8-virtual-device CPU mesh."""
+import numpy as np
+import pytest
+import jax
+import jax.numpy as jnp
+
+from odin_tpu.networks import get_networks, get_optimizer_info
+from odin_tpu.bay.vi import VariationalAutoencoder, Autoencoder, get_vae
+
+
+RNG = np.random.RandomState(8)
+
+
+def synth_images(n=256, shape=(28, 28, 1)):
+  return (RNG.rand(n, *shape) < 0.3).astype("float32")
+
+
+def batches(X, n_steps, batch_size=32):
+  for _ in range(n_steps):
+    yield X[RNG.randint(0, len(X), batch_size)]
+
+
+def test_get_networks_all():
+  for name in ["mnist", "fashionmnist", "cifar10", "dsprites", "shapes3d",
+               "celeba", "halfmoons", "cortex", "pbmc"]:
+    nets = get_networks(name, is_semi_supervised=True)
+    assert {"encoder", "decoder", "latents", "observation",
+            "labels"} <= set(nets)
+  info = get_optimizer_info("mnist", batch_size=64)
+  assert info["max_iter"] == int(55000 / 64 * 800)
+  assert callable(info["learning_rate"])
+  with pytest.raises(ValueError):
+    get_networks("not_a_dataset")
+
+
+def test_vae_fit_improves_elbo(tmp_path):
+  nets = get_networks("mnist", zdim=16)
+  vae = VariationalAutoencoder(**nets).build()
+  X = synth_images()
+  tr = vae.fit(batches(X, 40), max_iter=40, learning_rate=1e-3,
+               logging_interval=1e9, verbose=False,
+               logdir=str(tmp_path / "logs"))
+  # first logged step vs a fresh eval after training
+  first_loss = tr.history[0]["loss"]
+  ev = vae.make_eval_fn(jit=False)
+  m = jax.device_get(ev(jax.device_get(vae.state), X[:64]))
+  assert np.isfinite(m["elbo"])
+  assert float(m["loss"]) < first_loss, (float(m["loss"]), first_loss)
+  # logs written
+  logs = tr.read_logs()
+  assert len(logs) >= 1
+
+
+def test_vae_api_surface():
+  nets = get_networks("mnist", zdim=8)
+  vae = VariationalAutoencoder(**nets).build()
+  X = synth_images(8)
+  px, qz = vae(X)
+  assert px.batch_shape == (8,)
+  assert px.event_shape == (28, 28, 1)
+  assert qz.batch_shape == (8,)
+  assert qz.event_shape == (8,)
+  # prior sampling + decode
+  px2 = vae.sample_observation(n=3)
+  assert px2.batch_shape == (3,)
+  # traversal: 2 dims x 5 points x 2 inputs
+  pxt = vae.sample_traverse(X[:2], feature_indices=[0, 1], n_traverse_points=5)
+  assert pxt.batch_shape == (20,)
+  iw, rec = vae.marginal_log_prob(X[:4], n_samples=5)
+  assert iw.shape == (4,)
+  assert np.all(np.asarray(iw) <= np.asarray(rec) + 50)
+  # save / load round-trip
+  import tempfile, os
+  with tempfile.TemporaryDirectory() as d:
+    p = os.path.join(d, "w.pkl")
+    md5 = vae.md5_checksum()
+    vae.save_weights(p)
+    vae2 = VariationalAutoencoder(**get_networks("mnist", zdim=8)).build()
+    vae2.load_weights(p)
+    assert vae2.md5_checksum() == md5
+
+
+def test_autoencoder_baseline():
+  nets = get_networks("halfmoons", zdim=2)
+  ae = Autoencoder(**nets).build()
+  X = RNG.randn(128, 2).astype("f")
+  tr = ae.fit(batches(X, 30, 16), max_iter=30, verbose=False,
+              logging_interval=1e9)
+  assert np.isfinite(tr.history[-1]["loss"])
+
+
+def test_get_vae_registry():
+  assert get_vae("vae") is VariationalAutoencoder
+  assert get_vae("autoencoder") is Autoencoder
+  assert len(get_vae()) >= 2
+  with pytest.raises(ValueError):
+    get_vae("definitely_missing")
