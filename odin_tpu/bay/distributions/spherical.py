@@ -23,8 +23,8 @@ __all__ = ["SphericalUniform", "VonMisesFisher", "PowerSpherical"]
 
 
 def _log_surface_sphere(d: int):
-  # log area of S^{d-1} in R^d
-  return math.log(2.0) + (d / 2.0) * math.log(math.pi) - float(gammaln(d / 2.0))
+  # log area of S^{d-1} in R^d (math.lgamma: stays a python float under jit)
+  return math.log(2.0) + (d / 2.0) * math.log(math.pi) - math.lgamma(d / 2.0)
 
 
 class SphericalUniform(Distribution):
@@ -120,9 +120,16 @@ class VonMisesFisher(Distribution):
     return self.concentration * dot + self._log_normalizer()
 
   def _sample_w(self, seed, shape):
-    """Sample the cosine of the angle to mu via Wood's rejection scheme."""
+    """Sample the cosine of the angle to mu via Wood's rejection scheme.
+
+    The rejection loop is not reverse-differentiable; inputs and output are
+    stop-gradient'd, so pathwise gradients flow only through the tangent
+    direction and mean direction (kappa still receives gradient through the
+    analytic KL used by HypersphericalVAE).
+    """
     d = self.event_shape[0]
-    k = jnp.broadcast_to(jnp.maximum(self.concentration, 1e-8), shape)
+    k = jax.lax.stop_gradient(
+        jnp.broadcast_to(jnp.maximum(self.concentration, 1e-8), shape))
     dim = d - 1.0
     b = dim / (jnp.sqrt(4.0 * k * k + dim * dim) + 2.0 * k)
     a = (dim + 2.0 * k + jnp.sqrt(4.0 * k * k + dim * dim)) / 4.0
@@ -145,7 +152,7 @@ class VonMisesFisher(Distribution):
 
     init = (seed, jnp.zeros(shape), jnp.zeros(shape, bool), 0)
     _, w, _, _ = jax.lax.while_loop(cond, body, init)
-    return w
+    return jax.lax.stop_gradient(w)
 
   def sample(self, seed, sample_shape=()):
     d = self.event_shape[0]

@@ -9,9 +9,81 @@ from odin_tpu.bay.vi.autoencoder.variational_autoencoder import (
     VAECore,
     VariationalAutoencoder,
 )
+from odin_tpu.bay.vi.autoencoder.beta_vae import (
+    AnnealingVAE,
+    Beta10VAE,
+    BetaCapacityVAE,
+    BetaGammaVAE,
+    BetaTCVAE,
+    BetaVAE,
+    Gamma10VAE,
+)
+from odin_tpu.bay.vi.autoencoder.dip_vae import DIPVAE
+from odin_tpu.bay.vi.autoencoder.factor_discriminator import FactorDiscriminator
+from odin_tpu.bay.vi.autoencoder.factor_vae import FactorVAE, SemiFactorVAE
+from odin_tpu.bay.vi.autoencoder.hyperbolic_vae import (
+    HypersphericalVAE,
+    PowersphericalVAE,
+)
+from odin_tpu.bay.vi.autoencoder.info_vae import InfoVAE, MIVAE
+from odin_tpu.bay.vi.autoencoder.irm_vae import ImplicitRankMinimizer, irmAE, irmVAE
+from odin_tpu.bay.vi.autoencoder.auxiliary_vae import AuxiliaryVAE, auxiliaryVAE
+from odin_tpu.bay.vi.autoencoder.conditional_vae import (
+    ConditionalM2VAE,
+    M2VAE,
+    StructuredSemiVAE,
+    reparamsM3VAE,
+)
+from odin_tpu.bay.vi.autoencoder.hierarchical_vae import (
+    BiConvLatents,
+    HierarchicalVAE,
+    LadderVAE,
+    PUnetVAE,
+    UnetVAE,
+    VeryDeepVAE,
+)
+from odin_tpu.bay.vi.autoencoder.lda_vae import (
+    ALDA,
+    amortizedLDA,
+    auxiliaryLDA,
+    LatentDirichletDecoder,
+    nonlinearLDA,
+)
+from odin_tpu.bay.vi.autoencoder.multitask_vae import (
+    MultiheadVAE,
+    MultitaskVAE,
+    SkiptaskVAE,
+)
+from odin_tpu.bay.vi.autoencoder.semafo_vae import (
+    RemafoVAE,
+    SemafoVAE,
+    semafod,
+    semafoh,
+    semafop,
+    semafos,
+    semafosc,
+    semafosm,
+    semafot,
+)
+from odin_tpu.bay.vi.autoencoder.stochastic_vae import ImputeVAE, StochasticVAE
+from odin_tpu.bay.vi.autoencoder.two_stage_vae import TwoStageVAE
+from odin_tpu.bay.vi.autoencoder.vamprior import VampriorVAE
+from odin_tpu.bay.vi.autoencoder.vq_vae import VQVAE, VectorQuantizer
 
-__all__ = ["VariationalAutoencoder", "VAE", "Autoencoder", "get_vae",
-           "get_all_vae"]
+__all__ = [
+    "VariationalAutoencoder", "VAE", "Autoencoder", "BetaVAE", "Beta10VAE",
+    "BetaGammaVAE", "Gamma10VAE", "AnnealingVAE", "BetaTCVAE",
+    "BetaCapacityVAE", "FactorVAE", "SemiFactorVAE", "FactorDiscriminator",
+    "InfoVAE", "MIVAE", "DIPVAE", "irmVAE", "irmAE", "HypersphericalVAE",
+    "PowersphericalVAE", "TwoStageVAE", "VampriorVAE", "VQVAE",
+    "VectorQuantizer", "MultitaskVAE", "SkiptaskVAE", "MultiheadVAE",
+    "M2VAE", "ConditionalM2VAE", "StructuredSemiVAE", "reparamsM3VAE",
+    "auxiliaryVAE", "AuxiliaryVAE", "SemafoVAE", "RemafoVAE", "semafod",
+    "semafoh", "semafos", "semafosm", "semafosc", "semafop", "semafot",
+    "HierarchicalVAE", "LadderVAE", "UnetVAE", "PUnetVAE", "VeryDeepVAE",
+    "BiConvLatents", "amortizedLDA", "auxiliaryLDA", "nonlinearLDA", "ALDA",
+    "StochasticVAE", "ImputeVAE", "get_vae", "get_all_vae",
+]
 
 
 def _zoo():

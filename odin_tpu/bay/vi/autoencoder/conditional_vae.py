@@ -1,0 +1,260 @@
+"""Kingma M2 conditional VAEs.
+
+Reference: ``odin/bay/vi/autoencoder/conditional_vae.py`` — `M2VAE` (:65),
+`ConditionalM2VAE` (:235), `StructuredSemiVAE` (:535), `reparamsM3VAE`
+(:569): the classifier q(y|x), conditional encoder q(z|x,y) and decoder
+p(x|z,y); labelled data adds ``alpha * log q(y|x)``; unlabelled data either
+uses relaxed/soft labels (M2VAE) or exact marginalization over classes
+(ConditionalM2VAE, :196-235).
+"""
+from __future__ import annotations
+
+from typing import Any, Callable, Optional, Sequence, Tuple, Union
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from odin_tpu.bay.helpers import kl_divergence
+from odin_tpu.bay.layers.dense_distribution import DistributionDense
+from odin_tpu.bay.random_variable import RVconf
+from odin_tpu.bay.vi.autoencoder.beta_vae import BetaGammaVAE, BetaVAE
+from odin_tpu.bay.vi.autoencoder.multitask_vae import _unpack_ssl, masked_mean_llk
+from odin_tpu.bay.vi.utils import marginalize_categorical_labels
+from odin_tpu.networks.base import Dense, SequentialNetwork
+
+__all__ = ["M2VAE", "ConditionalM2VAE", "StructuredSemiVAE", "reparamsM3VAE"]
+
+
+class M2Core(nn.Module):
+  """flax trunk of M2: classifier, conditional encoder/decoder embeddings
+  (reference ``conditional_vae.py:80-160``)."""
+
+  encoder: Any
+  decoder: Any
+  latents: DistributionDense
+  observation: DistributionDense
+  labels: DistributionDense
+  classifier: Any
+  embed_dim: int = 128
+  classify_on_features: bool = False
+
+  def setup(self):
+    # submodules used across several methods must be declared in setup()
+    e = self.embed_dim
+    self.x_to_qz = nn.Dense(e)
+    self.y_to_qz = nn.Dense(e)
+    self.xy_to_qz_net = SequentialNetwork(
+        (Dense(e, "relu"), Dense(e, "relu")), name="xy_to_qz")
+    self.z_to_px = nn.Dense(e)
+    self.y_to_px = nn.Dense(e)
+    self.zy_to_px_net = SequentialNetwork(
+        (Dense(e, "relu"), Dense(e, "relu")), name="zy_to_px")
+
+  def classify(self, x, training: bool = False):
+    if self.classify_on_features:
+      # M3 reparameterization: classifier consumes shared encoder features
+      x = self.encoder(x, training=training)
+      x = x.reshape(x.shape[0], -1)
+    h = self.classifier(x, training=training)
+    return self.labels(h, training=training)
+
+  def encode_xy(self, x, y, training: bool = False):
+    """q(z | x, y)."""
+    h_x = self.encoder(x, training=training)
+    h_x = h_x.reshape(h_x.shape[0], -1)
+    h_x = self.x_to_qz(h_x)
+    h_y = self.y_to_qz(y)
+    h = jnp.concatenate([h_x, h_y], axis=-1)
+    h = self.xy_to_qz_net(h, training=training)
+    return self.latents(h, training=training)
+
+  def decode_zy(self, z, y, training: bool = False):
+    """p(x | z, y)."""
+    h_z = self.z_to_px(z)
+    h_y = self.y_to_px(y)
+    h = jnp.concatenate([h_z, h_y], axis=-1)
+    h = self.zy_to_px_net(h, training=training)
+    h = self.decoder(h, training=training)
+    return self.observation(h, training=training)
+
+  def encode(self, x, training: bool = False):
+    """q(z|x, y~q(y|x)) — the API-parity single-input encode."""
+    qy = self.classify(x, training=training)
+    return self.encode_xy(x, qy.mean(), training=training)
+
+  def __call__(self, x, training: bool = False):
+    qy = self.classify(x, training=training)
+    y = qy.mean()
+    qz = self.encode_xy(x, y, training=training)
+    z = qz.mean()
+    px = self.decode_zy(z, y, training=training)
+    return px, qz, qy
+
+
+class M2VAE(BetaGammaVAE):
+  """M2 with relaxed (soft) labels on the unlabelled path
+  (reference ``conditional_vae.py:65-233``)."""
+
+  def __init__(self,
+               labels: Optional[RVconf] = None,
+               classifier: Sequence[int] = (1024, 1024, 1024, 1024),
+               activation: str = "relu",
+               alpha: float = 10.0,
+               embed_dim: int = 128,
+               **kwargs):
+    if labels is None:
+      labels = RVconf(10, "onehot", projection=True, name="digits")
+    self.alpha = float(alpha)
+    self.n_classes = labels.event_size
+    self.embed_dim = int(embed_dim)
+    self._classifier_units = tuple(int(u) for u in classifier)
+    self._classifier_activation = activation
+    kwargs["labels"] = labels
+    super().__init__(**kwargs)
+    self.labels_prior = self.labels_conf.create_prior()
+
+  @classmethod
+  def is_semi_supervised(cls) -> bool:
+    return True
+
+  def _build_core(self) -> nn.Module:
+    from odin_tpu.networks.base import Flatten
+    clf = SequentialNetwork(
+        (Flatten(),) + tuple(Dense(u, self._classifier_activation)
+                             for u in self._classifier_units),
+        name="classifier")
+    return M2Core(encoder=self.encoder_net, decoder=self.decoder_net,
+                  latents=self.latents_head,
+                  observation=self.observation_head,
+                  labels=self.labels_head,
+                  classifier=clf, embed_dim=self.embed_dim)
+
+  def classify(self, x, params=None, seed: int = 0):
+    params = params or self._params_of()
+    return self._apply(params, "classify", jnp.asarray(x),
+                       rng=jax.random.PRNGKey(seed))
+
+  def __call__(self, x, training: bool = False, seed: int = 0):
+    params = self._params_of()
+    rng = jax.random.PRNGKey(seed)
+    r1, r2 = jax.random.split(rng)
+    px, qz, qy = self.core.apply({"params": params["vae"]}, jnp.asarray(x),
+                                 training=training,
+                                 rngs={"dropout": r1, "sample": r2})
+    return px, qz
+
+  def decode(self, z, params: Optional[dict] = None, training: bool = False,
+             seed: int = 0, y: Optional[jax.Array] = None):
+    """p(x|z, y); y defaults to a uniform mixture over classes."""
+    params = params or self._params_of()
+    z = jnp.asarray(z)
+    if y is None:
+      y = jnp.full(z.shape[:-1] + (self.n_classes,), 1.0 / self.n_classes)
+    return self._apply(params, "decode_zy", z, y,
+                       rng=jax.random.PRNGKey(seed), training=training)
+
+  def _components_xy(self, params, x, y, rng, training, mutables):
+    k1, k2 = jax.random.split(rng)
+    qz = self._apply(params, "encode_xy", x, y, rng=k1, training=training,
+                     mutables=mutables)
+    z = qz.sample(k2)
+    px = self._apply(params, "decode_zy", z, y, rng=k1, training=training,
+                     mutables=mutables)
+    llk_x = px.log_prob(x)
+    kl_z = kl_divergence(qz, self.latents_prior, analytic=self.analytic,
+                         q_sample=z, reverse=self.reverse,
+                         free_bits=self.free_bits)
+    return llk_x, kl_z, qz, px, z
+
+  def elbo_components(self, params, batch, rng, step, training=False,
+                      mutables=None):
+    x, y, mask = _unpack_ssl(batch)
+    k1, k2 = jax.random.split(rng)
+    qy = self._apply(params, "classify", x, rng=k1, training=training,
+                     mutables=mutables)
+    if y is None:
+      # fully unsupervised: soft labels from the classifier
+      y_soft = qy.mean()
+      llk_x, kl_z, qz, px, z = self._components_xy(
+          params, x, y_soft, k2, training, mutables)
+      llk = {"llk_image_u": llk_x,
+             "H_qy": -jnp.sum(qy.mean() * jnp.log(qy.mean() + 1e-6), -1)}
+      kl = {"kl_latents_u": kl_z}
+    else:
+      y_soft = qy.mean()
+      y_mix = y if mask is None else (
+          mask.reshape(-1, 1) * y + (1 - mask.reshape(-1, 1)) * y_soft)
+      llk_x, kl_z, qz, px, z = self._components_xy(
+          params, x, y_mix, k2, training, mutables)
+      llk = {
+          "llk_image": llk_x,
+          "llk_qy": masked_mean_llk(self.alpha * qy.log_prob(y), mask),
+          "H_qy": -jnp.sum(qy.mean() * jnp.log(qy.mean() + 1e-6), -1),
+      }
+      kl = {"kl_latents": kl_z}
+    return llk, kl, dict(qz=qz, px=px, z=z, x=x, y=y, qy=qy)
+
+
+class ConditionalM2VAE(M2VAE):
+  """M2 with exact marginalization over y for unlabelled rows
+  (Kingma et al. 2014, Eq. 7; reference ``conditional_vae.py:235-533``):
+  ``-U(x) = Σ_y q(y|x) (-L(x,y)) - H(q(y|x))``."""
+
+  def elbo_components(self, params, batch, rng, step, training=False,
+                      mutables=None):
+    x, y, mask = _unpack_ssl(batch)
+    k1, k2 = jax.random.split(rng)
+    qy = self._apply(params, "classify", x, rng=k1, training=training,
+                     mutables=mutables)
+    probs = qy.mean()  # (B, K)
+    # marginalize: tile x K times with each one-hot label
+    x_m, y_m = marginalize_categorical_labels(x, self.n_classes)
+    llk_x, kl_z, qz, px, z = self._components_xy(
+        params, x_m, y_m, k2, training, mutables)
+    llk_x = llk_x.reshape(-1, self.n_classes)
+    kl_z = kl_z.reshape(-1, self.n_classes)
+    elbo_xy = llk_x - kl_z  # (B, K)
+    if y is not None and mask is not None:
+      w = mask.reshape(-1, 1) * y + (1 - mask.reshape(-1, 1)) * probs
+    elif y is not None:
+      w = y
+    else:
+      w = probs
+    entropy = -jnp.sum(probs * jnp.log(probs + 1e-6), axis=-1)
+    llk = {"marginal_elbo": jnp.sum(w * elbo_xy, -1), "H_qy": entropy}
+    if y is not None:
+      llk["llk_qy"] = masked_mean_llk(self.alpha * qy.log_prob(y), mask)
+    kl = {}
+    return llk, kl, dict(qz=qz, px=px, z=z, x=x, y=y, qy=qy)
+
+
+class StructuredSemiVAE(M2VAE):
+  """Structured semi-supervised VAE (reference ``conditional_vae.py:535``) —
+  the M2 graph with a separate deterministic style path; realized here as M2
+  with a doubled latent capacity (structure + style)."""
+
+  def __init__(self, latents: Optional[RVconf] = None, **kwargs):
+    if latents is None:
+      latents = RVconf(64, "mvndiag", projection=True, name="latents")
+    super().__init__(latents=latents, **kwargs)
+
+
+class reparamsM3VAE(M2VAE):
+  """M3 reparameterization (reference ``conditional_vae.py:569``): labels
+  inferred from the latents rather than the raw input — the classifier
+  consumes encoder features; approximated here by sharing the encoder trunk
+  through the classifier MLP."""
+
+  def _build_core(self) -> nn.Module:
+    clf = SequentialNetwork(
+        tuple(Dense(u, self._classifier_activation)
+              for u in self._classifier_units[:2]),
+        name="classifier_m3")
+    return M2Core(encoder=self.encoder_net, decoder=self.decoder_net,
+                  latents=self.latents_head,
+                  observation=self.observation_head,
+                  labels=self.labels_head,
+                  classifier=clf, embed_dim=self.embed_dim,
+                  classify_on_features=True)

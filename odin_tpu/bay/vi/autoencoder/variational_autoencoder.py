@@ -44,19 +44,27 @@ __all__ = ["VAECore", "VariationalAutoencoder", "VAE", "Autoencoder"]
 def _as_head(head, default_name: str) -> DistributionDense:
   if isinstance(head, RVconf):
     return head.create_posterior(name=default_name)
-  if isinstance(head, DistributionDense):
+  if isinstance(head, nn.Module):
+    # any module returning a Distribution works as a head (e.g. the
+    # VectorQuantizer of VQ-VAE)
     return head
   raise ValueError(f"cannot interpret {head!r} as a distribution head")
 
 
 class VAECore(nn.Module):
-  """flax trunk: encoder -> latents head; decoder -> observation head."""
+  """flax trunk: encoder -> latents head; decoder -> observation head.
+
+  `labels_input` selects where the optional labels head attaches:
+  'latents' (Skiptask-style) or 'decoder_hidden' (Multitask-style) — the
+  choice must be fixed at init so the head's Dense resolves its input dim.
+  """
 
   encoder: Any
   decoder: Any
   latents: DistributionDense
   observation: DistributionDense
   labels: Optional[DistributionDense] = None
+  labels_input: str = "latents"
 
   def encode(self, x, training: bool = False):
     h = self.encoder(x, training=training)
@@ -64,6 +72,12 @@ class VAECore(nn.Module):
 
   def encoder_hidden(self, x, training: bool = False):
     return self.encoder(x, training=training)
+
+  def latents_from_hidden(self, h, training: bool = False):
+    return self.latents(h, training=training)
+
+  def observation_from_hidden(self, h, training: bool = False):
+    return self.observation(h, training=training)
 
   def decode(self, z, training: bool = False):
     h = self.decoder(z, training=training)
@@ -78,9 +92,11 @@ class VAECore(nn.Module):
   def __call__(self, x, training: bool = False):
     qz = self.encode(x, training=training)
     z = qz.mean()
-    px = self.decode(z, training=training)
+    h = self.decoder(z, training=training)
+    px = self.observation(h, training=training)
     if self.labels is not None:
-      self.predict_labels(z, training=training)
+      self.predict_labels(z if self.labels_input == "latents" else h,
+                          training=training)
     return px, qz
 
 
@@ -147,10 +163,13 @@ class VariationalAutoencoder(VariationalModel):
 
   # -- construction ---------------------------------------------------------
   def _build_core(self) -> nn.Module:
+    labels_input = "latents" if getattr(self, "skip_decoder", True) \
+        else "decoder_hidden"
     return VAECore(encoder=self.encoder_net, decoder=self.decoder_net,
                    latents=self.latents_head,
                    observation=self.observation_head,
-                   labels=self.labels_head)
+                   labels=self.labels_head,
+                   labels_input=labels_input)
 
   def extra_networks(self) -> Dict[str, Tuple[nn.Module, Callable]]:
     """Additional top-level modules (name -> (module, dummy-input fn)),
@@ -208,6 +227,17 @@ class VariationalAutoencoder(VariationalModel):
       rngs = {"dropout": r1, "sample": r2}
     return self.core.apply(variables, *args, training=training,
                            method=getattr(self.core, method), rngs=rngs)
+
+  def _apply_module(self, params: Dict[str, Any], name: str, module: nn.Module,
+                    *args, rng: Optional[jax.Array] = None,
+                    training: bool = False, method=None):
+    """Apply an extra top-level module (its own params partition)."""
+    rngs = {}
+    if rng is not None:
+      rngs = {"dropout": rng}
+    return module.apply({"params": params[name]}, *args, training=training,
+                        rngs=rngs, **({} if method is None else
+                                      {"method": method}))
 
   def _params_of(self) -> Dict[str, Any]:
     assert self.state is not None, "call build() first"
@@ -347,7 +377,7 @@ class VariationalAutoencoder(VariationalModel):
           spec.get("learning_rate", learning_rate),
           clipnorm=spec.get("clipnorm", clipnorm),
           global_clipnorm=spec.get("global_clipnorm", global_clipnorm),
-          **opt_kwargs)
+          **{**opt_kwargs, **spec.get("kwargs", {})})
     opt_states = {}
     for ts in steps:
       opt_name = ts.optimizer or ts.partitions[0]

@@ -1,0 +1,103 @@
+"""Objectives library: TC, DIP, MMD estimators.
+
+Reference: ``odin/bay/vi/losses.py`` — `total_correlation` minibatch-weighted
+TC estimator (:101-157), `disentangled_inferred_prior_loss` (:39-98),
+`maximum_mean_discrepancy` (:227-276), `pairwise_distances` (:163).
+"""
+from __future__ import annotations
+
+from typing import Optional, Union
+
+import jax
+import jax.numpy as jnp
+
+from odin_tpu.bay.distributions import Distribution
+
+__all__ = [
+    "total_correlation", "disentangled_inferred_prior_loss",
+    "pairwise_distances", "gaussian_kernel", "linear_kernel",
+    "maximum_mean_discrepancy",
+]
+
+
+def total_correlation(z_samples: jax.Array, qz_x: Distribution) -> jax.Array:
+  """Minibatch-weighted TC estimator (Chen et al. 2019, Eq. 4 with
+  alpha=gamma=1): ``E_j[log q(z_j) - log prod_l q(z_j_l)]`` via pairwise
+  posterior log-probs (O(n^2 d)).  Constants are dropped exactly as the
+  reference (``losses.py:101-157``)."""
+  mean = qz_x.mean()
+  std = qz_x.stddev()
+  # log q(z(x_j) | x_i): (j, i, l)
+  z = z_samples[:, None, :]
+  lp = -0.5 * (((z - mean[None]) / std[None]) ** 2) - jnp.log(std[None]) \
+      - 0.5 * jnp.log(2.0 * jnp.pi)
+  log_qz_product = jnp.sum(jax.scipy.special.logsumexp(lp, axis=1), axis=1)
+  log_qz = jax.scipy.special.logsumexp(jnp.sum(lp, axis=2), axis=1)
+  return jnp.mean(log_qz - log_qz_product)
+
+
+def disentangled_inferred_prior_loss(qz_x: Distribution,
+                                     only_mean: bool = False,
+                                     lambda_offdiag: float = 2.0,
+                                     lambda_diag: float = 1.0) -> jax.Array:
+  """DIP covariance penalty (Kumar et al. 2018; reference ``losses.py:39-98``):
+  match Cov[E(z)] (type 'i', only_mean) or E[Cov(z)] + Cov[E(z)] (type 'ii')
+  to the identity."""
+  z_mean = qz_x.mean()
+  z_mean = z_mean.reshape(-1, z_mean.shape[-1])
+  e_zz = jnp.mean(z_mean[:, :, None] * z_mean[:, None, :], axis=0)
+  e_z = jnp.mean(z_mean, axis=0)
+  cov_zmean = e_zz - e_z[:, None] * e_z[None, :]
+  if only_mean:
+    z_cov = cov_zmean
+  else:
+    z_var = qz_x.variance().reshape(-1, z_mean.shape[-1])
+    z_cov = cov_zmean + jnp.diag(jnp.mean(z_var, axis=0))
+  diag = jnp.diagonal(z_cov)
+  offdiag = z_cov - jnp.diag(diag)
+  return (lambda_offdiag * jnp.sum(offdiag ** 2) +
+          lambda_diag * jnp.sum((diag - 1.0) ** 2))
+
+
+def pairwise_distances(x: jax.Array, y: jax.Array) -> jax.Array:
+  """(n, d), (m, d) -> (n, m, d) differences (reference ``losses.py:163``)."""
+  x = x.reshape(-1, x.shape[-1])
+  y = y.reshape(-1, y.shape[-1])
+  return x[:, None, :] - y[None, :, :]
+
+
+def gaussian_kernel(x: jax.Array, y: jax.Array,
+                    sigma: Optional[float] = None) -> jax.Array:
+  d = pairwise_distances(x, y)
+  gamma = (1.0 / x.shape[-1]) if sigma is None else 1.0 / (2.0 * sigma ** 2)
+  sq = jnp.sum(d * d, axis=-1)
+  return jnp.exp(-sq * gamma)
+
+
+def linear_kernel(x: jax.Array, y: jax.Array) -> jax.Array:
+  d = pairwise_distances(x, y)
+  return jnp.abs(jnp.sum(d, axis=-1))
+
+
+def maximum_mean_discrepancy(qz: Distribution,
+                             pz: Distribution,
+                             seed: jax.Array,
+                             q_sample_shape: Union[int, None] = (),
+                             p_sample_shape: int = 100,
+                             kernel: str = "gaussian",
+                             q_samples: Optional[jax.Array] = None) -> jax.Array:
+  """MMD^2(q, p) = E[K(x,x)] + E[K(y,y)] - 2 E[K(x,y)]
+  (reference ``losses.py:227-276``)."""
+  k1, k2 = jax.random.split(seed)
+  if q_samples is not None:
+    x = q_samples
+  elif q_sample_shape == () or q_sample_shape is None:
+    x = qz.sample(k1)
+  else:
+    x = qz.sample(k1, (int(q_sample_shape),))
+  y = pz.sample(k2, (int(p_sample_shape),))
+  x = x.reshape(-1, x.shape[-1])
+  y = y.reshape(-1, y.shape[-1])
+  kern = {"gaussian": gaussian_kernel, "linear": linear_kernel}[kernel]
+  return (jnp.mean(kern(x, x)) + jnp.mean(kern(y, y)) -
+          2.0 * jnp.mean(kern(x, y)))

@@ -1,0 +1,105 @@
+"""VI utilities: permute_dims, discretizing, semi-supervised input prep.
+
+Reference: ``odin/bay/vi/utils.py`` — `permute_dims` (:234-270),
+`discretizing` (:35), `prepare_ssl_inputs`/`split_ssl_inputs` (:123,167),
+`marginalize_categorical_labels` (:204).
+"""
+from __future__ import annotations
+
+from typing import List, Optional, Sequence, Tuple, Union
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+__all__ = [
+    "permute_dims", "discretizing", "prepare_ssl_inputs", "split_ssl_inputs",
+    "marginalize_categorical_labels",
+]
+
+
+def permute_dims(z: jax.Array, seed: jax.Array) -> jax.Array:
+  """FactorVAE Algorithm 1: independently shuffle each latent dimension
+  along the batch axis (reference ``vi/utils.py:234-270``).
+
+  TPU-native: one vmapped argsort-of-uniforms permutation per column with
+  folded RNG — no per-column python loop, compiles to a single gather.
+  """
+  b, d = z.shape[-2], z.shape[-1]
+  keys = jax.random.split(seed, d)
+  # (d, b) independent permutations
+  perms = jax.vmap(lambda k: jax.random.permutation(k, b))(keys)
+  return jnp.take_along_axis(z, perms.T, axis=-2)
+
+
+def discretizing(*factors: np.ndarray,
+                 independent: bool = True,
+                 n_bins: Union[int, Sequence[int]] = 5,
+                 strategy: str = "uniform",
+                 return_model: bool = False):
+  """Discretize continuous factors (reference ``vi/utils.py:35``):
+  strategy in {'uniform', 'quantile', 'kmeans', 'gmm'}."""
+  from sklearn.preprocessing import KBinsDiscretizer
+  outputs = []
+  models = []
+  for f in factors:
+    f = np.asarray(f)
+    shape = f.shape
+    f2 = f.reshape(len(f), -1)
+    if strategy == "gmm":
+      from sklearn.mixture import GaussianMixture
+      cols = []
+      for i in range(f2.shape[1]):
+        gmm = GaussianMixture(n_components=int(n_bins), random_state=1)
+        labels = gmm.fit_predict(f2[:, i:i + 1])
+        # relabel by component mean order for determinism
+        order = np.argsort(gmm.means_.ravel())
+        remap = np.empty_like(order)
+        remap[order] = np.arange(len(order))
+        cols.append(remap[labels])
+        models.append(gmm)
+      out = np.stack(cols, -1)
+    else:
+      est = KBinsDiscretizer(n_bins=int(n_bins), encode="ordinal",
+                             strategy=strategy)
+      out = est.fit_transform(f2).astype(np.int64)
+      models.append(est)
+    outputs.append(out.reshape(shape).astype(np.int64))
+  if return_model:
+    return (outputs[0] if len(outputs) == 1 else outputs), models
+  return outputs[0] if len(outputs) == 1 else outputs
+
+
+def prepare_ssl_inputs(inputs, mask=None, n_unsupervised_inputs: int = 1):
+  """Split a batch into (x list, y list, mask)
+  (reference ``vi/utils.py:123``)."""
+  if not isinstance(inputs, (tuple, list)):
+    inputs = [inputs]
+  inputs = list(inputs)
+  x = inputs[:n_unsupervised_inputs]
+  y = inputs[n_unsupervised_inputs:]
+  return x, y, mask
+
+
+def split_ssl_inputs(x, y, mask):
+  """Partition a semi-supervised batch into labelled and unlabelled parts
+  using a boolean mask (reference ``vi/utils.py:167``).  Host-side (shapes
+  are data-dependent)."""
+  mask = np.asarray(mask).astype(bool).ravel()
+  x = np.asarray(x)
+  y = np.asarray(y)
+  return (x[mask], y[mask]), (x[~mask],)
+
+
+def marginalize_categorical_labels(x: jax.Array, n_classes: int,
+                                   dtype=jnp.float32):
+  """Repeat a batch once per class with all one-hot labels — the M2
+  marginalization over unobserved y (reference ``vi/utils.py:204``).
+
+  Returns (x_tiled [B*K, ...], y_tiled [B*K, K]).
+  """
+  b = x.shape[0]
+  eye = jnp.eye(n_classes, dtype=dtype)
+  y = jnp.tile(eye, (b, 1))  # [B*K, K] grouped per example
+  x = jnp.repeat(x, n_classes, axis=0)
+  return x, y

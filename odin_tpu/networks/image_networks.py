@@ -126,7 +126,7 @@ def mnist_networks(
       # indices of encoder/decoder layers where hierarchical (ladder) latents
       # hook in: (decoder_layer, encoder_layer, conv spec) — functional
       # replacement for BiConvLatents wrappers (``image_networks.py:262-268``)
-      hierarchy=(dict(decoder_layer=3, encoder_layer=4,
+      hierarchy=(dict(decoder_layer=3, encoder_layer=3, channels=64,
                       filters=16, kernel_size=14, strides=7),),
   )
   if is_semi_supervised:
@@ -185,10 +185,10 @@ def cifar_networks(
       observation=observation,
       input_shape=input_shape,
       hierarchy=(
-          dict(decoder_layer=3, encoder_layer=4, filters=32, kernel_size=8,
-               strides=4),
-          dict(decoder_layer=5, encoder_layer=2, filters=16, kernel_size=8,
-               strides=4),
+          dict(decoder_layer=3, encoder_layer=3, channels=64, filters=32,
+               kernel_size=8, strides=4),
+          dict(decoder_layer=5, encoder_layer=1, channels=32, filters=16,
+               kernel_size=8, strides=4),
       ),
   )
   if is_semi_supervised:
@@ -246,8 +246,8 @@ def dsprites_networks(
       latents=RVconf((zdim,), qz, projection=True, name="latents"),
       observation=observation,
       input_shape=input_shape,
-      hierarchy=(dict(decoder_layer=3, encoder_layer=3, filters=16,
-                      kernel_size=8, strides=4),),
+      hierarchy=(dict(decoder_layer=3, encoder_layer=2, channels=64,
+                      filters=16, kernel_size=8, strides=4),),
   )
   if is_semi_supervised:
     # The reference attaches a mixed Blockwise head (VonMises orientation,
