@@ -1,0 +1,86 @@
+"""Data layer (reference: ``odin/fuel``)."""
+import inspect
+from typing import List, Type, Union
+
+from odin_tpu.fuel.bio_data import PBMC, Cortex, GeneDataset, SyntheticGenes
+from odin_tpu.fuel.databases import (
+    MmapArray,
+    MmapArrayWriter,
+    MmapDict,
+    SQLiteDict,
+)
+from odin_tpu.fuel.dataset import Dataset
+from odin_tpu.fuel.dataset_base import IterableDataset, get_partition
+from odin_tpu.fuel.image_data._base import ImageDataset
+from odin_tpu.fuel.image_data.datasets import (
+    CIFAR10,
+    CIFAR20,
+    CIFAR100,
+    MNIST,
+    SVHN,
+    BinarizedMNIST,
+    CelebA,
+    CelebASmall,
+    FashionMNIST,
+    HalfMoons,
+    Omniglot,
+    Shapes3D,
+    Shapes3DSmall,
+    YDisentanglement,
+    dSprites,
+    dSpritesSmall,
+)
+from odin_tpu.fuel.nlp_data import (
+    Newsgroup5,
+    Newsgroup20,
+    NLPDataset,
+    SyntheticBoW,
+)
+from odin_tpu.fuel.pipeline import DataPipeline
+
+__all__ = [
+    "get_dataset", "get_all_dataset", "IterableDataset", "ImageDataset",
+    "DataPipeline", "Dataset", "MmapDict", "SQLiteDict", "MmapArray",
+    "MmapArrayWriter", "MNIST", "FashionMNIST", "BinarizedMNIST", "SVHN",
+    "CIFAR10", "CIFAR100", "CIFAR20", "CelebA", "CelebASmall", "Omniglot",
+    "dSprites", "dSpritesSmall", "Shapes3D", "Shapes3DSmall", "HalfMoons",
+    "YDisentanglement", "Newsgroup20", "Newsgroup5", "SyntheticBoW",
+    "Cortex", "PBMC", "SyntheticGenes", "GeneDataset", "NLPDataset",
+]
+
+
+def get_all_dataset(data_type: str = None) -> List[Type[IterableDataset]]:
+  """All registered dataset classes, optionally filtered by data_type
+  (reference ``fuel/__init__.py:12-42``)."""
+  out = []
+  for v in globals().values():
+    if inspect.isclass(v) and issubclass(v, IterableDataset) and \
+        v not in (IterableDataset, ImageDataset, GeneDataset, NLPDataset):
+      if data_type is None:
+        out.append(v)
+      else:
+        try:
+          if v.data_type.fget(v) == data_type:  # property on class
+            out.append(v)
+        except Exception:
+          pass
+  return sorted(set(out), key=lambda c: c.__name__)
+
+
+def get_dataset(name: Union[str, IterableDataset], **kwargs) -> IterableDataset:
+  """Instantiate a dataset by name (reference ``fuel/__init__.py:12``)."""
+  if isinstance(name, IterableDataset):
+    return name
+  key = str(name).lower().replace("_", "").strip()
+  for cls in get_all_dataset():
+    if cls.__name__.lower() == key:
+      return cls(**kwargs)
+  # fall back to the instance 'name' property where it differs
+  for cls in get_all_dataset():
+    try:
+      if cls(**kwargs).name == key:
+        return cls(**kwargs)
+    except Exception:
+      continue
+  raise ValueError(f"cannot find dataset '{name}'; available: "
+                   f"{[c.__name__ for c in get_all_dataset()]}")

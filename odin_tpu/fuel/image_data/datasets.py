@@ -1,0 +1,439 @@
+"""Image datasets.
+
+Reference: ``odin/fuel/image_data/`` — MNIST/BinarizedMNIST/FashionMNIST/
+SVHN (``all_mnist.py:14,39,110,142``), CIFAR10/100/20 (``cifar.py:96-110``),
+dSprites/Shapes3D with discretized-or-continuous factor labels
+(``shapes.py:24-135,192``), CelebA (``celeba.py:14``), Omniglot, synthetic
+`YDisentanglement` (``synthesize.py:9``), `HalfMoons` (``toys.py:93``).
+
+This environment has no network egress, so loaders read arrays from
+``$ODIN_TPU_HOME/datasets/<name>.npz`` (keys: x_train, y_train, x_test,
+y_test[, x_valid, y_valid]) and raise a clear error otherwise.  Procedural
+datasets (dSprites-style Shapes2D, YDisentanglement, HalfMoons) generate in
+memory and serve as drop-in stand-ins for pipeline and Gym testing.
+"""
+from __future__ import annotations
+
+import os
+from typing import List, Optional, Tuple
+
+import numpy as np
+
+from odin_tpu.fuel.dataset_base import get_partition
+from odin_tpu.fuel.image_data._base import ImageDataset
+from odin_tpu.utils import get_data_path
+
+__all__ = [
+    "NPZImageDataset", "MNIST", "FashionMNIST", "BinarizedMNIST", "SVHN",
+    "CIFAR10", "CIFAR100", "CIFAR20", "CelebA", "CelebASmall", "Omniglot",
+    "dSprites", "dSpritesSmall", "Shapes3D", "Shapes3DSmall", "HalfMoons",
+    "YDisentanglement",
+]
+
+
+class NPZImageDataset(ImageDataset):
+  """Load a dataset from ``<data_path>/<name>.npz``."""
+
+  _name: str = ""
+  _shape: Tuple[int, ...] = ()
+  _labels: List[str] = []
+  _valid_fraction: float = 0.1
+
+  def __init__(self, path: Optional[str] = None, seed: int = 1):
+    super().__init__(seed=seed)
+    self.path = path or os.path.join(get_data_path(), f"{self._name}.npz")
+    self._cache = None
+
+  @property
+  def name(self) -> str:
+    return self._name
+
+  @property
+  def shape(self):
+    return tuple(self._shape)
+
+  @property
+  def labels(self):
+    return list(self._labels)
+
+  def _arrays(self):
+    if self._cache is None:
+      if not os.path.exists(self.path):
+        raise FileNotFoundError(
+            f"dataset '{self._name}' not found at {self.path}; this "
+            "environment has no network egress — place an .npz with keys "
+            "x_train/y_train/x_test/y_test there (see fuel/image_data "
+            "docstring), or use the procedural datasets (dSpritesSmall, "
+            "Shapes3DSmall, YDisentanglement, HalfMoons) for testing")
+      self._cache = dict(np.load(self.path, allow_pickle=False))
+    return self._cache
+
+  def _load(self, partition: str):
+    arr = self._arrays()
+    if "x_valid" not in arr:
+      n = len(arr["x_train"])
+      k = int(n * (1 - self._valid_fraction))
+      arr["x_valid"] = arr["x_train"][k:]
+      arr["x_train"] = arr["x_train"][:k]
+      if "y_train" in arr:
+        arr["y_valid"] = arr["y_train"][k:]
+        arr["y_train"] = arr["y_train"][:k]
+    key = get_partition(partition, train="train", valid="valid", test="test")
+    return arr[f"x_{key}"], arr.get(f"y_{key}")
+
+
+class MNIST(NPZImageDataset):
+  """Reference ``all_mnist.py:39``."""
+  _name = "mnist"
+  _shape = (28, 28, 1)
+  _labels = [str(i) for i in range(10)]
+
+
+class FashionMNIST(NPZImageDataset):
+  _name = "fashionmnist"
+  _shape = (28, 28, 1)
+  _labels = ["T-shirt", "Trouser", "Pullover", "Dress", "Coat", "Sandal",
+             "Shirt", "Sneaker", "Bag", "Ankle_boot"]
+
+
+class BinarizedMNIST(MNIST):
+  """Reference ``all_mnist.py:14`` — pre-binarized MNIST."""
+  _name = "binarizedmnist"
+
+  @property
+  def binarized(self):
+    return True
+
+  def create_dataset(self, *args, **kwargs):
+    kwargs.setdefault("binarize", True)
+    return super().create_dataset(*args, **kwargs)
+
+
+class SVHN(NPZImageDataset):
+  _name = "svhn"
+  _shape = (32, 32, 3)
+  _labels = [str(i) for i in range(10)]
+
+
+class CIFAR10(NPZImageDataset):
+  _name = "cifar10"
+  _shape = (32, 32, 3)
+  _labels = ["airplane", "automobile", "bird", "cat", "deer", "dog", "frog",
+             "horse", "ship", "truck"]
+
+
+class CIFAR100(NPZImageDataset):
+  _name = "cifar100"
+  _shape = (32, 32, 3)
+  _labels = [str(i) for i in range(100)]
+
+
+class CIFAR20(CIFAR100):
+  """CIFAR-100 coarse labels (reference ``cifar.py:96-110``)."""
+  _name = "cifar20"
+  _labels = [str(i) for i in range(20)]
+
+
+class CelebA(NPZImageDataset):
+  _name = "celeba"
+  _shape = (64, 64, 3)
+  _labels = [f"attr{i}" for i in range(40)]
+
+
+class CelebASmall(CelebA):
+  _name = "celebasmall"
+
+
+class Omniglot(NPZImageDataset):
+  _name = "omniglot"
+  _shape = (28, 28, 3)
+
+
+# ---------------------------------------------------------------------------
+# Procedural disentanglement datasets
+# ---------------------------------------------------------------------------
+def _render_shapes2d(shape_id, scale, orientation, pos_x, pos_y,
+                     image_size: int = 64) -> np.ndarray:
+  """Vectorized renderer of dSprites-style binary sprites
+  (square / ellipse / heart)."""
+  n = len(shape_id)
+  yy, xx = np.mgrid[0:image_size, 0:image_size].astype("float32")
+  yy = yy[None] / (image_size - 1)
+  xx = xx[None] / (image_size - 1)
+  cx = pos_x[:, None, None]
+  cy = pos_y[:, None, None]
+  s = scale[:, None, None] * 0.18 + 0.06  # sprite half-size in [0.06, 0.24]
+  th = orientation[:, None, None]
+  # rotate coordinates around the centre
+  dx = xx - cx
+  dy = yy - cy
+  rx = np.cos(th) * dx + np.sin(th) * dy
+  ry = -np.sin(th) * dx + np.cos(th) * dy
+  u = rx / s
+  v = ry / s
+  square = (np.abs(u) <= 1.0) & (np.abs(v) <= 1.0)
+  ellipse = (u ** 2 + (v / 0.6) ** 2) <= 1.0
+  # implicit heart curve: (x^2 + y^2 - 1)^3 - x^2 y^3 <= 0 (y up)
+  hu = u * 1.2
+  hv = -v * 1.2 + 0.2
+  heart = ((hu ** 2 + hv ** 2 - 1.0) ** 3 - (hu ** 2) * (hv ** 3)) <= 0.0
+  imgs = np.where(shape_id[:, None, None] == 0, square,
+                  np.where(shape_id[:, None, None] == 1, ellipse, heart))
+  return imgs.astype("float32")[..., None]
+
+
+class dSprites(ImageDataset):
+  """dSprites (Matthey et al.): 3 shapes x 6 scales x 40 orientations x
+  32 x 32 positions (reference ``shapes.py:24-135``).  Without the official
+  .npz on disk the images are rendered procedurally — same factor structure,
+  near-identical sprites.
+
+  `continuous_factors=True` returns raw factor values instead of indices.
+  """
+
+  factor_names = ["shape", "scale", "orientation", "pos_x", "pos_y"]
+  factor_sizes = [3, 6, 40, 32, 32]
+  _image_size = 64
+
+  def __init__(self, n_samples: int = 16384, continuous_factors: bool = False,
+               path: Optional[str] = None, seed: int = 1):
+    super().__init__(seed=seed)
+    self.continuous_factors = bool(continuous_factors)
+    self.n_samples = int(n_samples)
+    self.path = path or os.path.join(get_data_path(), "dsprites.npz")
+    self._cache = {}
+
+  @property
+  def name(self):
+    return "dsprites"
+
+  @property
+  def shape(self):
+    return (self._image_size, self._image_size, 1)
+
+  @property
+  def labels(self):
+    return list(self.factor_names)
+
+  def _sample_factors(self, n, rng):
+    return np.stack([rng.randint(0, k, n) for k in self.factor_sizes], -1)
+
+  def _factors_to_values(self, f):
+    shape_id = f[:, 0]
+    scale = f[:, 1] / max(self.factor_sizes[1] - 1, 1)
+    orient = f[:, 2] / self.factor_sizes[2] * 2 * np.pi
+    pos_x = 0.15 + 0.7 * f[:, 3] / max(self.factor_sizes[3] - 1, 1)
+    pos_y = 0.15 + 0.7 * f[:, 4] / max(self.factor_sizes[4] - 1, 1)
+    return shape_id, scale, orient, pos_x, pos_y
+
+  def render(self, factors: np.ndarray) -> np.ndarray:
+    """factors (n, 5) integer indices -> images (n, 64, 64, 1)."""
+    return _render_shapes2d(*self._factors_to_values(np.asarray(factors)),
+                            image_size=self._image_size)
+
+  def _load(self, partition: str):
+    if os.path.exists(self.path):
+      arr = dict(np.load(self.path, allow_pickle=False))
+      x, y = arr["x_train"], arr["y_train"]
+    else:
+      key = get_partition(partition, train=0, valid=1, test=2)
+      if key not in self._cache:
+        rng = np.random.RandomState(self.seed + 123 * key)
+        f = self._sample_factors(self.n_samples, rng)
+        self._cache[key] = (self.render(f), f.astype("float32"))
+      x, y = self._cache[key]
+      return x, y
+    key = get_partition(partition, train="train", valid="valid", test="test")
+    n = len(x)
+    splits = {"train": slice(0, int(0.8 * n)),
+              "valid": slice(int(0.8 * n), int(0.9 * n)),
+              "test": slice(int(0.9 * n), n)}
+    return x[splits[key]], y[splits[key]].astype("float32")
+
+  def create_dataset(self, *args, **kwargs):
+    kwargs.setdefault("binarize", True)
+    return super().create_dataset(*args, **kwargs)
+
+
+class dSpritesSmall(dSprites):
+
+  def __init__(self, n_samples: int = 4096, **kwargs):
+    super().__init__(n_samples=n_samples, **kwargs)
+
+  @property
+  def name(self):
+    return "dspritessmall"
+
+
+class Shapes3D(ImageDataset):
+  """Shapes3D (Burgess & Kim): 6 factors (reference ``shapes.py:192``).
+  Without the official file, a procedural colored-sprite stand-in renders
+  object hue / wall hue / floor hue / scale / shape / orientation."""
+
+  factor_names = ["orientation", "scale", "shape", "floor_hue", "wall_hue",
+                  "object_hue"]
+  factor_sizes = [15, 8, 4, 10, 10, 10]
+  _image_size = 64
+
+  def __init__(self, n_samples: int = 8192, path: Optional[str] = None,
+               seed: int = 1):
+    super().__init__(seed=seed)
+    self.n_samples = int(n_samples)
+    self.path = path or os.path.join(get_data_path(), "shapes3d.npz")
+    self._cache = {}
+
+  @property
+  def name(self):
+    return "shapes3d"
+
+  @property
+  def shape(self):
+    return (self._image_size, self._image_size, 3)
+
+  @property
+  def labels(self):
+    return list(self.factor_names)
+
+  @staticmethod
+  def _hue_to_rgb(h):
+    h = np.asarray(h, "float32")[..., None]
+    return np.clip(np.stack([
+        np.abs(((h[..., 0] * 6) % 6) - 3) - 1,
+        2 - np.abs(((h[..., 0] * 6 + 4) % 6) - 3),
+        2 - np.abs(((h[..., 0] * 6 + 2) % 6) - 3),
+    ], -1), 0, 1)
+
+  def render(self, factors: np.ndarray) -> np.ndarray:
+    f = np.asarray(factors)
+    n = len(f)
+    orient = f[:, 0] / self.factor_sizes[0] * 2 * np.pi
+    scale = f[:, 1] / max(self.factor_sizes[1] - 1, 1)
+    shape_id = np.minimum(f[:, 2], 2)
+    floor_h = f[:, 3] / self.factor_sizes[3]
+    wall_h = f[:, 4] / self.factor_sizes[4]
+    obj_h = f[:, 5] / self.factor_sizes[5]
+    mask = _render_shapes2d(shape_id, scale, orient,
+                            np.full(n, 0.5, "f"), np.full(n, 0.6, "f"),
+                            self._image_size)[..., 0]
+    s = self._image_size
+    img = np.zeros((n, s, s, 3), "float32")
+    horizon = int(s * 0.65)
+    img[:, :horizon, :, :] = self._hue_to_rgb(wall_h)[:, None, None, :]
+    img[:, horizon:, :, :] = self._hue_to_rgb(floor_h)[:, None, None, :]
+    obj_rgb = self._hue_to_rgb(obj_h)[:, None, None, :]
+    img = np.where(mask[..., None] > 0, obj_rgb, img)
+    return img
+
+  def _sample_factors(self, n, rng):
+    return np.stack([rng.randint(0, k, n) for k in self.factor_sizes], -1)
+
+  def _load(self, partition: str):
+    if os.path.exists(self.path):
+      arr = dict(np.load(self.path, allow_pickle=False))
+      return arr["x_train"], arr["y_train"]
+    key = get_partition(partition, train=0, valid=1, test=2)
+    if key not in self._cache:
+      rng = np.random.RandomState(self.seed + 77 * key)
+      f = self._sample_factors(self.n_samples, rng)
+      self._cache[key] = (self.render(f), f.astype("float32"))
+    return self._cache[key]
+
+
+class Shapes3DSmall(Shapes3D):
+
+  def __init__(self, n_samples: int = 2048, **kwargs):
+    super().__init__(n_samples=n_samples, **kwargs)
+
+  @property
+  def name(self):
+    return "shapes3dsmall"
+
+
+class HalfMoons(ImageDataset):
+  """2-D toy two-moons (reference ``toys.py:93``)."""
+
+  def __init__(self, n_samples: int = 3200, noise: float = 0.05, seed: int = 1):
+    super().__init__(seed=seed)
+    from sklearn.datasets import make_moons
+    x, y = make_moons(n_samples=n_samples, noise=noise, random_state=seed)
+    self._x = x.astype("float32")
+    self._y = y.astype("int64")
+
+  @property
+  def name(self):
+    return "halfmoons"
+
+  @property
+  def shape(self):
+    return (2,)
+
+  @property
+  def labels(self):
+    return ["moon0", "moon1"]
+
+  def normalize255(self, x):
+    return np.asarray(x, "float32")
+
+  def _load(self, partition: str):
+    n = len(self._x)
+    sl = get_partition(partition, train=slice(0, int(0.8 * n)),
+                       valid=slice(int(0.8 * n), int(0.9 * n)),
+                       test=slice(int(0.9 * n), n))
+    return self._x[sl], self._y[sl]
+
+
+class YDisentanglement(ImageDataset):
+  """Synthetic disentanglement set (reference ``synthesize.py:9``): images
+  of the letter Y with controlled rotation/scale/position factors."""
+
+  factor_names = ["rotation", "scale", "pos_x", "pos_y"]
+  factor_sizes = [16, 8, 16, 16]
+
+  def __init__(self, n_samples: int = 4096, image_size: int = 32,
+               seed: int = 1):
+    super().__init__(seed=seed)
+    self.n_samples = int(n_samples)
+    self.image_size = int(image_size)
+    self._cache = {}
+
+  @property
+  def name(self):
+    return "ydisentanglement"
+
+  @property
+  def shape(self):
+    return (self.image_size, self.image_size, 1)
+
+  @property
+  def labels(self):
+    return list(self.factor_names)
+
+  def render(self, factors):
+    f = np.asarray(factors)
+    n = len(f)
+    s = self.image_size
+    rot = f[:, 0] / self.factor_sizes[0] * 2 * np.pi
+    scale = 0.2 + 0.5 * f[:, 1] / max(self.factor_sizes[1] - 1, 1)
+    px = 0.25 + 0.5 * f[:, 2] / max(self.factor_sizes[2] - 1, 1)
+    py = 0.25 + 0.5 * f[:, 3] / max(self.factor_sizes[3] - 1, 1)
+    yy, xx = np.mgrid[0:s, 0:s].astype("f") / (s - 1)
+    dx = xx[None] - px[:, None, None]
+    dy = yy[None] - py[:, None, None]
+    c, si = np.cos(rot)[:, None, None], np.sin(rot)[:, None, None]
+    u = (c * dx + si * dy) / scale[:, None, None]
+    v = (-si * dx + c * dy) / scale[:, None, None]
+    w = 0.18
+    stem = (np.abs(u) < w) & (v > 0) & (v < 1.0)
+    arm1 = (np.abs(u - 0.5 * -v) < w) & (v <= 0) & (v > -1.0)
+    arm2 = (np.abs(u - 0.5 * v) < w) & (v <= 0) & (v > -1.0)
+    img = (stem | arm1 | arm2).astype("float32")[..., None]
+    return img
+
+  def _load(self, partition: str):
+    key = get_partition(partition, train=0, valid=1, test=2)
+    if key not in self._cache:
+      rng = np.random.RandomState(self.seed + 31 * key)
+      f = np.stack([rng.randint(0, k, self.n_samples)
+                    for k in self.factor_sizes], -1)
+      self._cache[key] = (self.render(f), f.astype("float32"))
+    return self._cache[key]

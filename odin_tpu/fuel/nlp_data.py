@@ -1,0 +1,129 @@
+"""NLP datasets (reference: ``odin/fuel/nlp_data/``).
+
+`Newsgroup20` / `Newsgroup5` TF-IDF (reference ``newsgroup.py:12,86``) use
+sklearn's cached copy when available (no egress here).  `SyntheticBoW`
+generates LDA-style bag-of-words corpora for topic-model tests.
+"""
+from __future__ import annotations
+
+from typing import List, Optional, Tuple
+
+import numpy as np
+
+from odin_tpu.fuel.dataset_base import IterableDataset, get_partition
+
+__all__ = ["NLPDataset", "Newsgroup20", "Newsgroup5", "SyntheticBoW"]
+
+
+class NLPDataset(IterableDataset):
+
+  @property
+  def data_type(self):
+    return "text"
+
+
+class Newsgroup20(NLPDataset):
+  """20-newsgroups as TF-IDF vectors (reference ``newsgroup.py:12``)."""
+
+  def __init__(self, n_words: int = 1000, seed: int = 1):
+    super().__init__(seed=seed)
+    self.n_words = int(n_words)
+    self._cache = None
+
+  @property
+  def name(self):
+    return "newsgroup20"
+
+  @property
+  def shape(self):
+    return (self.n_words,)
+
+  @property
+  def labels(self):
+    return [str(i) for i in range(20)]
+
+  def _fetch(self):
+    if self._cache is None:
+      from sklearn.datasets import fetch_20newsgroups
+      from sklearn.feature_extraction.text import TfidfVectorizer
+      try:
+        train = fetch_20newsgroups(subset="train", download_if_missing=False)
+        test = fetch_20newsgroups(subset="test", download_if_missing=False)
+      except Exception as e:
+        raise FileNotFoundError(
+            "20newsgroups is not cached locally and this environment has no "
+            "network egress; use SyntheticBoW for testing") from e
+      vec = TfidfVectorizer(max_features=self.n_words, stop_words="english")
+      x_train = vec.fit_transform(train.data).toarray().astype("float32")
+      x_test = vec.transform(test.data).toarray().astype("float32")
+      self._cache = (x_train, np.asarray(train.target),
+                     x_test, np.asarray(test.target))
+    return self._cache
+
+  def _load(self, partition: str):
+    x_train, y_train, x_test, y_test = self._fetch()
+    n = len(x_train)
+    k = int(0.9 * n)
+    return get_partition(partition,
+                         train=(x_train[:k], y_train[:k]),
+                         valid=(x_train[k:], y_train[k:]),
+                         test=(x_test, y_test))
+
+
+class Newsgroup5(Newsgroup20):
+  """5 superclasses of 20-newsgroups (reference ``newsgroup.py:86``)."""
+
+  _GROUPS = {0: [0, 15, 19], 1: [1, 2, 3, 4, 5], 2: [6, 7, 8, 9, 10],
+             3: [11, 12, 13, 14], 4: [16, 17, 18]}
+
+  @property
+  def name(self):
+    return "newsgroup5"
+
+  @property
+  def labels(self):
+    return ["misc", "comp", "rec", "sci", "politics"]
+
+  def _load(self, partition: str):
+    x, y = super()._load(partition)
+    remap = np.zeros(20, "int64")
+    for k, idxs in self._GROUPS.items():
+      remap[idxs] = k
+    return x, remap[y]
+
+
+class SyntheticBoW(NLPDataset):
+  """LDA-generated bag-of-words corpus with known topics — ground truth for
+  topic-model tests."""
+
+  def __init__(self, n_docs: int = 2000, n_words: int = 200,
+               n_topics: int = 8, doc_length: int = 80, seed: int = 1):
+    super().__init__(seed=seed)
+    self.n_words = int(n_words)
+    self.n_topics = int(n_topics)
+    rng = np.random.RandomState(seed)
+    self.topics = rng.dirichlet(np.full(n_words, 0.05), size=n_topics)
+    theta = rng.dirichlet(np.full(n_topics, 0.3), size=n_docs)
+    word_p = theta @ self.topics
+    x = np.stack([rng.multinomial(doc_length, p) for p in word_p])
+    self._x = x.astype("float32")
+    self._y = theta.argmax(-1).astype("int64")
+
+  @property
+  def name(self):
+    return "syntheticbow"
+
+  @property
+  def shape(self):
+    return (self.n_words,)
+
+  @property
+  def labels(self):
+    return [f"topic{i}" for i in range(self.n_topics)]
+
+  def _load(self, partition: str):
+    n = len(self._x)
+    sl = get_partition(partition, train=slice(0, int(0.8 * n)),
+                       valid=slice(int(0.8 * n), int(0.9 * n)),
+                       test=slice(int(0.9 * n), n))
+    return self._x[sl], self._y[sl]

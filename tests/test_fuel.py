@@ -1,0 +1,108 @@
+"""Fuel layer: pipeline semantics, datasets, storage."""
+import os
+
+import numpy as np
+import pytest
+
+from odin_tpu.fuel import (
+    DataPipeline, Dataset, HalfMoons, MmapArray, MmapArrayWriter, MmapDict,
+    SQLiteDict, Shapes3DSmall, SyntheticBoW, SyntheticGenes,
+    YDisentanglement, dSpritesSmall, get_dataset, get_all_dataset, MNIST)
+
+
+def test_pipeline_batching_and_shuffle():
+  x = np.arange(100).reshape(100, 1).astype("f")
+  pipe = DataPipeline(x, batch_size=32, shuffle=False, epochs=1)
+  batches = list(pipe)
+  assert [len(b) for b in batches] == [32, 32, 32, 4]
+  np.testing.assert_array_equal(np.concatenate(batches).ravel(), x.ravel())
+  # drop_remainder
+  pipe2 = DataPipeline(x, batch_size=32, epochs=1, drop_remainder=True)
+  assert [len(b) for b in pipe2] == [32, 32, 32]
+  # shuffle is a permutation per epoch
+  pipe3 = DataPipeline(x, batch_size=100, shuffle=True, epochs=2, seed=3)
+  e1, e2 = list(pipe3)
+  assert not np.array_equal(e1, e2)
+  np.testing.assert_array_equal(np.sort(e1.ravel()), x.ravel())
+  # map applies per batch
+  pipe4 = DataPipeline(x, batch_size=10, epochs=1).map(lambda b: b * 2)
+  assert float(next(iter(pipe4))[1]) == 2.0
+
+
+def test_image_dataset_create_dataset():
+  ds = dSpritesSmall(n_samples=256)
+  pipe = ds.create_dataset("train", batch_size=16, epochs=1)
+  b = next(iter(pipe))
+  assert b.shape == (16, 64, 64, 1)
+  assert b.min() >= 0.0 and b.max() <= 1.0
+  # tanh normalization
+  t = next(iter(ds.create_dataset("train", batch_size=4, epochs=1,
+                                  normalize="tanh")))
+  assert t.min() >= -1.0 and t.max() <= 1.0
+  # labelled + factors
+  x, y = next(iter(ds.create_dataset("train", batch_size=8, epochs=1,
+                                     label_percent=True)))
+  assert y.shape == (8, 5)
+
+
+def test_semi_supervised_batches():
+  ds = dSpritesSmall(n_samples=256)
+  semi = ds.create_dataset("train", batch_size=20, label_percent=0.1,
+                           oversample_ratio=0.25, epochs=1)
+  x, y, m = next(iter(semi))
+  assert x.shape[0] == 20 and m.sum() == 5  # 25% labelled per batch
+  assert set(np.unique(m)) <= {0.0, 1.0}
+  # labelled rows carry factors, unlabelled rows zeroed
+  assert np.all(y[m == 0] == 0)
+
+
+def test_partitions_distinct():
+  ds = Shapes3DSmall(n_samples=128)
+  x1, _ = ds.numpy("train")
+  x2, _ = ds.numpy("test")
+  assert not np.array_equal(x1[:16], x2[:16])
+
+
+def test_registry():
+  assert get_dataset("dspritessmall", n_samples=32).name == "dspritessmall"
+  assert get_dataset("halfmoons").name == "halfmoons"
+  names = {c.__name__ for c in get_all_dataset()}
+  assert {"MNIST", "FashionMNIST", "CIFAR10", "dSprites", "Shapes3D",
+          "CelebA", "HalfMoons", "SyntheticBoW"} <= names
+  with pytest.raises(ValueError):
+    get_dataset("no_such_dataset")
+
+
+def test_missing_file_gate():
+  with pytest.raises(FileNotFoundError):
+    MNIST().numpy("train")
+
+
+def test_storage(tmp_path):
+  # MmapDict round trip
+  p = str(tmp_path / "store")
+  with MmapDict(p) as md:
+    md["arr"] = np.arange(4)
+    md["meta"] = {"sr": 16000}
+  md2 = MmapDict(p, read_only=True)
+  np.testing.assert_array_equal(md2["arr"], np.arange(4))
+  assert md2["meta"]["sr"] == 16000
+  # SQLiteDict
+  q = str(tmp_path / "kv.db")
+  with SQLiteDict(q) as sd:
+    sd["a"] = [1, 2]
+  assert SQLiteDict(q)["a"] == [1, 2]
+  # MmapArray append + reopen-append
+  a = str(tmp_path / "feats")
+  with MmapArrayWriter(a, shape=(0, 3)) as w:
+    w.write(np.ones((5, 3), "f"))
+  with MmapArrayWriter(a) as w:
+    w.write(np.zeros((2, 3), "f"))
+  arr = MmapArray(a)
+  assert arr.shape == (7, 3)
+  assert arr[:5].sum() == 15.0 and arr[5:].sum() == 0.0
+  # folder Dataset
+  d = Dataset(str(tmp_path / "ds"))
+  d["x"] = np.ones((3, 2), "f")
+  assert "x" in d and d["x"].shape == (3, 2)
+  assert len(d.get_md5_checksum()) == 32
