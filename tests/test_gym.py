@@ -1,0 +1,125 @@
+"""Disentanglement metrics: known-answer tests + Gym integration.
+
+Strategy: a PERFECT representation (latents = factors + tiny noise) must
+score near 1.0 on MIG/DCI/SAP/betaVAE/factorVAE; a RANDOM representation
+must score near 0 — the standard sanity protocol for metric kernels.
+"""
+import numpy as np
+import pytest
+
+from odin_tpu.bay import distributions as D
+from odin_tpu.bay.vi import (
+    GroundTruth, beta_vae_score, dci_scores, factor_vae_score,
+    mutual_info_gap, separated_attr_predictability,
+    unsupervised_clustering_scores, relative_strength, correlation_matrix)
+from odin_tpu.bay.vi.utils import discretizing
+from odin_tpu.search import diagonal_linear_assignment, diagonal_beam_search
+
+RNG = np.random.RandomState(11)
+N = 1500
+N_FACTORS = 3
+FACTORS = np.stack([RNG.randint(0, k, N) for k in (5, 8, 4)], -1)
+
+
+def perfect_repr(noise=0.01):
+  z = FACTORS.astype("f") + noise * RNG.randn(N, N_FACTORS).astype("f")
+  # add two noise dims
+  z = np.concatenate([z, RNG.randn(N, 2).astype("f") * 0.01], -1)
+  return z
+
+
+def random_repr():
+  return RNG.randn(N, 5).astype("f")
+
+
+def as_dist(z):
+  import jax.numpy as jnp
+  return D.MultivariateNormalDiag(jnp.asarray(z), jnp.full(z.shape, 0.01))
+
+
+def test_mig_perfect_vs_random():
+  z_good = discretizing(perfect_repr(), n_bins=10, strategy="uniform")
+  z_bad = discretizing(random_repr(), n_bins=10, strategy="uniform")
+  assert mutual_info_gap(z_good, FACTORS) > 0.5
+  assert mutual_info_gap(z_bad, FACTORS) < 0.1
+
+
+def test_dci_perfect_vs_random():
+  d_good, c_good, i_good = dci_scores(perfect_repr(), FACTORS, seed=1)
+  d_bad, c_bad, i_bad = dci_scores(random_repr(), FACTORS, seed=1)
+  assert d_good > 0.8 and c_good > 0.8 and i_good > 0.8
+  assert i_bad < 0.5
+
+
+def test_sap_perfect_vs_random():
+  # SAP is the top-2 accuracy GAP, so even a perfect representation lands
+  # well below 1.0 (the 2nd-best latent predicts above chance)
+  good = separated_attr_predictability(perfect_repr(), FACTORS)
+  bad = separated_attr_predictability(random_repr(), FACTORS)
+  assert good > 0.3
+  assert bad < 0.15
+  assert good > bad
+
+
+def test_betavae_score_perfect_vs_random():
+  good = beta_vae_score(as_dist(perfect_repr()), FACTORS, n_mcmc=0,
+                        n_samples=600, seed=1)
+  bad = beta_vae_score(as_dist(random_repr()), FACTORS, n_mcmc=0,
+                       n_samples=600, seed=1)
+  assert good > 0.8
+  assert bad < 0.75
+
+
+def test_factorvae_score_perfect_vs_random():
+  good = factor_vae_score(as_dist(perfect_repr()), FACTORS, n_mcmc=0,
+                          n_samples=600, seed=1)
+  bad = factor_vae_score(as_dist(random_repr()), FACTORS, n_mcmc=0,
+                         n_samples=600, seed=1)
+  assert good > 0.8
+  assert good > bad
+
+
+def test_clustering_scores():
+  z = perfect_repr()
+  out = unsupervised_clustering_scores(FACTORS[:, 0], z[:, :1])
+  assert out["ari"] > 0.5
+
+
+def test_relative_strength_and_correlation():
+  mat = correlation_matrix(perfect_repr(), FACTORS.astype("f"),
+                           method="spearman")
+  assert mat.shape == (5, 3)
+  assert relative_strength(np.abs(mat)) > 0.4
+  # the aligned ordering puts the informative latents first
+  ids = diagonal_linear_assignment(np.abs(mat))
+  assert set(ids[:3]) == {0, 1, 2}
+  ids2 = diagonal_beam_search(np.abs(mat))
+  assert set(ids2[:3]) == {0, 1, 2}
+
+
+def test_groundtruth_sampling():
+  gt = GroundTruth(FACTORS, ["a", "b", "c"])
+  assert gt.n_factors == 3
+  f, idx = gt.sample_factors(n=10, seed=1)
+  assert f.shape == (10, 3)
+  np.testing.assert_array_equal(gt.factors[idx], f)
+  back = gt.sample_indices_from_factors(f[:3], seed=1)
+  np.testing.assert_array_equal(gt.factors[back], f[:3])
+  # continuous factors get discretized
+  gt2 = GroundTruth(RNG.randn(100, 2).astype("f"), n_bins=4)
+  assert gt2.factors.max() <= 3
+
+
+def test_gym_integration():
+  from odin_tpu.fuel import dSpritesSmall
+  from odin_tpu.networks import get_networks
+  from odin_tpu.bay.vi import BetaVAE, DisentanglementGym
+  ds = dSpritesSmall(n_samples=256)
+  vae = BetaVAE(**get_networks("dsprites", zdim=4)).build()
+  gym = DisentanglementGym(dataset=ds, model=vae, batch_size=64)
+  gym.run_model(n_samples=128, partition="test")
+  rep = gym.write_report(scores=("elbo", "llk", "kl", "mig", "active_units"))
+  assert np.isfinite(rep["elbo"])
+  assert np.isfinite(rep["mig"])
+  assert rep["n_active_units"] >= 0
+  assert np.isfinite(gym.frechet_inception_distance())
