@@ -1,0 +1,227 @@
+"""Fused, batched audio feature extraction for TPU (XLA path).
+
+The reference extracts features per file on CPU (NumPy rfft + matmuls inside
+multiprocess workers — ``odin/preprocessing/processor.py:557-740``).  The
+TPU-native pipeline processes PADDED BATCHES of utterances in one jit:
+
+  pre-emphasis -> framing -> window -> DFT -> |.|^2 -> mel matmul -> log
+  -> DCT (MFCC) -> deltas -> CMVN -> energy-VAD
+
+Design choices for the hardware:
+  * the DFT is two real matmuls against cos/sin bases (frame_length x
+    n_freqs) — MXU work instead of an FFT butterfly, ideal for speech-sized
+    frames (n_fft 512);
+  * all of the stages are elementwise or matmul, so XLA fuses them into a
+    handful of kernels; a hand-written Pallas version of the hot core lives
+    in ``odin_tpu.ops.pallas_features``;
+  * matmuls run at ``Precision.HIGHEST`` so results match the float32 NumPy
+    reference closely (BASELINE.md fidelity target).
+
+All functions are shape-static and mask-aware (padded frames excluded from
+CMVN/VAD statistics).
+"""
+from __future__ import annotations
+
+import functools
+from typing import Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from odin_tpu.preprocessing import signal as np_signal
+
+__all__ = ["FeatureConfig", "dft_bases", "frame_signal", "speech_features"]
+
+_PREC = jax.lax.Precision.HIGHEST
+
+
+class FeatureConfig:
+  """Static configuration of the fused feature pipeline."""
+
+  def __init__(self,
+               sr: int = 16000,
+               frame_length: int = 400,
+               step_length: int = 160,
+               n_fft: int = 512,
+               window: str = "hann",
+               n_mels: int = 40,
+               n_ceps: int = 20,
+               fmin: float = 64.0,
+               fmax: Optional[float] = None,
+               top_db: float = 80.0,
+               preemphasis: float = 0.97,
+               remove_first_coef: bool = True,
+               delta_width: int = 9,
+               cmvn: bool = True):
+    self.sr = int(sr)
+    self.frame_length = int(frame_length)
+    self.step_length = int(step_length)
+    self.n_fft = int(n_fft)
+    self.window = window
+    self.n_mels = int(n_mels)
+    self.n_ceps = int(n_ceps)
+    self.fmin = float(fmin)
+    self.fmax = float(fmax) if fmax is not None else float(sr) / 2
+    self.top_db = float(top_db)
+    self.preemphasis = float(preemphasis)
+    self.remove_first_coef = bool(remove_first_coef)
+    self.delta_width = int(delta_width)
+    self.cmvn = bool(cmvn)
+
+  @functools.cached_property
+  def window_fn(self) -> np.ndarray:
+    return np_signal.get_window(self.window, self.frame_length,
+                                periodic=True).astype(np.float32)
+
+  @functools.cached_property
+  def scale(self) -> float:
+    return float(np.sqrt(1.0 / self.window_fn.sum() ** 2))
+
+  @functools.cached_property
+  def mel_basis(self) -> np.ndarray:
+    return np_signal.mel_filters(self.sr, self.n_fft, self.n_mels,
+                                 self.fmin, self.fmax).astype(np.float32)
+
+  @functools.cached_property
+  def dct_basis(self) -> np.ndarray:
+    n = self.n_ceps + 1 if self.remove_first_coef else self.n_ceps
+    return np_signal.dct_filters(n, self.n_mels).astype(np.float32)
+
+  def n_frames(self, n_samples: int) -> int:
+    return 1 + (n_samples - self.frame_length) // self.step_length
+
+
+def dft_bases(frame_length: int, n_fft: int) -> Tuple[np.ndarray, np.ndarray]:
+  """Real-DFT cos/sin bases [frame_length, n_fft//2+1] so that
+  rfft(x, n_fft) == x@cos - i * x@sin for x of length frame_length."""
+  n_freqs = n_fft // 2 + 1
+  t = np.arange(frame_length)[:, None]
+  k = np.arange(n_freqs)[None, :]
+  angle = 2.0 * np.pi * t * k / n_fft
+  return (np.cos(angle).astype(np.float32),
+          -np.sin(angle).astype(np.float32))
+
+
+def frame_signal(y: jnp.ndarray, frame_length: int,
+                 step_length: int) -> jnp.ndarray:
+  """(B, T) -> (B, n_frames, frame_length) via a static gather."""
+  n_frames = 1 + (y.shape[-1] - frame_length) // step_length
+  starts = np.arange(n_frames) * step_length
+  idx = starts[:, None] + np.arange(frame_length)[None, :]
+  return y[..., idx]
+
+
+def _preemphasis(y: jnp.ndarray, coeff: float) -> jnp.ndarray:
+  first = y[..., :1]
+  rest = y[..., 1:] - coeff * y[..., :-1]
+  return jnp.concatenate([first, rest], axis=-1)
+
+
+def _delta_filter(width: int) -> np.ndarray:
+  half = 1 + width // 2
+  w = np.arange(half - 1.0, -half, -1.0)
+  return (w / np.sum(np.abs(w) ** 2)).astype(np.float32)
+
+
+def _batch_delta(x: jnp.ndarray, width: int) -> jnp.ndarray:
+  """librosa-delta over the time axis of (B, T, F), matching
+  np_signal.delta: lfilter(w, 1, edge_padded)[−half−T : −half].
+
+  ``lfilter(w, 1, x)[t] = Σ_k w[k] x[t−k] = convolve(x, w)[t]``, so the
+  causal FIR is the first len(x) entries of the full convolution, and the
+  reference trim lands at offset ``2·width − half``.
+  """
+  w = jnp.asarray(_delta_filter(width))
+  half = 1 + width // 2
+  xp = jnp.pad(x, ((0, 0), (width, width), (0, 0)), mode="edge")
+  conv = jax.vmap(  # over batch
+      jax.vmap(lambda sig: jnp.convolve(sig, w, mode="full"),
+               in_axes=1, out_axes=1))(xp)
+  start = 2 * width - half
+  return jax.lax.dynamic_slice_in_dim(conv, start, x.shape[1], axis=1)
+
+
+def speech_features(y: jnp.ndarray,
+                    config: FeatureConfig,
+                    lengths: Optional[jnp.ndarray] = None,
+                    use_pallas: bool = False) -> Dict[str, jnp.ndarray]:
+  """Fused pipeline on a padded batch.
+
+  Args:
+    y: (B, T) float32 audio, zero-padded to common length T.
+    lengths: (B,) valid sample counts (defaults to full length).
+    use_pallas: route the window+DFT+mel core through the Pallas kernel.
+
+  Returns dict with 'spec' (power), 'mspec' (log-mel dB), 'mfcc',
+  'energy' (log), 'frame_mask', 'vad' (energy-threshold based).
+  """
+  if y.ndim == 1:
+    y = y[None]
+  B, T = y.shape
+  n_frames = config.n_frames(T)
+  if lengths is None:
+    lengths = jnp.full((B,), T, jnp.int32)
+  # valid frames: frame fully inside the utterance
+  frame_ends = jnp.asarray(np.arange(n_frames) * config.step_length +
+                           config.frame_length)
+  mask = frame_ends[None, :] <= lengths[:, None]  # (B, n_frames)
+
+  y = _preemphasis(y.astype(jnp.float32), config.preemphasis)
+  frames = frame_signal(y, config.frame_length, config.step_length)
+  win = jnp.asarray(config.window_fn)
+  frames_w = frames * win
+  # log energy of windowed frames (reference get_energy)
+  energy = jnp.sum(frames_w * frames_w, axis=-1)
+  energy = jnp.log(jnp.maximum(energy, np.finfo(np.float32).eps))
+
+  if use_pallas:
+    from odin_tpu.ops.pallas_features import logmel_pallas
+    mspec_raw = logmel_pallas(frames_w, config)  # 10log10 mel power, unclipped
+    cos_b, sin_b = dft_bases(config.frame_length, config.n_fft)
+    spec = None
+  else:
+    cos_b, sin_b = dft_bases(config.frame_length, config.n_fft)
+    re = jnp.matmul(frames_w, jnp.asarray(cos_b), precision=_PREC)
+    im = jnp.matmul(frames_w, jnp.asarray(sin_b), precision=_PREC)
+    spec = (re * re + im * im) * (config.scale ** 2)  # power spectrum
+    mel = jnp.matmul(spec, jnp.asarray(config.mel_basis.T), precision=_PREC)
+    mspec_raw = 10.0 * jnp.log10(jnp.maximum(mel, 1e-10))
+
+  # top_db clipping with the per-utterance max over VALID frames
+  neg = jnp.asarray(-1e30, mspec_raw.dtype)
+  masked = jnp.where(mask[..., None], mspec_raw, neg)
+  ref_max = jnp.max(masked, axis=(-2, -1), keepdims=True)
+  mspec = jnp.maximum(mspec_raw, ref_max - config.top_db)
+
+  # MFCC
+  dct_T = jnp.asarray(config.dct_basis.T)
+  mfcc = jnp.matmul(mspec, dct_T, precision=_PREC)
+  if config.remove_first_coef:
+    mfcc = mfcc[..., 1:]
+
+  # energy-threshold VAD (vectorized stand-in for the GMM VAD inside jit;
+  # the exact sklearn-GMM VAD stays available host-side via
+  # preprocessing.signal.vad_energy)
+  e_valid = jnp.where(mask, energy, jnp.nan)
+  e_mean = jnp.nanmean(e_valid, axis=1, keepdims=True)
+  e_std = jnp.sqrt(jnp.nanmean((e_valid - e_mean) ** 2, axis=1,
+                               keepdims=True))
+  vad = (energy > (e_mean - 0.5 * e_std)) & mask
+
+  out = dict(mspec=mspec, mfcc=mfcc, energy=energy[..., None],
+             frame_mask=mask, vad=vad)
+  if spec is not None:
+    out["spec"] = spec
+  if config.cmvn:
+    # masked CMVN over time
+    m = mask[..., None].astype(mspec.dtype)
+    denom = jnp.maximum(jnp.sum(m, axis=1, keepdims=True), 1.0)
+    for key in ("mspec", "mfcc"):
+      f = out[key]
+      mu = jnp.sum(f * m, axis=1, keepdims=True) / denom
+      var = jnp.sum((f - mu) ** 2 * m, axis=1, keepdims=True) / denom
+      out[key + "_cmvn"] = (f - mu) / jnp.maximum(jnp.sqrt(var), 1e-20)
+  if config.delta_width:
+    out["mfcc_delta"] = _batch_delta(out["mfcc"], config.delta_width)
+  return out

@@ -1,0 +1,203 @@
+"""Corpus feature processor.
+
+Reference: ``odin/preprocessing/processor.py`` — `FeatureProcessor(jobs,
+path, extractor, ncpu).run()` (:406,557-740): fans the Extractor pipeline
+over files via the host job map, appends features to MmapArray with
+per-utterance (start, end) indices in MmapDict, accumulates sum1/sum2 corpus
+statistics, logs errors, `validate_features` report, `calculate_pca`
+post-pass (:41,98).
+
+TPU addition: `batch_speech_features` runs the FUSED device pipeline over
+padded batches of raw audio (`odin_tpu.ops.features.speech_features`) —
+files are only decoded on host; framing/FFT/mel/MFCC/CMVN/VAD run on the
+accelerator.
+"""
+from __future__ import annotations
+
+import os
+import traceback
+from collections import defaultdict
+from typing import Any, Callable, Dict, List, Optional, Sequence, Union
+
+import numpy as np
+
+from odin_tpu.fuel.databases import MmapArray, MmapArrayWriter, MmapDict
+from odin_tpu.fuel.dataset import Dataset
+from odin_tpu.preprocessing.base import ExtractorSignal, Pipeline
+from odin_tpu.utils.mpi import MPI
+
+__all__ = ["FeatureProcessor", "validate_features", "calculate_pca",
+           "batch_speech_features"]
+
+
+class FeatureProcessor:
+  """Fan an extractor pipeline over a corpus and persist the outputs."""
+
+  def __init__(self,
+               jobs: Sequence[Any],
+               path: str,
+               extractor: Pipeline,
+               n_cache: int = 120,
+               ncpu: int = 1,
+               override: bool = False,
+               identifier: str = "name",
+               log_path: Optional[str] = None,
+               stop_on_failure: bool = False):
+    self.jobs = list(jobs)
+    self.path = str(path)
+    self.extractor = extractor
+    self.n_cache = int(n_cache)
+    self.ncpu = int(ncpu)
+    self.identifier = identifier
+    self.stop_on_failure = bool(stop_on_failure)
+    self.log_path = log_path or os.path.join(self.path, "log.txt")
+    if override and os.path.exists(self.path):
+      import shutil
+      shutil.rmtree(self.path)
+    os.makedirs(self.path, exist_ok=True)
+
+  def run(self) -> Dataset:
+    """Process all jobs; returns the output Dataset folder."""
+    writers: Dict[str, MmapArrayWriter] = {}
+    indices: Dict[str, MmapDict] = {}
+    sum1: Dict[str, np.ndarray] = {}
+    sum2: Dict[str, np.ndarray] = {}
+    errors: List[str] = []
+    counters = defaultdict(int)
+
+    def _map(batch_jobs):
+      # generator: one (status, result) per job, streamed back by MPI
+      for job in batch_jobs:
+        try:
+          feat = self.extractor.transform(job)
+          yield ("ok", feat)
+        except ExtractorSignal as e:
+          yield (e.action, f"{e.extractor}: {e.message}")
+        except Exception:
+          yield ("error", traceback.format_exc())
+
+    mpi = MPI(jobs=self.jobs, func=_map, ncpu=self.ncpu, batch=1)
+    for status, result in mpi:
+      if status != "ok":
+        errors.append(str(result))
+        if status == "error" and self.stop_on_failure:
+          raise RuntimeError(result)
+        continue
+      feat: Dict[str, Any] = result
+      name = str(feat.get(self.identifier, counters["_n"]))
+      counters["_n"] += 1
+      for key, value in feat.items():
+        if not isinstance(value, np.ndarray) or value.ndim == 0:
+          continue
+        if value.dtype == bool:
+          value = value.astype("uint8")
+        if value.ndim == 1:
+          value = value[:, None]
+        if key not in writers:
+          writers[key] = MmapArrayWriter(
+              os.path.join(self.path, key),
+              shape=(0,) + value.shape[1:], dtype=value.dtype.name)
+          indices[key] = MmapDict(os.path.join(self.path, f"indices_{key}"))
+        w = writers[key]
+        start = w.n_rows
+        w.write(value)
+        indices[key][name] = (start, w.n_rows)
+        if value.dtype.kind == "f":
+          s1 = value.sum(axis=0)
+          s2 = (value.astype(np.float64) ** 2).sum(axis=0)
+          if key in sum1:
+            sum1[key] += s1
+            sum2[key] += s2
+          else:
+            sum1[key] = s1.astype(np.float64)
+            sum2[key] = s2
+    # finalize
+    ds = Dataset(self.path)
+    for key, w in writers.items():
+      w.close()
+      indices[key].close()
+    for key in sum1:
+      np.save(os.path.join(self.path, f"{key}_sum1.npy"), sum1[key])
+      np.save(os.path.join(self.path, f"{key}_sum2.npy"), sum2[key])
+    with open(self.log_path, "w") as f:
+      f.write(f"jobs: {len(self.jobs)}\nprocessed: {counters['_n']}\n"
+              f"errors: {len(errors)}\n\n")
+      f.write("\n".join(errors))
+    ds._scan()
+    return ds
+
+
+def validate_features(dataset: Union[str, Dataset],
+                      feat_name: str = "mspec") -> Dict[str, Any]:
+  """Sanity report over a processed corpus (reference `validate_features`):
+  NaN/inf counts, per-utterance length stats (reference :406)."""
+  if isinstance(dataset, str):
+    dataset = Dataset(dataset)
+  arr = dataset[feat_name]
+  idx = dataset[f"indices_{feat_name}"]
+  lengths = [end - start for start, end in idx.values()]
+  sample = np.asarray(arr[:min(len(arr), 100000)])
+  return dict(
+      n_utterances=len(idx),
+      n_frames=int(arr.shape[0]),
+      feat_dim=tuple(arr.shape[1:]),
+      n_nan=int(np.isnan(sample).sum()),
+      n_inf=int(np.isinf(sample).sum()),
+      length_min=int(np.min(lengths)) if lengths else 0,
+      length_max=int(np.max(lengths)) if lengths else 0,
+      length_mean=float(np.mean(lengths)) if lengths else 0.0,
+  )
+
+
+def calculate_pca(dataset: Union[str, Dataset], feat_name: str = "mspec",
+                  n_components: int = 20, batch_size: int = 8192):
+  """Incremental PCA over a stored feature (reference ``processor.py:98``)."""
+  from sklearn.decomposition import IncrementalPCA
+  if isinstance(dataset, str):
+    dataset = Dataset(dataset)
+  arr = dataset[feat_name]
+  n_components = min(n_components, arr.shape[1])
+  batch_size = max(batch_size, 2 * n_components)
+  pca = IncrementalPCA(n_components=n_components)
+  for i in range(0, arr.shape[0], batch_size):
+    chunk = np.asarray(arr[i:i + batch_size])
+    if len(chunk) >= n_components:
+      pca.partial_fit(chunk)
+  import pickle
+  with open(os.path.join(dataset.path, f"{feat_name}_pca.pkl"), "wb") as f:
+    pickle.dump(pca, f)
+  return pca
+
+
+def batch_speech_features(utterances: Sequence[np.ndarray],
+                          config=None,
+                          batch_size: int = 64,
+                          features: Sequence[str] = ("mspec", "mfcc", "vad"),
+                          pad_to: Optional[int] = None) -> List[Dict[str, np.ndarray]]:
+  """Device-accelerated corpus extraction: pad utterances into fixed-shape
+  batches, run the fused pipeline once per batch, strip padding.
+
+  The TPU replacement for the reference's per-file multiprocess map — the
+  host only decodes/pads; all DSP runs in one jit per batch shape.
+  """
+  import jax
+  import jax.numpy as jnp
+  from odin_tpu.ops.features import FeatureConfig, speech_features
+  config = config or FeatureConfig()
+  out: List[Dict[str, np.ndarray]] = []
+  if pad_to is None:
+    pad_to = max(len(u) for u in utterances)
+  fn = jax.jit(lambda y, l: speech_features(y, config, lengths=l))
+  for i in range(0, len(utterances), batch_size):
+    chunk = utterances[i:i + batch_size]
+    lengths = np.array([min(len(u), pad_to) for u in chunk], np.int32)
+    batch = np.zeros((len(chunk), pad_to), np.float32)
+    for j, u in enumerate(chunk):
+      batch[j, :lengths[j]] = u[:pad_to]
+    res = fn(jnp.asarray(batch), jnp.asarray(lengths))
+    res = {k: np.asarray(v) for k, v in res.items() if k in features or
+           k == "frame_mask"}
+    for j in range(len(chunk)):
+      n = int(res["frame_mask"][j].sum())
+      out.append({k: v[j][:n] for k, v in res.items() if k != "frame_mask"})
+  return out

@@ -1,0 +1,437 @@
+"""Speech feature extractors.
+
+Reference: ``odin/preprocessing/speech.py`` (1,756 LoC) — `AudioReader`
+(:345), `Dithering` (:512), `PreEmphasis` (:540), `Framing` (:569),
+`CalculateEnergy` (:623), `STFTExtractor` (:655), `PowerSpecExtractor`
+(:748), `MelsSpecExtractor` (:766), `MFCCsExtractor` (:805),
+`SpectraExtractor` (:849), `Power2Db` (:834), `SADthreshold` (:1299, the
+numba kernel — vectorized here), `SADgmm` (:1439), `RASTAfilter` (:1483),
+`AcousticNorm` (:1536), `Read3ColSAD` (:1613), `ApplyingSAD` (:1691).
+"""
+from __future__ import annotations
+
+import io
+import os
+import wave
+from typing import Optional, Sequence, Tuple, Union
+
+import numpy as np
+
+from odin_tpu.preprocessing import signal as S
+from odin_tpu.preprocessing.base import Extractor, ExtractorSignal
+from odin_tpu.utils import as_tuple
+
+__all__ = [
+    "read_wave", "AudioReader", "Dithering", "PreEmphasis", "Framing",
+    "CalculateEnergy", "STFTExtractor", "PowerSpecExtractor",
+    "MelsSpecExtractor", "MFCCsExtractor", "SpectraExtractor", "Power2Db",
+    "SADthreshold", "SADgmm", "RASTAfilter", "AcousticNorm", "Read3ColSAD",
+    "ApplyingSAD",
+]
+
+
+def read_wave(path_or_bytes) -> Tuple[np.ndarray, int]:
+  """Minimal PCM wav reader (stdlib `wave` + numpy; the reference shells out
+  to soundfile/sox, unavailable offline)."""
+  if isinstance(path_or_bytes, bytes):
+    fobj = io.BytesIO(path_or_bytes)
+  else:
+    fobj = path_or_bytes
+  with wave.open(fobj, "rb") as w:
+    sr = w.getframerate()
+    n = w.getnframes()
+    width = w.getsampwidth()
+    channels = w.getnchannels()
+    raw = w.readframes(n)
+  dtype = {1: np.uint8, 2: np.int16, 4: np.int32}[width]
+  y = np.frombuffer(raw, dtype=dtype).astype(np.float32)
+  if width == 1:
+    y = (y - 128.0) / 128.0
+  else:
+    y = y / float(np.iinfo(dtype).max)
+  if channels > 1:
+    y = y.reshape(-1, channels)
+  return y, sr
+
+
+class AudioReader(Extractor):
+  """Load audio: wav path / (array, sr) tuple / dict; resample + remove DC
+  (reference :345)."""
+
+  def __init__(self, sr: Optional[int] = None, sr_new: Optional[int] = None,
+               remove_dc: bool = True, dtype="float32"):
+    super().__init__(output_name=("raw", "sr"))
+    self.sr = sr
+    self.sr_new = sr_new
+    self.remove_dc = bool(remove_dc)
+    self.dtype = dtype
+
+  def transform(self, X):
+    name = None
+    sr = self.sr
+    if isinstance(X, dict):
+      name = X.get("name")
+      if "sr" in X:
+        sr = X["sr"]
+      X = X.get("path", X.get("raw"))
+    if isinstance(X, str):
+      name = name or os.path.basename(X)
+      y, sr = read_wave(X)
+    elif isinstance(X, (tuple, list)) and len(X) == 2:
+      y, sr = np.asarray(X[0]), int(X[1])
+    else:
+      y = np.asarray(X)
+      if sr is None:
+        raise ExtractorSignal("sample rate not provided for raw array input",
+                              action="error", extractor=self)
+    y = y.astype(self.dtype)
+    if y.ndim > 1:
+      y = y.mean(axis=-1)
+    if self.remove_dc:
+      y = y - np.mean(y)
+    if self.sr_new is not None and sr != self.sr_new:
+      from scipy.signal import resample_poly
+      from math import gcd
+      g = gcd(int(self.sr_new), int(sr))
+      y = resample_poly(y, int(self.sr_new) // g, int(sr) // g)
+      sr = int(self.sr_new)
+    out = {"raw": y.astype(self.dtype), "sr": int(sr)}
+    if name is not None:
+      out["name"] = name
+    return out
+
+
+class Dithering(Extractor):
+  """Add low-level noise (reference :512)."""
+
+  def __init__(self, dither: float = 1.0, seed: int = 8):
+    super().__init__(input_name=("raw",), output_name=("raw",))
+    self.dither = float(dither)
+    self.seed = int(seed)
+
+  def _transform(self, X):
+    (y,) = X
+    rng = np.random.RandomState(self.seed)
+    return y + self.dither * 1e-6 * rng.randn(*y.shape).astype(y.dtype)
+
+
+class PreEmphasis(Extractor):
+  """coeff 0.97 (reference :540)."""
+
+  def __init__(self, coeff: float = 0.97):
+    super().__init__(input_name=("raw",), output_name=("raw",))
+    self.coeff = float(coeff)
+
+  def _transform(self, X):
+    (y,) = X
+    return S.pre_emphasis(y, self.coeff).astype(y.dtype)
+
+
+def _to_samples(value, sr):
+  """second (float) or sample (int) -> samples (reference convention)."""
+  if isinstance(value, float):
+    return int(value * sr)
+  return int(value)
+
+
+class Framing(Extractor):
+  """Reference :569."""
+
+  def __init__(self, frame_length=0.025, step_length=0.010, end="cut"):
+    super().__init__(output_name=("frames",))
+    self.frame_length = frame_length
+    self.step_length = step_length
+    self.end = end
+
+  def transform(self, X):
+    feat = X if isinstance(X, dict) else {"raw": X}
+    sr = feat.get("sr", 16000)
+    frames = S.segment_axis(feat["raw"],
+                            _to_samples(self.frame_length, sr),
+                            _to_samples(self.step_length, sr),
+                            end=self.end)
+    out = dict(feat)
+    out["frames"] = frames
+    return out
+
+
+class CalculateEnergy(Extractor):
+  """Reference :623."""
+
+  def __init__(self, log: bool = True, input_name="frames"):
+    super().__init__(input_name=(input_name,), output_name=("energy",))
+    self.log = bool(log)
+
+  def _transform(self, X):
+    (frames,) = X
+    return S.get_energy(frames, log=self.log)
+
+
+class STFTExtractor(Extractor):
+  """Frame/step in seconds or samples -> complex STFT + optional log-energy
+  (reference :655)."""
+
+  def __init__(self, frame_length=0.025, step_length=0.010,
+               n_fft: int = 512, window: str = "hamm", padding: bool = False,
+               energy: bool = True):
+    super().__init__(output_name=("stft", "energy"))
+    self.frame_length = frame_length
+    self.step_length = step_length
+    self.n_fft = int(n_fft)
+    self.window = window
+    self.padding = bool(padding)
+    self.energy = bool(energy)
+
+  def transform(self, X):
+    feat = X if isinstance(X, dict) else {"raw": X}
+    sr = feat.get("sr", 16000)
+    res = S.stft(feat["raw"],
+                 frame_length=_to_samples(self.frame_length, sr),
+                 step_length=_to_samples(self.step_length, sr),
+                 n_fft=self.n_fft, window=self.window,
+                 padding=self.padding, energy=self.energy)
+    out = dict(feat)
+    if self.energy:
+      out["stft"], out["energy"] = res
+    else:
+      out["stft"] = res
+    return out
+
+
+class PowerSpecExtractor(Extractor):
+  """|S|^p (reference :748)."""
+
+  def __init__(self, power: float = 2.0, input_name="stft",
+               output_name="spec"):
+    super().__init__(input_name=(input_name,), output_name=(output_name,))
+    self.power = float(power)
+
+  def _transform(self, X):
+    (stft_matrix,) = X
+    return (np.abs(stft_matrix) ** self.power).astype("float32")
+
+
+class MelsSpecExtractor(Extractor):
+  """Reference :766."""
+
+  def __init__(self, n_mels: int = 40, fmin: float = 64.0,
+               fmax: Optional[float] = None, top_db: float = 80.0,
+               input_name=("spec", "sr"), output_name="mspec"):
+    super().__init__(input_name=input_name, output_name=(output_name,))
+    self.n_mels = int(n_mels)
+    self.fmin = fmin
+    self.fmax = fmax
+    self.top_db = top_db
+
+  def _transform(self, X):
+    spec, sr = X
+    return S.mels_spectrogram(spec, sr, self.n_mels, fmin=self.fmin,
+                              fmax=self.fmax, top_db=self.top_db
+                              ).astype("float32")
+
+
+class MFCCsExtractor(Extractor):
+  """Reference :805; `first_coefficient_energy` replaces coef 0 with the
+  log-energy."""
+
+  def __init__(self, n_ceps: int = 20, remove_first_coef: bool = True,
+               first_coefficient_energy: bool = False,
+               input_name="mspec", output_name="mfcc"):
+    super().__init__(input_name=(input_name,), output_name=(output_name,))
+    self.n_ceps = int(n_ceps)
+    self.remove_first_coef = bool(remove_first_coef)
+    self.first_coefficient_energy = bool(first_coefficient_energy)
+
+  def transform(self, X):
+    feat = X if isinstance(X, dict) else {"raw": X}
+    mfcc = S.ceps_spectrogram(feat[self.input_name[0]], self.n_ceps,
+                              remove_first_coef=self.remove_first_coef)
+    if self.first_coefficient_energy and "energy" in feat:
+      mfcc = np.concatenate([feat["energy"][:len(mfcc)].reshape(-1, 1),
+                             mfcc[:, 1:] if not self.remove_first_coef
+                             else mfcc], axis=-1)
+    out = dict(feat)
+    out[self.output_name[0]] = mfcc.astype("float32")
+    return out
+
+
+class Power2Db(Extractor):
+  """Reference :834."""
+
+  def __init__(self, input_name=("spec",), top_db: float = 80.0):
+    super().__init__(input_name=input_name)
+    self.top_db = float(top_db)
+
+  def _transform(self, X):
+    return {k: S.power2db(x, top_db=self.top_db).astype("float32")
+            for k, x in zip(self.input_name, X)}
+
+
+class SpectraExtractor(Extractor):
+  """All-in-one STFT -> spec/mspec/mfcc/energy (reference :849)."""
+
+  def __init__(self, frame_length=0.025, step_length=0.010, n_fft: int = 512,
+               window: str = "hamm", n_mels: int = 40, n_ceps: int = 20,
+               fmin: float = 64.0, fmax: Optional[float] = None,
+               top_db: float = 80.0, power: float = 2.0, log: bool = True,
+               padding: bool = False):
+    super().__init__()
+    self.stft_ex = STFTExtractor(frame_length, step_length, n_fft, window,
+                                 padding, energy=True)
+    self.n_mels, self.n_ceps = int(n_mels), int(n_ceps)
+    self.fmin, self.fmax, self.top_db = fmin, fmax, top_db
+    self.power = power
+    self.log = log
+
+  def transform(self, X):
+    feat = self.stft_ex.transform(X)
+    sr = feat.get("sr", 16000)
+    spec = np.abs(feat["stft"]) ** self.power
+    feat["spec"] = (S.power2db(spec, top_db=self.top_db)
+                    if self.log else spec).astype("float32")
+    feat["mspec"] = S.mels_spectrogram(spec, sr, self.n_mels, fmin=self.fmin,
+                                       fmax=self.fmax, top_db=self.top_db
+                                       ).astype("float32")
+    feat["mfcc"] = S.ceps_spectrogram(feat["mspec"], self.n_ceps
+                                      ).astype("float32")
+    return feat
+
+
+class SADthreshold(Extractor):
+  """Kaldi-style energy-threshold SAD with context voting
+  (reference :1299-1437 — the numba kernel, vectorized with a windowed
+  proportion vote)."""
+
+  def __init__(self, energy_threshold: float = 0.55,
+               energy_mean_scale: float = 0.5, context: int = 2,
+               proportion_threshold: float = 0.12,
+               input_name="energy", output_name="sad"):
+    super().__init__(input_name=(input_name,), output_name=(output_name,))
+    self.energy_threshold = float(energy_threshold)
+    self.energy_mean_scale = float(energy_mean_scale)
+    self.context = int(context)
+    self.proportion_threshold = float(proportion_threshold)
+
+  def _transform(self, X):
+    (energy,) = X
+    e = np.asarray(energy).ravel().astype(np.float64)
+    thr = self.energy_threshold + self.energy_mean_scale * np.mean(e)
+    above = (e > thr).astype(np.float64)
+    # context window proportion vote: frame t is speech if the fraction of
+    # above-threshold frames within +-context exceeds proportion_threshold
+    w = 2 * self.context + 1
+    kernel = np.ones(w) / w
+    vote = np.convolve(above, kernel, mode="same")
+    return (vote > self.proportion_threshold)
+
+
+class SADgmm(Extractor):
+  """3-component GMM on log-energy; highest-mean component = speech
+  (reference :1439-1480 via `vad_energy`)."""
+
+  def __init__(self, nb_mixture: int = 3, nb_train_it: int = 25,
+               input_name="energy", output_name="sad"):
+    super().__init__(input_name=(input_name,), output_name=(output_name,))
+    self.nb_mixture = int(nb_mixture)
+    self.nb_train_it = int(nb_train_it)
+
+  def _transform(self, X):
+    (energy,) = X
+    label, _ = S.vad_energy(np.asarray(energy).ravel(),
+                            distrib_nb=self.nb_mixture,
+                            nb_train_it=self.nb_train_it)
+    return label.astype(bool)
+
+
+class RASTAfilter(Extractor):
+  """Reference :1483."""
+
+  def __init__(self, input_name=("mfcc",)):
+    super().__init__(input_name=input_name)
+
+  def _transform(self, X):
+    return {k: S.rastafilt(x).astype("float32")
+            for k, x in zip(self.input_name, X)}
+
+
+class AcousticNorm(Extractor):
+  """MVN + windowed-MVN (w=301) over SAD frames (reference :1536)."""
+
+  def __init__(self, input_name=("mspec", "mfcc"), mean_var_norm: bool = True,
+               windowed_mean_var_norm: bool = False, win_length: int = 301,
+               var_norm: bool = True, sad_name: Optional[str] = "sad"):
+    super().__init__(input_name=input_name)
+    self.mean_var_norm = bool(mean_var_norm)
+    self.windowed_mean_var_norm = bool(windowed_mean_var_norm)
+    self.win_length = int(win_length)
+    self.var_norm = bool(var_norm)
+    self.sad_name = sad_name
+
+  def transform(self, X):
+    feat = X if isinstance(X, dict) else {"raw": X}
+    indices = feat.get(self.sad_name) if self.sad_name else None
+    out = dict(feat)
+    for name in self.input_name:
+      if name not in feat or feat[name] is None:
+        continue
+      x = feat[name]
+      idx = indices[:len(x)] if indices is not None else None
+      if self.mean_var_norm:
+        x = S.mvn(x, varnorm=self.var_norm, indices=idx)
+      if self.windowed_mean_var_norm:
+        x = S.wmvn(x, w=self.win_length, varnorm=self.var_norm, indices=idx)
+      out[name] = x.astype("float32")
+    return out
+
+
+class Read3ColSAD(Extractor):
+  """Parse 3-column (name, start, end) SAD label files into frame masks
+  (reference :1613)."""
+
+  def __init__(self, path: str, step_length: float = 0.010,
+               output_name="sad"):
+    super().__init__(output_name=(output_name,))
+    self.step_length = float(step_length)
+    self.table = {}
+    with open(path) as f:
+      for line in f:
+        parts = line.split()
+        if len(parts) >= 3:
+          self.table.setdefault(parts[0], []).append(
+              (float(parts[1]), float(parts[2])))
+
+  def transform(self, X):
+    feat = X if isinstance(X, dict) else {"raw": X}
+    name = feat.get("name")
+    n = None
+    for key in ("energy", "mspec", "mfcc", "spec", "frames"):
+      if key in feat:
+        n = len(feat[key])
+        break
+    assert n is not None, "no framed feature to size the SAD mask"
+    mask = np.zeros(n, bool)
+    for start, end in self.table.get(name, ()):
+      i0 = int(start / self.step_length)
+      i1 = int(end / self.step_length)
+      mask[i0:min(i1, n)] = True
+    out = dict(feat)
+    out[self.output_name[0]] = mask
+    return out
+
+
+class ApplyingSAD(Extractor):
+  """Keep only speech frames (reference :1691)."""
+
+  def __init__(self, input_name=("mspec", "mfcc"), sad_name: str = "sad"):
+    super().__init__(input_name=input_name)
+    self.sad_name = sad_name
+
+  def transform(self, X):
+    feat = X if isinstance(X, dict) else {"raw": X}
+    sad = np.asarray(feat[self.sad_name]).astype(bool)
+    out = dict(feat)
+    for name in self.input_name:
+      if name in feat and feat[name] is not None:
+        x = feat[name]
+        out[name] = x[sad[:len(x)]]
+    return out

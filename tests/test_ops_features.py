@@ -1,0 +1,75 @@
+"""Fused TPU feature path vs the NumPy reference kernels.
+
+Tolerance target (BASELINE.md): the NumPy path is bit-exact vs the
+reference; the fused fp32 XLA/Pallas path must match it to float32 matmul
+precision (<0.01 dB on log-mel)."""
+import numpy as np
+import pytest
+import jax
+import jax.numpy as jnp
+
+from odin_tpu.ops.features import FeatureConfig, speech_features
+from odin_tpu.preprocessing import signal as S
+
+RNG = np.random.RandomState(3)
+CFG = FeatureConfig(cmvn=True)
+
+
+def _numpy_pipeline(y):
+  y = S.pre_emphasis(y, CFG.preemphasis)
+  spec = np.abs(S.stft(y, CFG.frame_length, CFG.step_length, CFG.n_fft,
+                       window=CFG.window)) ** 2
+  mspec = S.mels_spectrogram(spec, CFG.sr, CFG.n_mels, fmin=CFG.fmin,
+                             top_db=CFG.top_db)
+  mfcc = S.ceps_spectrogram(mspec, CFG.n_ceps)
+  delta = S.delta(mfcc, width=CFG.delta_width, order=1, axis=0)
+  return spec, mspec, mfcc, delta
+
+
+def test_fused_path_matches_numpy():
+  y = (RNG.randn(2, 16000) * 0.1).astype("f")
+  out = jax.jit(lambda a: speech_features(a, CFG))(y)
+  for b in range(2):
+    spec, mspec, mfcc, delta = _numpy_pipeline(y[b])
+    np.testing.assert_allclose(np.asarray(out["spec"][b]), spec,
+                               rtol=2e-3, atol=1e-7)
+    np.testing.assert_allclose(np.asarray(out["mspec"][b]), mspec, atol=0.01)
+    np.testing.assert_allclose(np.asarray(out["mfcc"][b]), mfcc, atol=0.05)
+    np.testing.assert_allclose(np.asarray(out["mfcc_delta"][b]), delta,
+                               atol=0.05)
+
+
+def test_padded_batch_masking():
+  """A short utterance zero-padded into the batch must produce the same
+  features on its valid frames as the standalone computation."""
+  y1 = (RNG.randn(16000) * 0.1).astype("f")
+  y2 = (RNG.randn(8000) * 0.1).astype("f")
+  batch = np.zeros((2, 16000), "f")
+  batch[0] = y1
+  batch[1, :8000] = y2
+  lengths = jnp.asarray([16000, 8000])
+  out = speech_features(jnp.asarray(batch), CFG, lengths=lengths)
+  n2 = CFG.n_frames(8000)
+  assert int(out["frame_mask"][1].sum()) == n2
+  _, mspec2, _, _ = _numpy_pipeline(y2)
+  np.testing.assert_allclose(np.asarray(out["mspec"][1][:n2]), mspec2,
+                             atol=0.01)
+
+
+def test_cmvn_masked():
+  y = (RNG.randn(1, 16000) * 0.1).astype("f")
+  out = speech_features(jnp.asarray(y), CFG)
+  m = np.asarray(out["mfcc_cmvn"][0])
+  assert abs(m.mean()) < 1e-4
+  assert abs(m.std() - 1.0) < 1e-2
+
+
+def test_pallas_kernel_interpreter():
+  """Pallas fused kernel (interpreter mode on CPU) matches the XLA path."""
+  from jax.experimental.pallas import tpu as pltpu
+  y = (RNG.randn(1, 16000) * 0.1).astype("f")
+  ref = speech_features(jnp.asarray(y), CFG)
+  with pltpu.force_tpu_interpret_mode():
+    out = speech_features(jnp.asarray(y), CFG, use_pallas=True)
+  np.testing.assert_allclose(np.asarray(out["mspec"]),
+                             np.asarray(ref["mspec"]), atol=0.01)

@@ -1,0 +1,139 @@
+"""Extractor pipeline + FeatureProcessor end-to-end."""
+import os
+import wave
+
+import numpy as np
+import pytest
+
+from odin_tpu.preprocessing import (
+    AcousticNorm, ApplyingSAD, AudioReader, DeltaExtractor, Framing,
+    CalculateEnergy, FeatureProcessor, MelsSpecExtractor, MFCCsExtractor,
+    PowerSpecExtractor, PreEmphasis, SADgmm, SADthreshold, SpectraExtractor,
+    STFTExtractor, batch_speech_features, calculate_pca, make_pipeline,
+    read_wave, validate_features)
+from odin_tpu.fuel import Dataset
+
+RNG = np.random.RandomState(7)
+
+
+def synth_speech(n=16000, sr=16000, seed=0):
+  """Synthetic 'speech': tone bursts + silence."""
+  rng = np.random.RandomState(seed)
+  t = np.arange(n) / sr
+  y = np.zeros(n, "f")
+  for start in range(0, n, 4000):
+    if rng.rand() > 0.4:
+      f0 = rng.uniform(100, 300)
+      seg = slice(start, min(start + 3000, n))
+      y[seg] += 0.3 * np.sin(2 * np.pi * f0 * t[seg]).astype("f")
+  y += 0.01 * rng.randn(n).astype("f")
+  return y
+
+
+def write_wav(path, y, sr=16000):
+  with wave.open(path, "wb") as w:
+    w.setnchannels(1)
+    w.setsampwidth(2)
+    w.setframerate(sr)
+    w.writeframes((y * 32767).astype(np.int16).tobytes())
+
+
+def standard_pipeline():
+  """The reference's speaker-recognition recipe wiring
+  (``examples/fsdd_ivec.py:80-106``)."""
+  return make_pipeline([
+      AudioReader(sr=16000),
+      PreEmphasis(coeff=0.97),
+      STFTExtractor(frame_length=0.025, step_length=0.010, n_fft=512,
+                    window="hamm", energy=True),
+      PowerSpecExtractor(power=2.0),
+      MelsSpecExtractor(n_mels=24, fmin=64),
+      MFCCsExtractor(n_ceps=20),
+      SADgmm(),
+      AcousticNorm(input_name=("mspec", "mfcc")),
+  ])
+
+
+def test_wav_roundtrip(tmp_path):
+  y = synth_speech()
+  p = str(tmp_path / "a.wav")
+  write_wav(p, y)
+  y2, sr = read_wave(p)
+  assert sr == 16000
+  np.testing.assert_allclose(y2, y, atol=1e-3)
+
+
+def test_pipeline_transform(tmp_path):
+  y = synth_speech()
+  p = str(tmp_path / "a.wav")
+  write_wav(p, y)
+  pipe = standard_pipeline()
+  feat = pipe.transform({"path": p, "name": "a"})
+  assert feat["mspec"].shape[1] == 24
+  assert feat["mfcc"].shape[1] == 20
+  assert feat["sad"].dtype == bool
+  assert len(feat["mspec"]) == len(feat["mfcc"])
+  # MVN applied
+  assert abs(feat["mfcc"].mean()) < 0.3
+
+
+def test_sad_extractors():
+  y = synth_speech()
+  pipe = make_pipeline([
+      AudioReader(sr=16000),
+      STFTExtractor(energy=True),
+  ])
+  feat = pipe.transform({"raw": y, "sr": 16000})
+  sad_t = SADthreshold().transform(feat)["sad"]
+  sad_g = SADgmm().transform(feat)["sad"]
+  for sad in (sad_t, sad_g):
+    frac = sad.mean()
+    assert 0.1 < frac < 0.95, frac
+  applied = ApplyingSAD(input_name=("energy",)).transform(
+      {**feat, "sad": sad_g})
+  assert len(applied["energy"]) == sad_g.sum()
+
+
+def test_delta_extractor():
+  x = RNG.randn(50, 8).astype("f")
+  out = DeltaExtractor(input_name=("m",), order=(0, 1, 2)).transform({"m": x})
+  assert out["m"].shape == (50, 24)
+
+
+def test_feature_processor(tmp_path):
+  wavs = []
+  for i in range(6):
+    p = str(tmp_path / f"utt{i}.wav")
+    write_wav(p, synth_speech(seed=i))
+    wavs.append({"path": p, "name": f"utt{i}"})
+  outdir = str(tmp_path / "features")
+  proc = FeatureProcessor(jobs=wavs, path=outdir,
+                          extractor=standard_pipeline(), ncpu=1)
+  ds = proc.run()
+  assert "mspec" in ds and "indices_mspec" in [
+      f.split(".")[0] for f in ("indices_mspec",)]
+  idx = ds["indices_mspec"]
+  assert len(idx) == 6
+  arr = ds["mspec"]
+  total = sum(e - s for s, e in idx.values())
+  assert arr.shape[0] == total
+  # corpus statistics saved
+  assert os.path.exists(os.path.join(outdir, "mspec_sum1.npy"))
+  report = validate_features(ds, "mspec")
+  assert report["n_utterances"] == 6
+  assert report["n_nan"] == 0
+  pca = calculate_pca(ds, "mspec", n_components=5)
+  assert pca.components_.shape == (5, 24)
+
+
+def test_batch_speech_features_device():
+  utts = [synth_speech(n, seed=i) for i, n in
+          enumerate([16000, 12000, 8000])]
+  feats = batch_speech_features(utts, batch_size=2)
+  assert len(feats) == 3
+  from odin_tpu.ops.features import FeatureConfig
+  cfg = FeatureConfig()
+  for u, f in zip(utts, feats):
+    assert len(f["mspec"]) == cfg.n_frames(len(u))
+    assert f["mfcc"].shape[1] == cfg.n_ceps
+    assert np.isfinite(f["mspec"]).all()
