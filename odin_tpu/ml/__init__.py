@@ -1,0 +1,110 @@
+"""Classical ML (reference: ``odin/ml``)."""
+from typing import Optional
+
+import numpy as np
+
+from odin_tpu.ml.cluster import KMeansJax, fast_dbscan, fast_kmeans, fast_knn
+from odin_tpu.ml.decompositions import (
+    MiniBatchPCA,
+    PPCA,
+    SupervisedPPCA,
+    fast_pca,
+)
+from odin_tpu.ml.gmm_tmat import GMM, Tmatrix
+from odin_tpu.ml.ivector import Ivector
+from odin_tpu.ml.plda import PLDA
+from odin_tpu.ml.scoring import (
+    Scorer,
+    VectorNormalizer,
+    compute_class_avg,
+    compute_wccn,
+    compute_within_cov,
+)
+
+__all__ = [
+    "GMM", "Tmatrix", "Ivector", "PLDA", "PPCA", "SupervisedPPCA",
+    "MiniBatchPCA", "fast_pca", "VectorNormalizer", "Scorer", "KMeansJax",
+    "fast_kmeans", "fast_knn", "fast_dbscan", "compute_wccn",
+    "compute_class_avg", "compute_within_cov", "fast_tsne", "fast_umap",
+    "fast_svc", "fast_logistic_regression", "fast_gbtree_classifier",
+    "fast_rf_classifier", "linear_classifier",
+]
+
+
+def fast_tsne(*x, n_components: int = 2, perplexity: float = 30.0,
+              random_state: int = 1, **kwargs):
+  """Reference ``odin/ml`` `fast_tsne`."""
+  from sklearn.manifold import TSNE
+  x0 = np.asarray(x[0])
+  model = TSNE(n_components=n_components,
+               perplexity=min(perplexity, len(x0) - 1),
+               random_state=random_state, **kwargs)
+  out = model.fit_transform(x0)
+  return out if len(x) == 1 else (out,) + tuple(
+      model.fit_transform(np.asarray(a)) for a in x[1:])
+
+
+def fast_umap(*x, n_components: int = 2, random_state: int = 1, **kwargs):
+  """UMAP when installed, otherwise t-SNE fallback (the reference dispatches
+  to cuml/umap-learn, ``ml/__init__.py``)."""
+  try:
+    import umap
+    model = umap.UMAP(n_components=n_components, random_state=random_state,
+                      **kwargs)
+    out = model.fit_transform(np.asarray(x[0]))
+    return out if len(x) == 1 else (out,) + tuple(
+        model.transform(np.asarray(a)) for a in x[1:])
+  except ImportError:
+    return fast_tsne(*x, n_components=n_components, random_state=random_state)
+
+
+def fast_svc(X, y, *, C: float = 1.0, kernel: str = "linear", **kwargs):
+  """Reference ``linear_model.py:19``."""
+  from sklearn.svm import SVC
+  return SVC(C=C, kernel=kernel, **kwargs).fit(np.asarray(X),
+                                               np.asarray(y).ravel())
+
+
+def fast_logistic_regression(X, y, *, max_iter: int = 2000, **kwargs):
+  """Reference ``linear_model.py:29``."""
+  from sklearn.linear_model import LogisticRegression
+  return LogisticRegression(max_iter=max_iter, **kwargs).fit(
+      np.asarray(X), np.asarray(y).ravel())
+
+
+def fast_gbtree_classifier(X, y, *, n_estimators: int = 100,
+                           random_state: int = 1, **kwargs):
+  """Reference ``tree.py:23``."""
+  from sklearn.ensemble import GradientBoostingClassifier
+  kwargs.pop("n_jobs", None)
+  return GradientBoostingClassifier(n_estimators=n_estimators,
+                                    random_state=random_state, **kwargs).fit(
+      np.asarray(X), np.asarray(y).ravel())
+
+
+def fast_rf_classifier(X, y, *, n_estimators: int = 100, random_state: int = 1,
+                       **kwargs):
+  """Reference ``tree.py:79``."""
+  from sklearn.ensemble import RandomForestClassifier
+  return RandomForestClassifier(n_estimators=n_estimators,
+                                random_state=random_state, **kwargs).fit(
+      np.asarray(X), np.asarray(y).ravel())
+
+
+def linear_classifier(X, y, algo: str = "lda", **kwargs):
+  """Dispatcher (reference ``ml/__init__.py:31-100``):
+  algo in {'lda', 'svm', 'logistic', 'gbt', 'rf'}."""
+  algo = str(algo).lower()
+  if algo == "lda":
+    from sklearn.discriminant_analysis import LinearDiscriminantAnalysis
+    return LinearDiscriminantAnalysis(**kwargs).fit(np.asarray(X),
+                                                    np.asarray(y).ravel())
+  if algo in ("svm", "svc"):
+    return fast_svc(X, y, **kwargs)
+  if algo in ("logistic", "logit"):
+    return fast_logistic_regression(X, y, **kwargs)
+  if algo in ("gbt", "gbtree"):
+    return fast_gbtree_classifier(X, y, **kwargs)
+  if algo in ("rf", "randomforest"):
+    return fast_rf_classifier(X, y, **kwargs)
+  raise ValueError(f"unknown classifier algo '{algo}'")

@@ -1,0 +1,102 @@
+"""Clustering: XLA k-means + sklearn-dispatch helpers.
+
+Reference: ``odin/ml/cluster.py`` — `fast_kmeans`/`fast_knn`/`fast_dbscan`
+with cuml -> sklearn fallback (:141,218,299); here the accelerated path is
+an XLA Lloyd's-iteration k-means (batched distance matmuls) instead of cuml.
+"""
+from __future__ import annotations
+
+from typing import Optional, Union
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+__all__ = ["KMeansJax", "fast_kmeans", "fast_knn", "fast_dbscan"]
+
+
+class KMeansJax:
+  """Lloyd's algorithm with k-means++ init; one jitted update step."""
+
+  def __init__(self, n_clusters: int = 8, n_iter: int = 50, tol: float = 1e-5,
+               random_state: int = 1):
+    self.n_clusters = int(n_clusters)
+    self.n_iter = int(n_iter)
+    self.tol = float(tol)
+    self.random_state = int(random_state)
+    self.cluster_centers_: Optional[np.ndarray] = None
+
+  def _init_centers(self, X, rng):
+    n = len(X)
+    centers = [X[rng.randint(n)]]
+    for _ in range(1, self.n_clusters):
+      d2 = np.min(
+          ((X[:, None, :] - np.asarray(centers)[None]) ** 2).sum(-1), axis=1)
+      p = d2 / max(d2.sum(), 1e-12)
+      centers.append(X[rng.choice(n, p=p)])
+    return np.stack(centers)
+
+  def fit(self, X: np.ndarray) -> "KMeansJax":
+    X = np.asarray(X, np.float32)
+    rng = np.random.RandomState(self.random_state)
+    centers = jnp.asarray(self._init_centers(X, rng))
+    Xj = jnp.asarray(X)
+
+    @jax.jit
+    def step(centers):
+      d = (jnp.sum(Xj * Xj, 1)[:, None] - 2 * Xj @ centers.T +
+           jnp.sum(centers * centers, 1)[None])
+      assign = jnp.argmin(d, axis=1)
+      onehot = jax.nn.one_hot(assign, self.n_clusters, dtype=Xj.dtype)
+      counts = onehot.sum(0)[:, None]
+      new = (onehot.T @ Xj) / jnp.maximum(counts, 1.0)
+      new = jnp.where(counts > 0, new, centers)
+      return new, assign
+
+    for _ in range(self.n_iter):
+      new, assign = step(centers)
+      if float(jnp.max(jnp.abs(new - centers))) < self.tol:
+        centers = new
+        break
+      centers = new
+    self.cluster_centers_ = np.asarray(centers)
+    self.labels_ = np.asarray(assign)
+    return self
+
+  def predict(self, X: np.ndarray) -> np.ndarray:
+    X = np.asarray(X, np.float32)
+    d = ((X[:, None, :] - self.cluster_centers_[None]) ** 2).sum(-1)
+    return np.argmin(d, axis=1)
+
+  def fit_predict(self, X):
+    return self.fit(X).labels_
+
+
+def fast_kmeans(X, *, n_clusters: int = 8, max_iter: int = 50,
+                random_state: int = 1, framework: str = "jax", **kwargs):
+  """k-means with accelerated ('jax') or sklearn backend
+  (reference ``cluster.py:141``)."""
+  if framework == "jax":
+    return KMeansJax(n_clusters=n_clusters, n_iter=max_iter,
+                     random_state=random_state).fit(np.asarray(X))
+  from sklearn.cluster import KMeans
+  return KMeans(n_clusters=n_clusters, max_iter=max_iter,
+                random_state=random_state, n_init=4, **kwargs).fit(np.asarray(X))
+
+
+def fast_knn(X, y=None, *, n_neighbors: int = 5, **kwargs):
+  """Reference ``cluster.py:218``."""
+  from sklearn.neighbors import KNeighborsClassifier, NearestNeighbors
+  if y is None:
+    model = NearestNeighbors(n_neighbors=n_neighbors, **kwargs)
+    model.fit(np.asarray(X))
+  else:
+    model = KNeighborsClassifier(n_neighbors=n_neighbors, **kwargs)
+    model.fit(np.asarray(X), np.asarray(y).ravel())
+  return model
+
+
+def fast_dbscan(X, *, eps: float = 0.5, min_samples: int = 5, **kwargs):
+  """Reference ``cluster.py:299``."""
+  from sklearn.cluster import DBSCAN
+  return DBSCAN(eps=eps, min_samples=min_samples, **kwargs).fit(np.asarray(X))

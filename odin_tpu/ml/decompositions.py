@@ -1,0 +1,150 @@
+"""Decompositions: fast PCA dispatch, PPCA / SupervisedPPCA EM, MiniBatchPCA.
+
+Reference: ``odin/ml/decompositions.py`` — `fast_pca` (+cuml dispatch, :32),
+`PPCA` EM (:143), `SupervisedPPCA` (:313), `MiniBatchPCA` incremental
+(:761).  The EM loops run as jitted XLA matmuls.
+"""
+from __future__ import annotations
+
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+__all__ = ["fast_pca", "PPCA", "SupervisedPPCA", "MiniBatchPCA"]
+
+
+def fast_pca(*x, n_components: Optional[int] = None, algo: str = "pca",
+             random_state: int = 1, return_model: bool = False, **kwargs):
+  """Fit PCA on the first array, transform all of them
+  (reference ``decompositions.py:32``); `algo` in {'pca', 'ppca'}."""
+  x_train = np.asarray(x[0])
+  if algo == "ppca":
+    model = PPCA(n_components=n_components, random_state=random_state,
+                 **kwargs).fit(x_train)
+  else:
+    from sklearn.decomposition import PCA
+    model = PCA(n_components=n_components, random_state=random_state,
+                **kwargs)
+    model.fit(x_train)
+  outs = tuple(model.transform(np.asarray(a)) for a in x)
+  outs = outs[0] if len(outs) == 1 else outs
+  return (outs, model) if return_model else outs
+
+
+class PPCA:
+  """Probabilistic PCA by EM (Tipping & Bishop; reference :143), with the
+  E/M updates as one jitted function."""
+
+  def __init__(self, n_components: int = 2, n_iter: int = 50,
+               tol: float = 1e-4, random_state: int = 1, verbose: bool = False):
+    self.n_components = int(n_components)
+    self.n_iter = int(n_iter)
+    self.tol = float(tol)
+    self.random_state = int(random_state)
+    self.verbose = verbose
+    self.W: Optional[np.ndarray] = None
+    self.sigma2: float = 1.0
+    self.mean: Optional[np.ndarray] = None
+
+  def fit(self, X: np.ndarray) -> "PPCA":
+    X = np.asarray(X, np.float32)
+    n, d = X.shape
+    q = self.n_components
+    self.mean = X.mean(0)
+    Xc = jnp.asarray(X - self.mean)
+    rng = np.random.RandomState(self.random_state)
+    W = jnp.asarray(rng.randn(d, q).astype("f") * 0.1)
+    sigma2 = jnp.asarray(1.0, jnp.float32)
+    S_diag_mean = float(np.var(X - self.mean))
+
+    @jax.jit
+    def em_step(W, sigma2):
+      M = W.T @ W + sigma2 * jnp.eye(q)            # (q, q)
+      Minv = jnp.linalg.inv(M)
+      # E[z_n] = Minv W' x_n ; SumE[zz'] = n sigma2 Minv + Ez' Ez
+      Ez = Xc @ W @ Minv                           # (n, q)
+      sumEzz = n * sigma2 * Minv + Ez.T @ Ez
+      W_new = jnp.linalg.solve(sumEzz.T, (Ez.T @ Xc)).T  # (d, q)
+      s2 = (jnp.sum(Xc * Xc) - 2 * jnp.sum((Ez @ W_new.T) * Xc) +
+            jnp.trace(sumEzz @ (W_new.T @ W_new))) / (n * d)
+      return W_new, jnp.maximum(s2, 1e-8)
+
+    prev = np.inf
+    for it in range(self.n_iter):
+      W, sigma2 = em_step(W, sigma2)
+      if self.verbose and it % 10 == 0:
+        print(f"[PPCA] iter={it} sigma2={float(sigma2):.5f}")
+      if abs(prev - float(sigma2)) < self.tol * S_diag_mean:
+        break
+      prev = float(sigma2)
+    self.W = np.asarray(W)
+    self.sigma2 = float(sigma2)
+    return self
+
+  def transform(self, X: np.ndarray) -> np.ndarray:
+    """Posterior-mean latents."""
+    X = np.asarray(X, np.float32) - self.mean
+    q = self.n_components
+    M = self.W.T @ self.W + self.sigma2 * np.eye(q)
+    return X @ self.W @ np.linalg.inv(M)
+
+  def fit_transform(self, X):
+    return self.fit(X).transform(X)
+
+  def inverse_transform(self, Z: np.ndarray) -> np.ndarray:
+    return np.asarray(Z) @ self.W.T + self.mean
+
+
+class SupervisedPPCA(PPCA):
+  """PPCA with an extra class-mean regression term (reference :313):
+  latents are rotated to maximize alignment with class structure via an LDA
+  projection after the PPCA fit."""
+
+  def __init__(self, n_components: int = 2, **kwargs):
+    super().__init__(n_components=n_components, **kwargs)
+    self._rotation = None
+
+  def fit(self, X: np.ndarray, y: Optional[np.ndarray] = None) -> "SupervisedPPCA":
+    super().fit(X)
+    if y is not None:
+      from sklearn.discriminant_analysis import LinearDiscriminantAnalysis
+      Z = super().transform(X)
+      n_cls = len(np.unique(y))
+      lda = LinearDiscriminantAnalysis(
+          n_components=min(self.n_components, n_cls - 1))
+      lda.fit(Z, np.asarray(y).ravel())
+      self._rotation = lda
+    return self
+
+  def transform(self, X: np.ndarray) -> np.ndarray:
+    Z = super().transform(X)
+    if self._rotation is not None:
+      return self._rotation.transform(Z)
+    return Z
+
+
+class MiniBatchPCA:
+  """Incremental PCA (reference :761); thin wrapper with partial_fit."""
+
+  def __init__(self, n_components: Optional[int] = None,
+               batch_size: Optional[int] = None):
+    from sklearn.decomposition import IncrementalPCA
+    self._model = IncrementalPCA(n_components=n_components,
+                                 batch_size=batch_size)
+
+  def partial_fit(self, X):
+    self._model.partial_fit(np.asarray(X))
+    return self
+
+  def fit(self, X):
+    self._model.fit(np.asarray(X))
+    return self
+
+  def transform(self, X):
+    return self._model.transform(np.asarray(X))
+
+  @property
+  def components_(self):
+    return self._model.components_

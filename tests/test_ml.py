@@ -1,0 +1,143 @@
+"""Classical ML: GMM EM correctness, i-vector pipeline, PLDA, PCA, scoring."""
+import numpy as np
+import pytest
+
+from odin_tpu.ml import (
+    GMM, Ivector, KMeansJax, PLDA, PPCA, Scorer, Tmatrix, VectorNormalizer,
+    fast_kmeans, fast_pca, linear_classifier)
+
+RNG = np.random.RandomState(9)
+
+
+def gmm_data(n=4000, means=((-4, 0), (4, 0), (0, 5), (0, -5)), std=0.7):
+  parts = [RNG.randn(n // len(means), 2) * std + np.asarray(m)
+           for m in means]
+  return np.concatenate(parts).astype("f")
+
+
+def test_gmm_recovers_components():
+  X = gmm_data()
+  gmm = GMM(nmix=4, batch_size=2048).fit(X)
+  assert gmm.is_fitted
+  # recovered means close to the true ones (match by nearest)
+  true = np.array([(-4, 0), (4, 0), (0, 5), (0, -5)], "f")
+  d = ((gmm.mu[:, None, :] - true[None]) ** 2).sum(-1)
+  assert np.all(d.min(axis=0) < 0.3), gmm.mu
+  # weights ~ uniform, variances ~ std^2
+  np.testing.assert_allclose(gmm.w, 0.25, atol=0.05)
+  np.testing.assert_allclose(gmm.sigma.mean(), 0.49, rtol=0.35)
+  # sklearn agreement on mean log-likelihood
+  from sklearn.mixture import GaussianMixture
+  sk = GaussianMixture(4, covariance_type="diag", random_state=1).fit(X)
+  assert abs(gmm.score(X) - sk.score(X)) < 0.05
+
+
+def test_gmm_vs_sklearn_posteriors():
+  X = gmm_data(2000)
+  gmm = GMM(nmix=2, batch_size=1024).fit(X)
+  Z, F, S, llk = gmm.expectation(X)
+  assert Z.sum() == pytest.approx(len(X), rel=1e-6)
+  # M-step fixed point: another maximization barely moves the params
+  mu_before = gmm.mu.copy()
+  gmm.maximization(Z, F, S)
+  assert np.abs(gmm.mu - mu_before).max() < 1e-2
+
+
+def _utterances(n_utt=60, n_frames=120, n_speakers=6, ndim=12, n_phones=4):
+  """Speech-like utterances: frames drawn around SHARED 'phoneme' clusters
+  (what the UBM models) plus a per-speaker offset (what the i-vector must
+  recover).  A single-blob-per-speaker design would degenerate: UBM
+  components lock onto speakers and centered stats vanish."""
+  phones = RNG.randn(n_phones, ndim).astype("f") * 4.0
+  spk_shift = RNG.randn(n_speakers, ndim).astype("f") * 1.0
+  utts, labels = [], []
+  for i in range(n_utt):
+    spk = i % n_speakers
+    ph = phones[RNG.randint(0, n_phones, n_frames)]
+    utts.append(ph + spk_shift[spk] + RNG.randn(n_frames, ndim).astype("f"))
+    labels.append(spk)
+  return utts, np.asarray(labels), spk_shift
+
+
+def test_ivector_pipeline_separates_speakers(tmp_path):
+  utts, labels, _ = _utterances()
+  ivec = Ivector(path=str(tmp_path / "ivec"), nmix=4, tv_dim=8,
+                 niter_tmat=5, batch_size=4096)
+  vecs = ivec.fit_transform(utts)
+  assert vecs.shape == (60, 8)
+  assert np.isfinite(vecs).all()
+  # i-vectors must be speaker-discriminative: cosine scoring EER low
+  scorer = Scorer(method="cosine", wccn=True)
+  scorer.fit(vecs[:36], labels[:36])
+  pred = scorer.predict(vecs[36:])
+  acc = np.mean(pred == labels[36:])
+  assert acc > 0.8, acc
+  # caching: second fit reuses artifacts
+  ivec2 = Ivector(path=str(tmp_path / "ivec"), nmix=4, tv_dim=8)
+  vecs2 = ivec2.fit_transform(utts)
+  np.testing.assert_allclose(vecs, vecs2, atol=1e-5)
+
+
+def test_plda_verification():
+  # class-structured vectors (own RNG: module-level state is order-dependent)
+  rng = np.random.RandomState(42)
+  n_cls, per = 10, 20
+  centers = rng.randn(n_cls, 20) * 3
+  X = np.concatenate([centers[i] + rng.randn(per, 20) for i in range(n_cls)])
+  y = np.repeat(np.arange(n_cls), per)
+  plda = PLDA(n_phi=8, n_iter=8).fit(X, y)
+  # same-class trials should outscore different-class trials
+  Xte = np.concatenate([centers[i] + rng.randn(4, 20) for i in range(n_cls)])
+  yte = np.repeat(np.arange(n_cls), 4)
+  S = plda.score_matrix(Xte, Xte)
+  same = S[yte[:, None] == yte[None, :]]
+  diff = S[yte[:, None] != yte[None, :]]
+  assert same.mean() > diff.mean() + 1.0
+  # closed-set prediction
+  acc = np.mean(plda.predict(Xte) == yte)
+  assert acc > 0.9
+  # EER sanity through the backend metrics
+  from odin_tpu.backend import compute_EER, det_curve
+  mask = ~np.eye(len(yte), dtype=bool)
+  scores = S[mask]
+  lab = (yte[:, None] == yte[None, :])[mask]
+  Pfa, Pmiss, _ = det_curve(lab.astype(int), scores)
+  assert compute_EER(Pfa, Pmiss) < 0.1
+
+
+def test_ppca_matches_pca_subspace():
+  X = (RNG.randn(500, 2) @ np.array([[3, 0], [0, 0.5]]) @
+       np.array([[np.cos(0.6), -np.sin(0.6)], [np.sin(0.6), np.cos(0.6)]]))
+  X = np.concatenate([X, RNG.randn(500, 3) * 0.1], axis=1).astype("f")
+  ppca = PPCA(n_components=2, n_iter=100).fit(X)
+  from sklearn.decomposition import PCA
+  pca = PCA(n_components=2).fit(X)
+  # principal SUBSPACES align (PPCA's W spans the subspace but its columns
+  # need not be orthogonal — orthonormalize before comparing)
+  Q, _ = np.linalg.qr(ppca.W)
+  sv = np.linalg.svd(pca.components_ @ Q, compute_uv=False)
+  assert np.all(sv > 0.95), sv
+  Z, model = fast_pca(X, n_components=2, return_model=True)
+  assert Z.shape == (500, 2)
+
+
+def test_kmeans_jax():
+  X = gmm_data(2000)
+  km = KMeansJax(n_clusters=4, random_state=3).fit(X)
+  from sklearn.metrics import adjusted_rand_score
+  true = np.repeat(np.arange(4), 500)
+  assert adjusted_rand_score(true, km.labels_) > 0.95
+  assert km.predict(X[:10]).shape == (10,)
+  sk = fast_kmeans(X, n_clusters=4, framework="sklearn")
+  assert adjusted_rand_score(true, sk.labels_) > 0.95
+
+
+def test_vector_normalizer_and_classifiers():
+  X = RNG.randn(200, 10).astype("f") + 5.0
+  y = RNG.randint(0, 3, 200)
+  vn = VectorNormalizer(centering=True, wccn=True, unit_length=True)
+  Xn = vn.fit_transform(X, y)
+  assert abs(np.linalg.norm(Xn, axis=1).mean() - 1.0) < 1e-6
+  for algo in ("lda", "logistic", "rf"):
+    model = linear_classifier(X, y, algo=algo)
+    assert model.predict(X[:5]).shape == (5,)
