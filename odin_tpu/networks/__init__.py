@@ -17,7 +17,46 @@ from odin_tpu.networks.base import (
     dense_network,
     get_activation,
 )
+from odin_tpu.networks.attention import (
+    Attention,
+    AttentionMechanism,
+    GlobalAttention,
+    LocalPredictiveAttention,
+    MultiHeadAttention,
+    SelfAttention,
+)
 from odin_tpu.networks.image_networks import (
     get_networks,
     get_optimizer_info,
+)
+from odin_tpu.networks.resnets import (
+    DownSample,
+    MaskedConv2D,
+    PixelCNNDecoder,
+    ResidualBlock,
+    ResidualSequential,
+    SqueezeExcitation,
+    UpSample,
+)
+from odin_tpu.networks.time_delay import (
+    StatsPool,
+    TimeDelay,
+    TimeDelayConv,
+    TimeDelayConvTied,
+    TimeDelayDense,
+    XVectorNet,
+)
+from odin_tpu.networks.util_layers import (
+    GRU,
+    LSTM,
+    BatchRenormalization,
+    ConditionalEmbedding,
+    ConditionalProjection,
+    Conv1DTranspose,
+    ExpandDims,
+    Identity,
+    ParallelNetwork,
+    PositionalEncoder,
+    Reduce,
+    SkipConnection,
 )

@@ -1,0 +1,154 @@
+"""Residual blocks, squeeze-excitation, masked (PixelCNN) convolutions.
+
+Reference: ``odin/networks/resnets.py:36-718`` — `ResidualSequential`,
+squeeze-excitation, `MaskedConv2D` (pixelcnn), up/down-sampling blocks.
+"""
+from __future__ import annotations
+
+from typing import Optional, Sequence, Tuple
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from odin_tpu.networks.base import get_activation
+
+__all__ = ["SqueezeExcitation", "ResidualBlock", "ResidualSequential",
+           "MaskedConv2D", "DownSample", "UpSample", "PixelCNNDecoder"]
+
+
+class SqueezeExcitation(nn.Module):
+  """SE channel gating (reference resnets.py)."""
+
+  ratio: int = 4
+
+  @nn.compact
+  def __call__(self, x, training: bool = False):
+    c = x.shape[-1]
+    s = jnp.mean(x, axis=(1, 2))                       # (B, C)
+    s = jax.nn.relu(nn.Dense(max(c // self.ratio, 1))(s))
+    s = jax.nn.sigmoid(nn.Dense(c)(s))
+    return x * s[:, None, None, :]
+
+
+class ResidualBlock(nn.Module):
+  """conv-act-conv + skip, optional SE and projection shortcut."""
+
+  filters: int
+  kernel_size: int = 3
+  strides: int = 1
+  activation: str = "relu"
+  use_se: bool = False
+  batchnorm: bool = False
+
+  @nn.compact
+  def __call__(self, x, training: bool = False):
+    act = get_activation(self.activation)
+    k = (self.kernel_size, self.kernel_size)
+    h = nn.Conv(self.filters, k, strides=(self.strides, self.strides),
+                padding="SAME")(x)
+    if self.batchnorm:
+      h = nn.BatchNorm(use_running_average=not training)(h)
+    h = act(h)
+    h = nn.Conv(self.filters, k, padding="SAME")(h)
+    if self.batchnorm:
+      h = nn.BatchNorm(use_running_average=not training)(h)
+    if self.use_se:
+      h = SqueezeExcitation()(h, training=training)
+    if x.shape[-1] != self.filters or self.strides != 1:
+      x = nn.Conv(self.filters, (1, 1),
+                  strides=(self.strides, self.strides))(x)
+    return act(x + h)
+
+
+class ResidualSequential(nn.Module):
+  """Stack of residual blocks (reference `ResidualSequential`)."""
+
+  filters: Sequence[int] = (64, 64)
+  kernel_size: int = 3
+  strides: Sequence[int] = None
+  activation: str = "relu"
+  use_se: bool = False
+
+  @nn.compact
+  def __call__(self, x, training: bool = False):
+    strides = self.strides or [1] * len(self.filters)
+    for f, s in zip(self.filters, strides):
+      x = ResidualBlock(int(f), self.kernel_size, int(s), self.activation,
+                        self.use_se)(x, training=training)
+    return x
+
+
+class MaskedConv2D(nn.Module):
+  """PixelCNN masked convolution, mask type 'A' (excludes center) or 'B'
+  (reference `MaskedConv2D`)."""
+
+  filters: int
+  kernel_size: int = 3
+  mask_type: str = "A"
+
+  @nn.compact
+  def __call__(self, x, training: bool = False):
+    k = self.kernel_size
+    kernel = self.param("kernel", nn.initializers.he_normal(),
+                        (k, k, x.shape[-1], self.filters))
+    bias = self.param("bias", nn.initializers.zeros, (self.filters,))
+    mask = np.ones((k, k, 1, 1), np.float32)
+    mask[k // 2, k // 2 + (1 if self.mask_type == "B" else 0):] = 0.0
+    mask[k // 2 + 1:] = 0.0
+    y = jax.lax.conv_general_dilated(
+        x, kernel * jnp.asarray(mask), window_strides=(1, 1), padding="SAME",
+        dimension_numbers=("NHWC", "HWIO", "NHWC"))
+    return y + bias
+
+
+class DownSample(nn.Module):
+  """Strided-conv downsampling block."""
+
+  filters: int
+  factor: int = 2
+  activation: str = "relu"
+
+  @nn.compact
+  def __call__(self, x, training: bool = False):
+    y = nn.Conv(self.filters, (self.factor * 2, self.factor * 2),
+                strides=(self.factor, self.factor), padding="SAME")(x)
+    return get_activation(self.activation)(y)
+
+
+class UpSample(nn.Module):
+  """Transposed-conv upsampling block."""
+
+  filters: int
+  factor: int = 2
+  activation: str = "relu"
+
+  @nn.compact
+  def __call__(self, x, training: bool = False):
+    y = nn.ConvTranspose(self.filters, (self.factor * 2, self.factor * 2),
+                         strides=(self.factor, self.factor), padding="SAME")(x)
+    return get_activation(self.activation)(y)
+
+
+class PixelCNNDecoder(nn.Module):
+  """Small PixelCNN decoder head for CIFAR VAEs
+  (reference ``image_networks.py:303`` `PixelCNNDecoder`): latent -> spatial
+  tanh projection -> masked conv stack -> likelihood params."""
+
+  output_shape: Tuple[int, int, int] = (32, 32, 3)
+  n_filters: int = 32
+  n_layers: int = 4
+  n_params: int = 2
+
+  @nn.compact
+  def __call__(self, z, training: bool = False):
+    h, w, c = self.output_shape
+    x = jnp.tanh(nn.Dense(h * w * c, name="decoder0")(z))
+    x = x.reshape(-1, h, w, c)
+    y = MaskedConv2D(self.n_filters, 7, mask_type="A")(x)
+    for i in range(self.n_layers):
+      y = jax.nn.relu(y)
+      y = MaskedConv2D(self.n_filters, 3, mask_type="B")(y)
+    y = jax.nn.relu(y)
+    return nn.Conv(c * self.n_params, (1, 1))(y)

@@ -1,0 +1,98 @@
+"""Statistics helpers (reference: ``odin/stats.py``, 521 LoC).
+
+`train_valid_test_split` (:103), `freqcount`, `describe`/`summary` (:476),
+`sampling_iter` (:263).
+"""
+from __future__ import annotations
+
+from collections import Counter
+from typing import Any, Callable, Dict, Iterable, Iterator, Optional, Sequence, Tuple, Union
+
+import numpy as np
+
+__all__ = ["train_valid_test_split", "freqcount", "describe", "summary",
+           "sampling_iter"]
+
+
+def train_valid_test_split(x: Sequence,
+                           train: float = 0.6,
+                           valid: Optional[float] = None,
+                           inc_test: bool = True,
+                           idfunc: Optional[Callable] = None,
+                           seed: int = 1):
+  """Split a sequence into train/valid(/test) partitions
+  (reference ``stats.py:103``).  With `idfunc`, items sharing an id stay in
+  the same partition (speaker-disjoint splits)."""
+  x = list(x)
+  rng = np.random.RandomState(seed)
+  if idfunc is not None:
+    groups: Dict[Any, list] = {}
+    for item in x:
+      groups.setdefault(idfunc(item), []).append(item)
+    keys = list(groups.keys())
+    rng.shuffle(keys)
+    units: Sequence = keys
+  else:
+    units = list(range(len(x)))
+    rng.shuffle(units)
+  n = len(units)
+  n_train = int(round(train * n))
+  if valid is None:
+    valid = (1.0 - train) / (2 if inc_test else 1)
+  n_valid = int(round(valid * n))
+
+  def gather(sel):
+    if idfunc is None:
+      return [x[i] for i in sel]
+    return [item for k in sel for item in groups[k]]
+
+  train_set = gather(units[:n_train])
+  valid_set = gather(units[n_train:n_train + n_valid])
+  if not inc_test:
+    return train_set, valid_set
+  test_set = gather(units[n_train + n_valid:])
+  return train_set, valid_set, test_set
+
+
+def freqcount(x: Iterable, key: Optional[Callable] = None,
+              sorting: Optional[str] = None) -> Dict[Any, int]:
+  """Frequency count dict (reference `freqcount`)."""
+  counts = Counter(key(i) if key else i for i in x)
+  if sorting == "asc":
+    return dict(sorted(counts.items(), key=lambda kv: kv[1]))
+  if sorting in ("desc", "dsc"):
+    return dict(sorted(counts.items(), key=lambda kv: -kv[1]))
+  return dict(counts)
+
+
+def describe(x, shorten: bool = False) -> str:
+  """Stats summary string (reference ``stats.py:476``)."""
+  x = np.asarray(x)
+  stats = dict(shape=tuple(x.shape), dtype=str(x.dtype),
+               min=float(np.min(x)), max=float(np.max(x)),
+               mean=float(np.mean(x)), std=float(np.std(x)),
+               median=float(np.median(x)),
+               n_nan=int(np.isnan(x).sum()) if x.dtype.kind == "f" else 0)
+  if shorten:
+    return (f"[{stats['shape']}|{stats['dtype']}] "
+            f"{stats['min']:.3g}..{stats['max']:.3g} "
+            f"mu={stats['mean']:.3g} sd={stats['std']:.3g}")
+  return "\n".join(f"{k:>8s}: {v}" for k, v in stats.items())
+
+
+summary = describe
+
+
+def sampling_iter(it: Iterable, k: int, seed: int = 1) -> list:
+  """Reservoir sampling of k items from an iterable of unknown length
+  (reference ``stats.py:263``)."""
+  rng = np.random.RandomState(seed)
+  reservoir: list = []
+  for i, item in enumerate(it):
+    if i < k:
+      reservoir.append(item)
+    else:
+      j = rng.randint(0, i + 1)
+      if j < k:
+        reservoir[j] = item
+  return reservoir

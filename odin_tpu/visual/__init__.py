@@ -1,0 +1,223 @@
+"""Plotting helpers (reference: ``odin/visual``, 4,538 LoC).
+
+`plot_images` (``figures.py:816``), `plot_spectrogram` (:725), DET curves
+(:1008), `plot_save` multipage pdf (:1286), heatmaps, terminal ASCII plots
+(``bashplot.py:196,299``), and the `Visualizer` mixin (``base.py``).
+All matplotlib use is lazy + Agg so headless runs never fail.
+"""
+from __future__ import annotations
+
+import math
+from typing import Any, Dict, List, Optional, Sequence, Union
+
+import numpy as np
+
+__all__ = [
+    "plot_images", "plot_spectrogram", "plot_heatmap", "plot_det_curve",
+    "plot_scatter", "plot_histogram", "plot_save", "print_dist",
+    "print_confusion", "print_hist", "Visualizer", "to_axis",
+]
+
+_FIGURES: List = []
+
+
+def _plt():
+  import matplotlib
+  matplotlib.use("Agg")
+  import matplotlib.pyplot as plt
+  return plt
+
+
+def to_axis(ax=None, figsize=(6, 5)):
+  plt = _plt()
+  if ax is None:
+    _, ax = plt.subplots(figsize=figsize)
+  return ax
+
+
+def plot_images(images: np.ndarray, grids: Optional[tuple] = None,
+                title: Optional[str] = None, ax=None, fig=None):
+  """Grid of images (reference ``figures.py:816``)."""
+  plt = _plt()
+  images = np.asarray(images)
+  if images.ndim == 3:
+    images = images[..., None]
+  n = len(images)
+  if grids is None:
+    c = int(math.ceil(math.sqrt(n)))
+    grids = (int(math.ceil(n / c)), c)
+  fig = fig or plt.figure(figsize=(grids[1] * 1.5, grids[0] * 1.5))
+  for i in range(n):
+    axi = fig.add_subplot(grids[0], grids[1], i + 1)
+    img = images[i]
+    axi.imshow(img.squeeze(), cmap="gray" if img.shape[-1] == 1 else None)
+    axi.axis("off")
+  if title:
+    fig.suptitle(title)
+  _FIGURES.append(fig)
+  return fig
+
+
+def plot_spectrogram(spec: np.ndarray, sr: int = 16000, hop: int = 160,
+                     ax=None, title: Optional[str] = None):
+  """Log-spectrogram heatmap (reference ``figures.py:725``)."""
+  ax = to_axis(ax)
+  spec = np.asarray(spec)
+  ax.imshow(spec.T, origin="lower", aspect="auto", cmap="magma",
+            extent=[0, len(spec) * hop / sr, 0, spec.shape[1]])
+  ax.set_xlabel("time (s)")
+  ax.set_ylabel("bins")
+  if title:
+    ax.set_title(title)
+  _FIGURES.append(ax.figure)
+  return ax
+
+
+def plot_heatmap(mat: np.ndarray, row_labels=None, col_labels=None, ax=None,
+                 annotate: bool = False, cmap: str = "RdBu_r", title=None):
+  """Annotated heatmap (reference ``heatmap_plot.py``)."""
+  ax = to_axis(ax)
+  mat = np.asarray(mat)
+  vmax = np.abs(mat).max() or 1.0
+  im = ax.imshow(mat, cmap=cmap, vmin=-vmax, vmax=vmax, aspect="auto")
+  if col_labels is not None:
+    ax.set_xticks(range(len(col_labels)))
+    ax.set_xticklabels(col_labels, rotation=45, ha="right")
+  if row_labels is not None:
+    ax.set_yticks(range(len(row_labels)))
+    ax.set_yticklabels(row_labels)
+  if annotate:
+    for i in range(mat.shape[0]):
+      for j in range(mat.shape[1]):
+        ax.text(j, i, f"{mat[i, j]:.2f}", ha="center", va="center",
+                fontsize=7)
+  ax.figure.colorbar(im, ax=ax)
+  if title:
+    ax.set_title(title)
+  _FIGURES.append(ax.figure)
+  return ax
+
+
+def plot_det_curve(Pfa: np.ndarray, Pmiss: np.ndarray, ax=None, label=None):
+  """DET curve in normal-deviate scale (reference ``figures.py:1008``)."""
+  from scipy.stats import norm
+  ax = to_axis(ax)
+  eps = 1e-6
+  x = norm.ppf(np.clip(Pfa, eps, 1 - eps))
+  y = norm.ppf(np.clip(Pmiss, eps, 1 - eps))
+  ax.plot(x, y, label=label)
+  ticks = np.array([0.001, 0.01, 0.05, 0.2, 0.5])
+  ax.set_xticks(norm.ppf(ticks))
+  ax.set_xticklabels([f"{t:g}" for t in ticks])
+  ax.set_yticks(norm.ppf(ticks))
+  ax.set_yticklabels([f"{t:g}" for t in ticks])
+  ax.set_xlabel("false alarm rate")
+  ax.set_ylabel("miss rate")
+  if label:
+    ax.legend()
+  _FIGURES.append(ax.figure)
+  return ax
+
+
+def plot_scatter(x, y=None, color=None, ax=None, title=None, s=8):
+  ax = to_axis(ax)
+  x = np.asarray(x)
+  if y is None and x.ndim == 2:
+    x, y = x[:, 0], x[:, 1]
+  sc = ax.scatter(x, y, c=color, s=s, cmap="tab10")
+  if color is not None:
+    ax.figure.colorbar(sc, ax=ax)
+  if title:
+    ax.set_title(title)
+  _FIGURES.append(ax.figure)
+  return ax
+
+
+def plot_histogram(x, bins: int = 40, ax=None, title=None):
+  ax = to_axis(ax)
+  ax.hist(np.asarray(x).ravel(), bins=bins)
+  if title:
+    ax.set_title(title)
+  _FIGURES.append(ax.figure)
+  return ax
+
+
+def plot_save(path: str = "figures.pdf", figs: Optional[Sequence] = None,
+              dpi: int = 120, clear_all: bool = True):
+  """Save accumulated figures to a multipage pdf
+  (reference ``figures.py:1286``)."""
+  plt = _plt()
+  from matplotlib.backends.backend_pdf import PdfPages
+  figs = list(figs) if figs is not None else list(dict.fromkeys(_FIGURES))
+  with PdfPages(path) as pdf:
+    for fig in figs:
+      pdf.savefig(fig, dpi=dpi)
+  if clear_all:
+    for fig in figs:
+      plt.close(fig)
+    _FIGURES.clear()
+  return path
+
+
+# ---------------------------------------------------------------------------
+# terminal (ASCII) plots — reference ``bashplot.py``
+# ---------------------------------------------------------------------------
+def print_dist(d: Dict[Any, float], height: int = 10, width: int = 40) -> str:
+  """ASCII bar chart of a {label: count} distribution
+  (reference ``bashplot.py:196``)."""
+  if not d:
+    return ""
+  keys = list(d.keys())
+  vals = np.asarray([d[k] for k in keys], np.float64)
+  top = vals.max() or 1.0
+  lines = []
+  for k, v in zip(keys, vals):
+    bar = "#" * int(round(v / top * width))
+    lines.append(f"{str(k)[:12]:>12s} | {bar} {v:g}")
+  out = "\n".join(lines)
+  print(out)
+  return out
+
+
+def print_hist(x, bins: int = 20, width: int = 40) -> str:
+  """ASCII histogram (reference ``bashplot.py:299``)."""
+  x = np.asarray(x).ravel()
+  counts, edges = np.histogram(x, bins=bins)
+  return print_dist({f"{edges[i]:.2f}": c for i, c in enumerate(counts)},
+                    width=width)
+
+
+def print_confusion(cm: np.ndarray, labels: Optional[Sequence[str]] = None) -> str:
+  """ASCII confusion matrix (reference ``bashplot.py``)."""
+  cm = np.asarray(cm)
+  labels = labels or [str(i) for i in range(cm.shape[0])]
+  w = max(max(len(str(l)) for l in labels), 6)
+  header = " " * w + " " + " ".join(f"{l:>{w}s}" for l in labels)
+  lines = [header]
+  for i, l in enumerate(labels):
+    row = " ".join(f"{cm[i, j]:>{w}.2g}" for j in range(cm.shape[1]))
+    lines.append(f"{l:>{w}s} {row}")
+  out = "\n".join(lines)
+  print(out)
+  return out
+
+
+class Visualizer:
+  """Mixin collecting named figures and saving them at once
+  (reference ``visual/base.py``)."""
+
+  def __init__(self):
+    self._figures: Dict[str, Any] = {}
+
+  def add_figure(self, name: str, fig) -> "Visualizer":
+    if not hasattr(self, "_figures"):
+      self._figures = {}
+    self._figures[name] = fig
+    return self
+
+  def save_figures(self, path: str = "figures.pdf", clear: bool = True):
+    figs = list(getattr(self, "_figures", {}).values())
+    out = plot_save(path, figs=figs, clear_all=False)
+    if clear:
+      self._figures = {}
+    return out

@@ -1,0 +1,90 @@
+"""Support packages: experimenter, scoreboard, stats, visual, explain."""
+import os
+
+import numpy as np
+import pytest
+
+from odin_tpu.training import ScoreBoard, hash_config, parse_config, run_hydra
+from odin_tpu.stats import (describe, freqcount, sampling_iter,
+                            train_valid_test_split)
+from odin_tpu.visual import (Visualizer, plot_det_curve, plot_heatmap,
+                             plot_images, plot_save, print_confusion,
+                             print_dist)
+
+
+def test_run_hydra_multirun(tmp_path):
+  calls = []
+
+  @run_hydra(output_dir=str(tmp_path), config={"lr": 1e-3, "model": "vae"})
+  def main(cfg):
+    calls.append((cfg.lr, cfg.model, cfg.output_dir))
+    return cfg.lr
+
+  out = main(["lr=0.01,0.001", "model=beta"])
+  assert out == [0.01, 0.001]
+  assert len({c[2] for c in calls}) == 2  # distinct output dirs
+  assert all(c[1] == "beta" for c in calls)
+  # config parsing + stable hash
+  assert parse_config("x: 3\ny: true") == {"x": 3, "y": True}
+  assert hash_config({"a": 1}) == hash_config({"a": 1})
+  assert hash_config({"a": 1}) != hash_config({"a": 2})
+
+
+def test_scoreboard(tmp_path):
+  sb = ScoreBoard(str(tmp_path / "scores.db"))
+  sb.write("results", unique=["model"], model="vae", mig=0.1)
+  sb.write("results", unique=["model"], model="vae", mig=0.3)  # replace
+  sb.write("results", model="beta", mig=0.2, notes={"k": 1})
+  rows = sb.select("results", order_by="mig")
+  assert [(r["model"], r["mig"]) for r in rows] == [("beta", 0.2),
+                                                    ("vae", 0.3)]
+  assert sb.select("results", where={"model": "vae"})[0]["mig"] == 0.3
+  assert "results" in sb.tables()
+  assert sb.select("missing_table") == []
+
+
+def test_stats_helpers():
+  tr, va, te = train_valid_test_split(list(range(100)), train=0.6, seed=2)
+  assert (len(tr), len(va), len(te)) == (60, 20, 20)
+  assert not set(tr) & set(va) and not set(va) & set(te)
+  # group-disjoint split
+  items = [(i, i % 10) for i in range(100)]
+  tr2, va2, te2 = train_valid_test_split(items, train=0.6,
+                                         idfunc=lambda t: t[1], seed=2)
+  groups = lambda s: {g for _, g in s}
+  assert not groups(tr2) & groups(va2)
+  assert freqcount("abbccc") == {"a": 1, "b": 2, "c": 3}
+  assert len(sampling_iter(range(1000), 7)) == 7
+  assert "mu=4.5" in describe(np.arange(10.0), shorten=True)
+
+
+def test_visual(tmp_path):
+  plot_images(np.random.rand(4, 8, 8, 1), title="x")
+  plot_heatmap(np.random.randn(3, 4), annotate=True)
+  from odin_tpu.backend import det_curve
+  s = np.r_[np.random.randn(50) + 1, np.random.randn(50)]
+  l = np.r_[np.ones(50), np.zeros(50)]
+  plot_det_curve(*det_curve(l, s)[:2])
+  p = plot_save(str(tmp_path / "f.pdf"))
+  assert os.path.getsize(p) > 1000
+  out = print_dist({"a": 3, "b": 1})
+  assert "###" in out
+  cm = print_confusion(np.eye(3))
+  assert "1" in cm
+  v = Visualizer()
+  v.add_figure("h", plot_heatmap(np.eye(2)).figure)
+  assert os.path.exists(v.save_figures(str(tmp_path / "v.pdf")))
+
+
+def test_explain():
+  from odin_tpu.networks import get_networks
+  from odin_tpu.bay.vi import BetaVAE
+  from odin_tpu.explain import AdversarialAttack, DeepDream, fgsm_attack
+  vae = BetaVAE(**get_networks("halfmoons", zdim=2)).build()
+  X = np.random.RandomState(0).rand(8, 2).astype("f")
+  adv = AdversarialAttack(vae, epsilon=0.05).attack(X)
+  assert adv.shape == X.shape
+  delta = np.abs(adv - X)
+  assert delta.max() <= 0.05 + 1e-6 and delta.max() > 0
+  dd = DeepDream(lambda x: vae.encode(x).mean(), n_steps=3).dream(X)
+  assert dd.shape == X.shape
