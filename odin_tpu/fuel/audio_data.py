@@ -1,0 +1,116 @@
+"""AudioFeatureLoader — dataset factory producing framed audio features.
+
+Reference: ``odin/fuel/audio_data.py:17-80`` — a tf.signal STFT/mel/MFCC
+dataset factory (frame_length/step, mel bins, top_dB) over audio archives.
+TPU version: wav files (or raw arrays) -> fused device feature pipeline
+(``odin_tpu.ops.features``) -> DataPipeline of fixed-shape feature batches.
+"""
+from __future__ import annotations
+
+import os
+from typing import List, Optional, Sequence, Tuple, Union
+
+import numpy as np
+
+from odin_tpu.fuel.dataset_base import IterableDataset, get_partition
+from odin_tpu.fuel.pipeline import DataPipeline
+
+__all__ = ["AudioFeatureLoader"]
+
+
+class AudioFeatureLoader(IterableDataset):
+  """Load utterances, extract fused features, serve batches.
+
+  Args mirror the reference's (frame_length/frame_step in samples, n_mels,
+  top_db); `dataset` is a list of wav paths, a directory, or a list of
+  (array, sr) tuples.
+  """
+
+  def __init__(self,
+               dataset: Union[str, Sequence],
+               sr: int = 16000,
+               frame_length: int = 400,
+               frame_step: int = 160,
+               n_fft: int = 512,
+               n_mels: int = 40,
+               n_ceps: int = 20,
+               fmin: float = 64.0,
+               fmax: Optional[float] = None,
+               top_db: float = 80.0,
+               feature: str = "mspec",
+               labels: Optional[Sequence] = None,
+               max_duration: float = 4.0,
+               seed: int = 1):
+    super().__init__(seed=seed)
+    from odin_tpu.ops.features import FeatureConfig
+    self.config = FeatureConfig(sr=sr, frame_length=frame_length,
+                                step_length=frame_step, n_fft=n_fft,
+                                n_mels=n_mels, n_ceps=n_ceps, fmin=fmin,
+                                fmax=fmax, top_db=top_db)
+    self.feature = feature
+    self.max_samples = int(max_duration * sr)
+    if isinstance(dataset, str):
+      paths = sorted(os.path.join(dataset, f) for f in os.listdir(dataset)
+                     if f.lower().endswith(".wav"))
+      self._items: List = paths
+    else:
+      self._items = list(dataset)
+    self._labels = np.asarray(labels) if labels is not None else None
+    self._cache = None
+
+  @property
+  def name(self):
+    return "audiofeatures"
+
+  @property
+  def shape(self):
+    n_frames = self.config.n_frames(self.max_samples)
+    dim = {"mspec": self.config.n_mels, "mspec_cmvn": self.config.n_mels,
+           "mfcc": self.config.n_ceps, "mfcc_cmvn": self.config.n_ceps,
+           "spec": self.config.n_fft // 2 + 1}[self.feature]
+    return (n_frames, dim)
+
+  def _load_audio(self, item) -> np.ndarray:
+    from odin_tpu.preprocessing.speech import read_wave
+    if isinstance(item, str):
+      y, sr = read_wave(item)
+    elif isinstance(item, (tuple, list)):
+      y, sr = np.asarray(item[0]), int(item[1])
+    else:
+      y, sr = np.asarray(item), self.config.sr
+    if sr != self.config.sr:
+      from math import gcd
+      from scipy.signal import resample_poly
+      g = gcd(self.config.sr, sr)
+      y = resample_poly(y, self.config.sr // g, sr // g)
+    return np.asarray(y, np.float32)
+
+  def _extract(self) -> Tuple[np.ndarray, Optional[np.ndarray]]:
+    if self._cache is None:
+      import jax
+      import jax.numpy as jnp
+      from odin_tpu.ops.features import speech_features
+      T = self.max_samples
+      batch = np.zeros((len(self._items), T), np.float32)
+      lengths = np.zeros(len(self._items), np.int32)
+      for i, item in enumerate(self._items):
+        y = self._load_audio(item)[:T]
+        batch[i, :len(y)] = y
+        lengths[i] = len(y)
+      fn = jax.jit(lambda a, l: speech_features(a, self.config, lengths=l))
+      feats = {}
+      bs = 64
+      chunks = []
+      for i in range(0, len(batch), bs):
+        out = fn(jnp.asarray(batch[i:i + bs]), jnp.asarray(lengths[i:i + bs]))
+        chunks.append(np.asarray(out[self.feature]))
+      self._cache = np.concatenate(chunks, 0)
+    return self._cache, self._labels
+
+  def _load(self, partition: str):
+    x, y = self._extract()
+    n = len(x)
+    sl = get_partition(partition, train=slice(0, int(0.8 * n)),
+                       valid=slice(int(0.8 * n), int(0.9 * n)),
+                       test=slice(int(0.9 * n), n), all=slice(None))
+    return x[sl], (y[sl] if y is not None else None)

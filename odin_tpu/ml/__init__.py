@@ -10,6 +10,11 @@ from odin_tpu.ml.decompositions import (
     SupervisedPPCA,
     fast_pca,
 )
+from odin_tpu.ml.gmm_embedding import (
+    GMMThreshold,
+    GMMclassifier,
+    ProbabilisticEmbedding,
+)
 from odin_tpu.ml.gmm_tmat import GMM, Tmatrix
 from odin_tpu.ml.ivector import Ivector
 from odin_tpu.ml.plda import PLDA

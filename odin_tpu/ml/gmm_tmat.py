@@ -126,6 +126,49 @@ class GMM:
       llk += float(l)
     return Z, F, S, llk
 
+  def expectation_sharded(self, X: np.ndarray,
+                          mesh=None) -> Tuple[np.ndarray, ...]:
+    """Mesh-parallel E-step: frames sharded over the 'data' axis, sufficient
+    statistics psum-reduced across chips — the TPU-native replacement for
+    the reference's CPU-process/GPU `_split_jobs` dispatch
+    (``gmm_tmat.py:102-133``; see SURVEY.md §2.1 TPU mapping)."""
+    from jax.sharding import PartitionSpec as P
+    from jax.experimental.shard_map import shard_map
+    mesh = mesh or parallel.default_mesh()
+    n_dev = mesh.devices.size
+    mu = jnp.asarray(self.mu, jnp.float32)
+    sigma = jnp.asarray(self.sigma, jnp.float32)
+    logw = jnp.log(jnp.asarray(self.w, jnp.float32))[None, :]
+    estep = self._estep_fn or self._build_estep()
+
+    def local_stats(x):
+      z, f, s, llk = estep(x, mu, sigma, logw)
+      z = jax.lax.psum(z, "data")
+      f = jax.lax.psum(f, "data")
+      s = jax.lax.psum(s, "data")
+      llk = jax.lax.psum(llk, "data")
+      return z, f, s, llk
+
+    sharded = jax.jit(shard_map(
+        local_stats, mesh=mesh,
+        in_specs=P("data", None),
+        out_specs=(P(), P(), P(), P())))
+    X = np.asarray(X, np.float32)
+    pad = (-len(X)) % n_dev
+    if pad:
+      # padding frames are given zero weight by appending -inf-energy rows?
+      # simplest exact approach: process the remainder separately
+      X_main, X_rest = X[:len(X) - (len(X) % n_dev)], X[len(X) - (len(X) % n_dev):]
+    else:
+      X_main, X_rest = X, X[:0]
+    Z, F, S, llk = (np.asarray(a, np.float64)
+                    for a in sharded(jnp.asarray(X_main)))
+    llk = float(llk)
+    if len(X_rest):
+      z2, f2, s2, l2 = self.expectation(X_rest)
+      Z, F, S, llk = Z + z2, F + f2, S + s2, llk + l2
+    return Z, F, S, llk
+
   def maximization(self, Z, F, S, floor_const: Optional[float] = None):
     """Closed-form M-step + variance flooring (reference :1233-1276)."""
     iZ = 1.0 / np.maximum(Z[:, None], EPS)
