@@ -91,12 +91,19 @@ class AudioFeatureLoader(IterableDataset):
       import jax.numpy as jnp
       from odin_tpu.ops.features import speech_features
       T = self.max_samples
-      batch = np.zeros((len(self._items), T), np.float32)
-      lengths = np.zeros(len(self._items), np.int32)
-      for i, item in enumerate(self._items):
-        y = self._load_audio(item)[:T]
-        batch[i, :len(y)] = y
-        lengths[i] = len(y)
+      if all(isinstance(i, str) for i in self._items):
+        # native ingest: C++ decode + pack straight into the padded block
+        from odin_tpu.native import pack_batch
+        batch, lengths, srs = pack_batch(list(self._items), T)
+        if not all(s in (0, self.config.sr) for s in srs):
+          raise ValueError("sample-rate mismatch in corpus; resample first")
+      else:
+        batch = np.zeros((len(self._items), T), np.float32)
+        lengths = np.zeros(len(self._items), np.int32)
+        for i, item in enumerate(self._items):
+          y = self._load_audio(item)[:T]
+          batch[i, :len(y)] = y
+          lengths[i] = len(y)
       fn = jax.jit(lambda a, l: speech_features(a, self.config, lengths=l))
       feats = {}
       bs = 64
