@@ -48,7 +48,8 @@ def read_wave(path_or_bytes) -> Tuple[np.ndarray, int]:
   if width == 1:
     y = (y - 128.0) / 128.0
   else:
-    y = y / float(np.iinfo(dtype).max)
+    # divide by 2^(bits-1) (matches the native decoder and libsndfile)
+    y = y / float(np.iinfo(dtype).max + 1)
   if channels > 1:
     y = y.reshape(-1, channels)
   return y, sr
