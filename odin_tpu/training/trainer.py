@@ -196,7 +196,10 @@ class Trainer:
         break
     self.total_time = time.time() - t_start
     _CURRENT_TRAINER = None
-    return state
+    # pull the final state to host: downstream host-facing use (encode/
+    # decode/Gym, op-by-op) must not mix mesh-replicated params with
+    # single-device inputs — that deadlocks XLA CPU collectives
+    return jax.device_get(state)
 
   def validate(self, valid_ds, eval_fn, state, mesh=None) -> Dict[str, float]:
     """Average eval_fn metrics over the validation set
