@@ -14,8 +14,9 @@ import numpy as np
 
 CPU_BASELINE_STEPS_PER_SEC = 0.135  # measured: 1-core CPU, batch 64, zdim 10
 BATCH = 64
-WARMUP = 3
-STEPS = 30
+SCAN_STEPS = 100  # optimizer updates fused per device call (lax.scan)
+WARMUP = 1
+CALLS = 4
 
 
 def main():
@@ -24,21 +25,28 @@ def main():
   from odin_tpu import parallel
   from odin_tpu.bay.vi import BetaVAE
   from odin_tpu.networks import get_networks
+  from odin_tpu.training.core import scan_steps
 
   vae = BetaVAE(beta=1.0, **get_networks("dsprites", zdim=10)).build(seed=1)
-  step = vae.make_step_fn(learning_rate=1e-3)
+  step = vae.make_step_fn(learning_rate=1e-3, jit=False)
+  fused = jax.jit(scan_steps(step, SCAN_STEPS), donate_argnums=(0,))
   state = parallel.replicate(vae.state)
-  X = (np.random.RandomState(0).rand(BATCH, 64, 64, 1) < 0.5).astype("f")
-  batch = parallel.shard_batch(X)
+  from jax.sharding import NamedSharding, PartitionSpec as P
+  X = (np.random.RandomState(0).rand(SCAN_STEPS, BATCH, 64, 64, 1)
+       < 0.5).astype("f")
+  mesh = parallel.default_mesh()
+  # scan axis replicated, batch axis sharded over 'data'
+  batches = jax.device_put(
+      X, NamedSharding(mesh, P(None, "data", None, None, None)))
   for _ in range(WARMUP):
-    state, m = step(state, batch)
+    state, m = fused(state, batches)
   jax.block_until_ready(m)
   t0 = time.time()
-  for _ in range(STEPS):
-    state, m = step(state, batch)
+  for _ in range(CALLS):
+    state, m = fused(state, batches)
   jax.block_until_ready(m)
   dt = time.time() - t0
-  value = STEPS / dt
+  value = CALLS * SCAN_STEPS / dt
   n_chips = len(jax.devices())
   per_chip = value / max(n_chips, 1)
   print(json.dumps({

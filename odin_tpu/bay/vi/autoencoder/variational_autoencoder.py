@@ -417,9 +417,14 @@ class VariationalAutoencoder(VariationalModel):
           nan_policy: str = "skip",
           clipnorm: Optional[float] = None,
           global_clipnorm: Optional[float] = None,
+          steps_per_call: int = 1,
           verbose: bool = True,
           **opt_kwargs) -> Trainer:
-    """Train (reference `Networks.fit`, ``base_networks.py:642-812``)."""
+    """Train (reference `Networks.fit`, ``base_networks.py:642-812``).
+
+    `steps_per_call > 1` fuses that many optimizer updates into one device
+    call via lax.scan (large speedup for small steps; logging/validation
+    then happen at steps_per_call granularity)."""
     if self.state is None:
       batch0 = next(iter(train))
       x0, _ = self._split_inputs(batch0)
@@ -428,7 +433,8 @@ class VariationalAutoencoder(VariationalModel):
                                 learning_rate=learning_rate,
                                 clipnorm=clipnorm,
                                 global_clipnorm=global_clipnorm,
-                                nan_policy=nan_policy, **opt_kwargs)
+                                nan_policy=nan_policy,
+                                jit=steps_per_call <= 1, **opt_kwargs)
     eval_fn = self.make_eval_fn() if valid is not None else None
     trainer = Trainer(logdir=logdir, logging_interval=logging_interval,
                       log_tag=self.name)
@@ -438,7 +444,8 @@ class VariationalAutoencoder(VariationalModel):
                              valid_interval=valid_interval, eval_fn=eval_fn,
                              max_iter=max_iter, callbacks=callbacks,
                              on_valid_end=on_valid_end,
-                             checkpoint_freq=checkpoint_freq, verbose=verbose)
+                             checkpoint_freq=checkpoint_freq,
+                             steps_per_call=steps_per_call, verbose=verbose)
     self.step = int(jax.device_get(self.state.step))
     return trainer
 

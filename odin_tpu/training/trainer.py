@@ -129,6 +129,7 @@ class Trainer:
           on_valid_end: Sequence[Callable] = (),
           checkpoint_freq: int = 0,
           mesh=None,
+          steps_per_call: int = 1,
           verbose: bool = True) -> TrainState:
     """Run the loop; returns the final TrainState.
 
@@ -148,13 +149,43 @@ class Trainer:
     it = 0
     t_start = time.time()
     steps_since_log = 0
-    pending_metrics = None
+    k = max(int(steps_per_call), 1)
+    if k > 1:
+      # fuse k updates per device call (lax.scan) — amortizes dispatch
+      # latency; batches are stacked on a new leading (scan) axis with the
+      # data axis sharded
+      import jax.numpy as _jnp
+      from jax.sharding import NamedSharding, PartitionSpec as _P
+      from odin_tpu.training.core import scan_steps
+      inner = step_fn
+      fused = jax.jit(scan_steps(inner, k), donate_argnums=(0,))
+
+      def _stack_shard(batches):
+        def _put(*xs):
+          x = np.stack(xs)
+          spec = [None] * x.ndim
+          if x.ndim > 1:
+            spec[1] = "data"
+          return jax.device_put(x, NamedSharding(mesh, _P(*spec)))
+        return jax.tree_util.tree_map(_put, *batches)
+
+      def _iter_fused(ds):
+        buf = []
+        for b in ds:
+          buf.append(b)
+          if len(buf) == k:
+            yield _stack_shard(buf)
+            buf = []
+
+      train_ds = _iter_fused(train_ds)
+      step_fn = fused
     for epoch in range(1 << 30):
       for batch in train_ds:
-        batch = parallel.shard_batch(batch, mesh)
+        if k == 1:
+          batch = parallel.shard_batch(batch, mesh)
         state, metrics = step_fn(state, batch)
-        it += 1
-        steps_since_log += 1
+        it += k
+        steps_since_log += k
         now = time.time()
         if now - last_log >= self.logging_interval or it == max_iter or it == 1:
           m = _to_float(jax.device_get(metrics))
