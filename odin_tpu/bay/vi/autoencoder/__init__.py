@@ -28,6 +28,7 @@ from odin_tpu.bay.vi.autoencoder.hyperbolic_vae import (
 from odin_tpu.bay.vi.autoencoder.info_vae import InfoVAE, MIVAE
 from odin_tpu.bay.vi.autoencoder.irm_vae import ImplicitRankMinimizer, irmAE, irmVAE
 from odin_tpu.bay.vi.autoencoder.auxiliary_vae import AuxiliaryVAE, auxiliaryVAE
+from odin_tpu.bay.vi.autoencoder.deterministic import DistEncoder
 from odin_tpu.bay.vi.autoencoder.conditional_vae import (
     ConditionalM2VAE,
     M2VAE,
@@ -82,7 +83,7 @@ __all__ = [
     "semafoh", "semafos", "semafosm", "semafosc", "semafop", "semafot",
     "HierarchicalVAE", "LadderVAE", "UnetVAE", "PUnetVAE", "VeryDeepVAE",
     "BiConvLatents", "amortizedLDA", "auxiliaryLDA", "nonlinearLDA", "ALDA",
-    "StochasticVAE", "ImputeVAE", "get_vae", "get_all_vae",
+    "StochasticVAE", "ImputeVAE", "DistEncoder", "get_vae", "get_all_vae",
 ]
 
 

@@ -11,7 +11,16 @@ import os
 os.environ["JAX_PLATFORMS"] = "cpu"
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
-  os.environ["XLA_FLAGS"] = flags + " --xla_force_host_platform_device_count=8"
+  # 4 virtual devices (not 8): this box has ONE physical core, so the N
+  # device programs of a collective execute serially and the last arrival
+  # trails by (N-1) x step-time; XLA's rendezvous hard-kills at 40s
+  # (xla_cpu_collective_call_* DebugOptions are not registered as XLA_FLAGS
+  # in this jaxlib). 4 devices keeps the stagger under the limit while
+  # still exercising real sharding + psum paths.
+  flags += " --xla_force_host_platform_device_count=4"
+if "collective" not in flags:
+  flags += " --xla_cpu_collective_timeout_seconds=3600"
+os.environ["XLA_FLAGS"] = flags
 os.environ.setdefault("TF_CPP_MIN_LOG_LEVEL", "3")
 
 import jax

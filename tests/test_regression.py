@@ -1,0 +1,51 @@
+"""Regression guards: deterministic ELBO trajectory band + driver entry
+points (SURVEY.md §4 implication (b)/(c))."""
+import sys
+import os
+
+import numpy as np
+import pytest
+import jax
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def test_elbo_trajectory_band():
+  """Fixed-seed betaVAE on fixed synthetic data must land in the recorded
+  ELBO band — catches silent numerics regressions in the whole stack
+  (encoder -> sampling -> KL -> optimizer)."""
+  from odin_tpu.bay.vi import BetaVAE
+  from odin_tpu.networks import get_networks
+  rng = np.random.RandomState(0)
+  X = (rng.rand(256, 28, 28, 1) < 0.3).astype("float32")
+  # batch 16: the 1-core virtual mesh serializes device programs, so the
+  # first collective's last arrival trails by (N-1) x step-time — heavy
+  # first steps trip XLA's hard 40s rendezvous kill (see CLAUDE.md)
+  vae = BetaVAE(beta=1.0, **get_networks("mnist", zdim=16)).build(seed=7)
+  r = np.random.RandomState(7)
+
+  def it(n):
+    for _ in range(n):
+      yield X[r.randint(0, 256, 16)]
+
+  tr = vae.fit(it(50), max_iter=50, learning_rate=1e-3,
+               logging_interval=1e9, verbose=False)
+  ev = vae.make_eval_fn(jit=False)
+  m = {k: float(v) for k, v in
+       jax.device_get(ev(vae.state, X[:128])).items()}
+  # recorded band (2026-08-16): guards against stack-level numerics
+  # regressions (encoder -> sampling -> KL -> optimizer), not noise
+  assert -620 < m["elbo"] < -350, m
+  assert 1.0 < m["kl_latents"] < 80.0, m
+
+
+def test_graft_entry_single_chip():
+  import __graft_entry__ as g
+  fn, args = g.entry()
+  out = jax.jit(fn)(*args)
+  assert np.isfinite(float(out))
+
+
+def test_graft_entry_multichip():
+  import __graft_entry__ as g
+  g.dryrun_multichip(len(jax.devices()))
