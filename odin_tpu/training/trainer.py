@@ -96,6 +96,15 @@ class Trainer:
     """Stop training at the next step (reference ``trainer.py:476-478``)."""
     self._terminate = True
 
+  # -- profiling --------------------------------------------------------------
+  def trace(self, n_steps: int = 5):
+    """Arm a jax.profiler trace of the next `n_steps` steps, written to
+    `<logdir>/profile` (the TPU replacement for the reference's
+    `tf.summary.trace_on`, ``trainer.py:722-732``)."""
+    assert self.logdir is not None, "trace requires a logdir"
+    self._trace_remaining = int(n_steps)
+    return self
+
   # -- checkpoints ----------------------------------------------------------
   def save_checkpoint(self, state: TrainState, path: Optional[str] = None):
     """Single-artifact checkpoint of the full TrainState
@@ -114,6 +123,30 @@ class Trainer:
       return None
     with open(path, "rb") as f:
       return pickle.load(f)
+
+  def save_checkpoint_orbax(self, state: TrainState,
+                            directory: Optional[str] = None,
+                            step: Optional[int] = None):
+    """Orbax checkpoint (async-capable, TPU-standard) of the TrainState."""
+    import orbax.checkpoint as ocp
+    directory = directory or os.path.join(os.path.abspath(self.logdir),
+                                          "orbax")
+    step = int(step if step is not None else jax.device_get(state.step))
+    with ocp.CheckpointManager(directory) as mngr:
+      mngr.save(step, args=ocp.args.StandardSave(jax.device_get(state)))
+      mngr.wait_until_finished()
+    return directory
+
+  def restore_checkpoint_orbax(self, template: TrainState,
+                               directory: Optional[str] = None,
+                               step: Optional[int] = None) -> TrainState:
+    import orbax.checkpoint as ocp
+    directory = directory or os.path.join(os.path.abspath(self.logdir),
+                                          "orbax")
+    with ocp.CheckpointManager(directory) as mngr:
+      step = int(step if step is not None else mngr.latest_step())
+      return mngr.restore(step, args=ocp.args.StandardRestore(
+          jax.device_get(template)))
 
   # -- main loop ------------------------------------------------------------
   def fit(self,
@@ -179,11 +212,21 @@ class Trainer:
 
       train_ds = _iter_fused(train_ds)
       step_fn = fused
+    tracing = False
     for epoch in range(1 << 30):
       for batch in train_ds:
         if k == 1:
           batch = parallel.shard_batch(batch, mesh)
+        if getattr(self, "_trace_remaining", 0) > 0 and not tracing:
+          jax.profiler.start_trace(os.path.join(self.logdir, "profile"))
+          tracing = True
         state, metrics = step_fn(state, batch)
+        if tracing:
+          self._trace_remaining -= k
+          if self._trace_remaining <= 0:
+            jax.block_until_ready(metrics)
+            jax.profiler.stop_trace()
+            tracing = False
         it += k
         steps_since_log += k
         now = time.time()
