@@ -16,6 +16,8 @@ from odin_tpu.bay.distributions.continuous import (
     MultivariateNormalDiag,
     MultivariateNormalTriL,
     Normal,
+    NormalGamma,
+    LogUniform,
     Uniform,
 )
 from odin_tpu.bay.distributions.deterministic import (

@@ -23,6 +23,7 @@ from odin_tpu.bay.distributions.base import (
 __all__ = [
     "Normal", "LogNormal", "Logistic", "Uniform", "Laplace", "Gamma", "Beta",
     "Dirichlet", "MultivariateNormalDiag", "MultivariateNormalTriL",
+    "NormalGamma", "LogUniform",
 ]
 
 _LOG2PI = math.log(2.0 * math.pi)
@@ -527,3 +528,74 @@ def _kl_normal_mvndiag(q: Normal, p: MultivariateNormalDiag):
   # KL summed over the event axis.
   qn = MultivariateNormalDiag(q.loc, jnp.broadcast_to(q.scale, jnp.shape(q.loc)))
   return _kl_mvndiag(qn, p)
+
+
+class NormalGamma(Distribution):
+  """Normal-Gamma conjugate pair: tau ~ Gamma(alpha, beta),
+  x | tau ~ N(loc, 1/(lam tau)) (reference `NormalGamma`,
+  ``odin/bay/distributions``). Samples are (x, tau) stacked on the last
+  axis; log_prob expects the same layout."""
+
+  _params = ("loc", "lam", "alpha", "beta")
+
+  def __init__(self, loc, lam, alpha, beta):
+    self.loc = jnp.asarray(loc)
+    self.lam = jnp.asarray(lam)
+    self.alpha = jnp.asarray(alpha)
+    self.beta = jnp.asarray(beta)
+
+  @property
+  def batch_shape(self):
+    return _shapes_broadcast(jnp.shape(self.loc), jnp.shape(self.lam),
+                             jnp.shape(self.alpha), jnp.shape(self.beta))
+
+  @property
+  def event_shape(self):
+    return (2,)
+
+  def sample(self, seed, sample_shape=()):
+    k1, k2 = jax.random.split(seed)
+    shape = tuple(sample_shape) + self.batch_shape
+    tau = _sample_gamma(k1, self.alpha, shape) / self.beta
+    x = self.loc + jax.random.normal(k2, shape) / jnp.sqrt(self.lam * tau)
+    return jnp.stack([x, tau], axis=-1)
+
+  def log_prob(self, value):
+    x, tau = value[..., 0], value[..., 1]
+    lp_tau = Gamma(self.alpha, self.beta).log_prob(tau)
+    lp_x = Normal(self.loc, 1.0 / jnp.sqrt(self.lam * tau)).log_prob(x)
+    return lp_tau + lp_x
+
+  def mean(self):
+    x_mean = jnp.broadcast_to(self.loc, self.batch_shape)
+    tau_mean = jnp.broadcast_to(self.alpha / self.beta, self.batch_shape)
+    return jnp.stack([x_mean, tau_mean], axis=-1)
+
+
+class LogUniform(Distribution):
+  """Reciprocal distribution on [low, high]: p(x) proportional to 1/x
+  (reference `LogUniform`)."""
+
+  _params = ("low", "high")
+
+  def __init__(self, low, high):
+    self.low = jnp.asarray(low)
+    self.high = jnp.asarray(high)
+
+  @property
+  def batch_shape(self):
+    return _shapes_broadcast(jnp.shape(self.low), jnp.shape(self.high))
+
+  def sample(self, seed, sample_shape=()):
+    shape = tuple(sample_shape) + self.batch_shape
+    u = jax.random.uniform(seed, shape)
+    return jnp.exp(jnp.log(self.low) +
+                   u * (jnp.log(self.high) - jnp.log(self.low)))
+
+  def log_prob(self, x):
+    norm = jnp.log(self.high) - jnp.log(self.low)
+    inside = (x >= self.low) & (x <= self.high)
+    return jnp.where(inside, -jnp.log(x) - jnp.log(norm), -jnp.inf)
+
+  def mean(self):
+    return (self.high - self.low) / (jnp.log(self.high) - jnp.log(self.low))

@@ -12,7 +12,8 @@ import numpy as np
 
 from odin_tpu.fuel.dataset_base import IterableDataset, get_partition
 
-__all__ = ["NLPDataset", "Newsgroup20", "Newsgroup5", "SyntheticBoW"]
+__all__ = ["NLPDataset", "Newsgroup20", "Newsgroup5", "SyntheticBoW",
+           "MathArithmetic", "TinyShakespear", "ImdbReview"]
 
 
 class NLPDataset(IterableDataset):
@@ -90,6 +91,116 @@ class Newsgroup5(Newsgroup20):
     for k, idxs in self._GROUPS.items():
       remap[idxs] = k
     return x, remap[y]
+
+
+class MathArithmetic(NLPDataset):
+  """Character-level arithmetic problems -> answers
+  (reference ``nlp_data/_base.py:495`` `MathArithmetic`).  Fully procedural:
+  generates "a op b = c" strings tokenized at char level."""
+
+  VOCAB = "0123456789+-* ="
+
+  def __init__(self, n_samples: int = 20000, max_operand: int = 99,
+               maxlen: int = 12, seed: int = 1):
+    super().__init__(seed=seed)
+    rng = np.random.RandomState(seed)
+    self.maxlen = int(maxlen)
+    self.char_to_id = {c: i + 1 for i, c in enumerate(self.VOCAB)}  # 0 = pad
+    probs, answers = [], []
+    for _ in range(n_samples):
+      a, b = rng.randint(0, max_operand + 1, 2)
+      op = rng.choice(["+", "-", "*"])
+      c = {"+": a + b, "-": a - b, "*": a * b}[op]
+      probs.append(f"{a}{op}{b}")
+      answers.append(str(c))
+    self._x = self._encode(probs)
+    self._y = self._encode(answers)
+
+  def _encode(self, texts):
+    out = np.zeros((len(texts), self.maxlen), np.int64)
+    for i, t in enumerate(texts):
+      ids = [self.char_to_id[ch] for ch in t[:self.maxlen]]
+      out[i, :len(ids)] = ids
+    return out
+
+  @property
+  def name(self):
+    return "matharithmetic"
+
+  @property
+  def shape(self):
+    return (self.maxlen,)
+
+  @property
+  def vocab_size(self):
+    return len(self.VOCAB) + 1
+
+  def decode(self, ids) -> str:
+    inv = {i: c for c, i in self.char_to_id.items()}
+    return "".join(inv.get(int(i), "") for i in np.asarray(ids).ravel())
+
+  def _load(self, partition: str):
+    n = len(self._x)
+    sl = get_partition(partition, train=slice(0, int(0.8 * n)),
+                       valid=slice(int(0.8 * n), int(0.9 * n)),
+                       test=slice(int(0.9 * n), n))
+    return self._x[sl], self._y[sl]
+
+
+class _LocalTextDataset(NLPDataset):
+  """Character-level dataset from a local text file (no egress)."""
+
+  _name = ""
+  _filename = ""
+
+  def __init__(self, path: Optional[str] = None, seq_len: int = 128,
+               seed: int = 1):
+    super().__init__(seed=seed)
+    import os
+    from odin_tpu.utils import get_data_path
+    self.seq_len = int(seq_len)
+    self.path = path or os.path.join(get_data_path(), self._filename)
+    self._cache = None
+
+  @property
+  def name(self):
+    return self._name
+
+  @property
+  def shape(self):
+    return (self.seq_len,)
+
+  def _load(self, partition: str):
+    import os
+    if not os.path.exists(self.path):
+      raise FileNotFoundError(
+          f"'{self._name}' text not found at {self.path} (no network "
+          "egress); use MathArithmetic or SyntheticBoW for testing")
+    if self._cache is None:
+      text = open(self.path, encoding="utf-8", errors="replace").read()
+      vocab = sorted(set(text))
+      self.char_to_id = {c: i for i, c in enumerate(vocab)}
+      ids = np.asarray([self.char_to_id[c] for c in text], np.int64)
+      n_seq = len(ids) // self.seq_len
+      self._cache = ids[:n_seq * self.seq_len].reshape(n_seq, self.seq_len)
+    x = self._cache
+    n = len(x)
+    sl = get_partition(partition, train=slice(0, int(0.9 * n)),
+                       valid=slice(int(0.9 * n), int(0.95 * n)),
+                       test=slice(int(0.95 * n), n))
+    return x[sl], None
+
+
+class TinyShakespear(_LocalTextDataset):
+  """Reference ``nlp_data/_base.py:472``."""
+  _name = "tinyshakespear"
+  _filename = "tinyshakespeare.txt"
+
+
+class ImdbReview(_LocalTextDataset):
+  """Reference ``nlp_data/_base.py:453``."""
+  _name = "imdbreview"
+  _filename = "imdb.txt"
 
 
 class SyntheticBoW(NLPDataset):

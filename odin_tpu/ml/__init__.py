@@ -32,7 +32,7 @@ __all__ = [
     "fast_kmeans", "fast_knn", "fast_dbscan", "compute_wccn",
     "compute_class_avg", "compute_within_cov", "fast_tsne", "fast_umap",
     "fast_svc", "fast_logistic_regression", "fast_gbtree_classifier",
-    "fast_rf_classifier", "linear_classifier",
+    "fast_rf_classifier", "linear_classifier", "fast_lda_topics",
 ]
 
 
@@ -113,3 +113,15 @@ def linear_classifier(X, y, algo: str = "lda", **kwargs):
   if algo in ("rf", "randomforest"):
     return fast_rf_classifier(X, y, **kwargs)
   raise ValueError(f"unknown classifier algo '{algo}'")
+
+
+def fast_lda_topics(X, *, n_topics: int = 10, max_iter: int = 20,
+                    random_state: int = 1, **kwargs):
+  """Latent Dirichlet Allocation over a count matrix
+  (reference ``odin/ml`` `fast_lda_topics`); for the amortized/VAE version
+  see ``odin_tpu.bay.vi.amortizedLDA``."""
+  from sklearn.decomposition import LatentDirichletAllocation
+  model = LatentDirichletAllocation(n_components=n_topics, max_iter=max_iter,
+                                    random_state=random_state, **kwargs)
+  model.fit(np.asarray(X))
+  return model

@@ -501,6 +501,126 @@ def vad_threshold(frames: np.ndarray, threshold: float = 35) -> np.ndarray:
   return (energies > max_energy - threshold) & (energies > -55)
 
 
+def stack_frames(X: np.ndarray, frame_length: int,
+                 step_length: Optional[int] = None,
+                 keep_length: bool = False) -> np.ndarray:
+  """Stack consecutive feature frames into one vector, shifting by
+  `step_length` (reference :1225)."""
+  X = np.asarray(X)
+  if step_length is None:
+    step_length = frame_length // 2
+  if keep_length:
+    pad = frame_length // 2
+    X = np.pad(X, ((pad, frame_length - pad - 1), (0, 0)), mode="edge")
+    step_length = 1
+  frames = segment_axis(X, frame_length, step_length, axis=0, end="cut")
+  return frames.reshape(frames.shape[0], -1)
+
+
+def resample(y: np.ndarray, sr_orig: int, sr_new: int, axis: int = 0,
+             best_algorithm: bool = True) -> np.ndarray:
+  """Polyphase resampling (reference :835)."""
+  from math import gcd
+  from scipy.signal import resample_poly
+  g = gcd(int(sr_new), int(sr_orig))
+  return resample_poly(y, int(sr_new) // g, int(sr_orig) // g,
+                       axis=axis).astype(np.asarray(y).dtype)
+
+
+def vad_split_audio(s: np.ndarray, sr: int, maximum_duration: float = 30,
+                    minimum_duration: Optional[float] = None,
+                    frame_length: int = 128, nb_mixtures: int = 3,
+                    threshold: float = 0.6) -> list:
+  """Split long audio at silent regions so every chunk is at most
+  `maximum_duration` seconds (reference :341-430): energy-GMM VAD over
+  coarse frames, cut at the quietest valid frame."""
+  s = np.asarray(s)
+  max_samples = int(maximum_duration * sr)
+  min_samples = int((minimum_duration or maximum_duration / 4) * sr)
+  if len(s) <= max_samples:
+    return [s]
+  frames = segment_axis(s, frame_length, frame_length, end="pad")
+  energy = get_energy(frames, log=True).ravel()
+  voiced, _ = vad_energy(energy, distrib_nb=nb_mixtures)
+  chunks = []
+  start = 0
+  while len(s) - start > max_samples:
+    lo = (start + min_samples) // frame_length
+    hi = (start + max_samples) // frame_length
+    window = energy[lo:hi]
+    if len(window) == 0:
+      cut = start + max_samples
+    else:
+      # prefer unvoiced frames; cut at the minimum-energy one
+      unvoiced = np.where(~voiced[lo:hi])[0]
+      idx = unvoiced[np.argmin(window[unvoiced])] if len(unvoiced) else \
+          int(np.argmin(window))
+      cut = (lo + idx) * frame_length
+    chunks.append(s[start:cut])
+    start = cut
+  chunks.append(s[start:])
+  return [c for c in chunks if len(c) > 0]
+
+
+def pitch_track(y: np.ndarray, sr: int, step_length: int,
+                frame_length: Optional[int] = None,
+                fmin: float = 60.0, fmax: float = 260.0,
+                threshold: float = 0.2, otype: str = "pitch",
+                algorithm: str = "yin") -> np.ndarray:
+  """Fundamental-frequency track via the YIN estimator.
+
+  The reference shells out to pysptk's SWIPE/RAPT binaries
+  (``signal.py:1904``); offline/TPU-native we implement YIN
+  (de Cheveigne & Kawahara 2002): cumulative-mean-normalized difference
+  over lags, absolute threshold, parabolic-free lag pick.  `otype`:
+  'pitch' zeroes unvoiced frames, 'f0' keeps raw f0.
+  """
+  y = np.asarray(y, np.float64)
+  tau_min = max(int(sr / fmax), 2)
+  tau_max = int(sr / fmin)
+  if frame_length is None:
+    frame_length = 2 * tau_max
+  span = frame_length + tau_max
+  if len(y) < span:
+    y = np.pad(y, (0, span - len(y)))
+  frames = segment_axis(y, span, step_length, end="pad")  # (T, span)
+  x0 = frames[:, :frame_length]
+  # difference function d(tau) = sum_j (x_j - x_{j+tau})^2, vectorized
+  taus = np.arange(tau_max + 1)
+  # energy terms via cumulative sums
+  csum2 = np.cumsum(frames ** 2, axis=1)
+  e0 = csum2[:, frame_length - 1]
+  e_tau = csum2[:, taus + frame_length - 1] - \
+      np.concatenate([np.zeros((len(frames), 1)), csum2[:, taus[1:] - 1]], 1)
+  # cross terms via FFT correlation
+  n_fft = int(2 ** np.ceil(np.log2(span + frame_length)))
+  F = np.fft.rfft(frames, n_fft, axis=1)
+  X0 = np.fft.rfft(x0[:, ::-1], n_fft, axis=1)
+  corr = np.fft.irfft(F * X0, n_fft, axis=1)[:, frame_length - 1:
+                                             frame_length - 1 + tau_max]
+  d = e0[:, None] + e_tau[:, :tau_max] - 2.0 * corr
+  d = np.maximum(d, 0.0)
+  # cumulative mean normalized difference
+  cum = np.cumsum(d[:, 1:], axis=1)
+  cmndf = np.ones_like(d)
+  cmndf[:, 1:] = d[:, 1:] * np.arange(1, tau_max)[None, :] / \
+      np.maximum(cum, 1e-12)
+  # first lag below threshold in [tau_min, tau_max), else global argmin ...
+  region = cmndf[:, tau_min:]
+  below = region < threshold
+  first = np.where(below.any(1), below.argmax(1), region.argmin(1)) + tau_min
+  # ... refined to the local minimum of that valley (the crossing sits on
+  # the valley's left edge and over-estimates f0 by ~10% otherwise)
+  w = max(tau_min, 4)
+  idx = np.minimum(first[:, None] + np.arange(w)[None, :], tau_max - 1)
+  valley = np.take_along_axis(cmndf, idx, axis=1)
+  best = first + valley.argmin(1)
+  f0 = sr / best.astype(np.float64)
+  voiced = region.min(1) < max(threshold, 0.5)
+  out = f0 if otype == "f0" else np.where(voiced, f0, 0.0)
+  return out.astype("float32")
+
+
 def pad_sequences(sequences, maxlen: Optional[int] = None,
                   dtype: str = "float32", padding: str = "pre",
                   truncating: str = "pre", value: float = 0.0) -> np.ndarray:

@@ -344,6 +344,30 @@ class SADgmm(Extractor):
     return label.astype(bool)
 
 
+class PitchExtractor(Extractor):
+  """YIN f0 track per frame (reference `openSMILE` pitch configs and
+  ``signal.py:1904`` `pitch_track` — reimplemented natively, SURVEY §2.0)."""
+
+  def __init__(self, step_length=0.010, fmin: float = 60.0,
+               fmax: float = 260.0, threshold: float = 0.2,
+               otype: str = "pitch", output_name="pitch"):
+    super().__init__(output_name=(output_name,))
+    self.step_length = step_length
+    self.fmin, self.fmax = float(fmin), float(fmax)
+    self.threshold = float(threshold)
+    self.otype = otype
+
+  def transform(self, X):
+    feat = X if isinstance(X, dict) else {"raw": X}
+    sr = feat.get("sr", 16000)
+    p = S.pitch_track(feat["raw"], sr, _to_samples(self.step_length, sr),
+                      fmin=self.fmin, fmax=self.fmax,
+                      threshold=self.threshold, otype=self.otype)
+    out = dict(feat)
+    out[self.output_name[0]] = p[:, None]
+    return out
+
+
 class RASTAfilter(Extractor):
   """Reference :1483."""
 

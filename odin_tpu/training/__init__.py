@@ -5,6 +5,7 @@ from odin_tpu.training.core import (
     build_train_step_fn,
     make_optimizer,
 )
+from odin_tpu.training.callbacks import BestWeights, early_stopping_callback
 from odin_tpu.training.early_stopping import EarlyStopping
 from odin_tpu.training.experimenter import (
     get_output_dir,

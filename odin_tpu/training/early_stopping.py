@@ -48,8 +48,8 @@ class EarlyStopping:
     if self._smoothed:
       value = self.smooth * self._smoothed[-1] + (1 - self.smooth) * value
     self._smoothed.append(value)
-    if len(self._smoothed) <= self.warmup_epochs:
-      return 0
+    if len(self._smoothed) <= max(self.warmup_epochs, 1):
+      return 0  # need at least one previous point for the comparison
     hist = np.asarray(self._smoothed)
     best = hist[:-1].min()
     current = hist[-1]
