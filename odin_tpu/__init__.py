@@ -26,4 +26,15 @@ Re-designed from scratch for TPU (JAX / XLA / Pallas / pjit):
 
 __version__ = "0.1.0"
 
-from odin_tpu.parallel import get_mesh, shard_batch, replicate
+from odin_tpu.parallel import get_mesh, replicate, shard_batch
+
+
+def __getattr__(name):
+  # lazy subpackage access: `odin_tpu.bay`, `odin_tpu.fuel`, ... without
+  # paying every import at package load
+  import importlib
+  if name in ("bay", "backend", "fuel", "networks", "training",
+              "preprocessing", "ml", "ops", "visual", "stats", "search",
+              "explain", "utils", "parallel", "native"):
+    return importlib.import_module(f"odin_tpu.{name}")
+  raise AttributeError(f"module 'odin_tpu' has no attribute '{name}'")

@@ -175,6 +175,26 @@ class BatchNorm(nn.Module):
     return nn.BatchNorm(use_running_average=not training)(x)
 
 
+class SkipSequential(nn.Module):
+  """Sequential stack where the (flattened, projected) input is re-injected
+  additively at every spatial layer — the reference's skip-generator
+  decoder (``odin/networks/image_networks.py:177-216`` `SkipSequential`,
+  selected via get_networks(skip_generator=True))."""
+
+  layers: Sequence[nn.Module] = ()
+
+  @nn.compact
+  def __call__(self, x, training: bool = False):
+    z = x.reshape(x.shape[0], -1)
+    for i, layer in enumerate(self.layers):
+      x = layer(x, training=training) if isinstance(layer, nn.Module) else layer(x)
+      if getattr(x, "ndim", 0) == 4:
+        # project latent to this feature map and add (1x1 conv equivalent)
+        proj = nn.Dense(x.shape[-1], name=f"skip_proj_{i}")(z)
+        x = jax.nn.elu(x + proj[:, None, None, :])
+    return x
+
+
 class SequentialNetwork(nn.Module):
   """Call layers in order, threading the training flag.
 

@@ -32,7 +32,17 @@ from odin_tpu.networks.base import (
     LogNorm,
     Reshape,
     SequentialNetwork,
+    SkipSequential,
 )
+
+
+def _decoder_network(layers, skip_generator: bool = False,
+                     name: str = "decoder"):
+  """Plain sequential decoder, or the skip-generator variant that re-injects
+  the latent at every feature map (reference `SkipSequential`,
+  ``image_networks.py:177-216``)."""
+  cls = SkipSequential if skip_generator else SequentialNetwork
+  return cls(tuple(layers), name=name)
 
 __all__ = [
     "mnist_networks", "fashionmnist_networks", "binarizedmnist_networks",
@@ -107,7 +117,7 @@ def mnist_networks(
       Flatten(),
       Dense(proj_dim, activation=None),
   ), name="encoder")
-  decoder = SequentialNetwork((
+  decoder = _decoder_network((
       Dense(proj_dim, activation=None),
       Reshape((7, 7, proj_dim // 49)),
       ConvTranspose(64, 5, 2, activation),  # 14, 14, 64
@@ -116,7 +126,7 @@ def mnist_networks(
       Conv(32, 5, 1, activation),           # 28, 28, 32
       Conv(n_channels * n_params, 1, 1, None),
       PackImageParams(n_params),
-  ), name="decoder")
+  ), skip_generator)
   networks = dict(
       encoder=encoder,
       decoder=decoder,
@@ -168,7 +178,7 @@ def cifar_networks(
       Flatten(),
       Dense(proj_dim, activation=None),
   ), name="encoder")
-  decoder = SequentialNetwork((
+  decoder = _decoder_network((
       Dense(proj_dim, activation=None),
       Reshape((8, 8, proj_dim // 64)),
       ConvTranspose(64, 4, 2, activation),  # 16, 16, 64
@@ -177,7 +187,7 @@ def cifar_networks(
       Conv(32, 4, 1, activation),           # 32, 32, 32
       Conv(n_channels * n_params, 1, 1, None),
       PackImageParams(n_params),
-  ), name="decoder")
+  ), skip_generator)
   networks = dict(
       encoder=encoder,
       decoder=decoder,
@@ -230,7 +240,7 @@ def dsprites_networks(
       Flatten(),
       Dense(proj_dim, activation=None),
   ), name="encoder")
-  decoder = SequentialNetwork((
+  decoder = _decoder_network((
       Dense(proj_dim, activation=None),
       Reshape((4, 4, proj_dim // 16)),
       ConvTranspose(64, 4, 2, activation),  # 8, 8, 64
@@ -239,7 +249,7 @@ def dsprites_networks(
       ConvTranspose(32, 4, 2, activation),  # 64, 64, 32
       Conv(n_channels * n_params, 1, 1, None),
       PackImageParams(n_params),
-  ), name="decoder")
+  ), skip_generator)
   networks = dict(
       encoder=encoder,
       decoder=decoder,
