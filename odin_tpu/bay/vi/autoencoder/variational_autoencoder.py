@@ -449,6 +449,48 @@ class VariationalAutoencoder(VariationalModel):
     self.step = int(jax.device_get(self.state.step))
     return trainer
 
+  def fit_device_dataset(self,
+                         X,
+                         n_steps: int = 10000,
+                         batch_size: int = 256,
+                         learning_rate: Union[float, Callable] = 1e-3,
+                         optimizer: str = "adam",
+                         steps_per_call: int = 1000,
+                         seed: int = 0,
+                         verbose: bool = True,
+                         **opt_kwargs) -> "VariationalAutoencoder":
+    """Train with the ENTIRE dataset device-resident and batches sampled on
+    device — zero per-step host traffic (see
+    `training.core.device_dataset_steps`).  The fastest path for corpora
+    that fit in HBM (dSprites: ~0.3 GB)."""
+    import time as _time
+    if self.state is None:
+      x0 = X[0] if not isinstance(X, (tuple, list)) else X[0][0]
+      self.build(input_shape=np.shape(x0))
+    from odin_tpu.training.core import device_dataset_steps
+    raw = self.make_step_fn(optimizer=optimizer,
+                            learning_rate=learning_rate, jit=False,
+                            **opt_kwargs)
+    data = jax.device_put(jnp.asarray(X))
+    state = parallel.replicate(self.state)
+    k = min(int(steps_per_call), int(n_steps))
+    fused = jax.jit(device_dataset_steps(raw, int(batch_size), k,
+                                         seed=seed), donate_argnums=(0,))
+    done = 0
+    t0 = _time.time()
+    while done < n_steps:
+      state, metrics = fused(state, data)
+      done += k
+      if verbose:
+        m = {key: float(v) for key, v in jax.device_get(metrics).items()}
+        rate = done / (_time.time() - t0)
+        print(f"[{self.name}] #{done} " +
+              " ".join(f"{key}:{v:.4g}" for key, v in m.items()) +
+              f" steps_per_sec:{rate:.1f}", flush=True)
+    self.state = jax.device_get(state)
+    self.step = int(self.state.step)
+    return self
+
   # -- marginal log prob ----------------------------------------------------
   def marginal_log_prob(self, x, n_samples: int = 50, seed: int = 0,
                         batch_size: Optional[int] = None):
