@@ -245,29 +245,44 @@ class VariationalAutoencoder(VariationalModel):
 
   # -- the reference's public API -------------------------------------------
   def encode(self, x, params: Optional[Dict] = None, training: bool = False,
-             seed: int = 0) -> Distribution:
-    """x -> qz (reference :288-314)."""
+             seed: int = 0, jit: bool = True) -> Distribution:
+    """x -> qz (reference :288-314).  Jitted (and cached) by default —
+    distributions are pytrees, so they cross the jit boundary intact; on a
+    remote-attached chip the op-by-op path costs one round trip per op."""
     params = params or self._params_of()
+    if jit and not training:
+      if not hasattr(self, "_encode_jit"):
+        self._encode_jit = jax.jit(
+            lambda p, x, rng: self._apply(p, "encode", x, rng=rng,
+                                          training=False))
+      return self._encode_jit(params, jnp.asarray(x), jax.random.PRNGKey(seed))
     return self._apply(params, "encode", jnp.asarray(x),
                        rng=jax.random.PRNGKey(seed), training=training,
                        mutables=self.state.mutables if self.state else None)
 
   def decode(self, z, params: Optional[Dict] = None, training: bool = False,
-             seed: int = 0) -> Distribution:
+             seed: int = 0, jit: bool = True) -> Distribution:
     """z -> px (reference :316-360); flattens MCMC sample dims."""
     params = params or self._params_of()
     z = jnp.asarray(z)
+    if jit and not training:
+      if not hasattr(self, "_decode_jit"):
+        self._decode_jit = jax.jit(
+            lambda p, z, rng: self._apply(p, "decode", z, rng=rng,
+                                          training=False))
+      decode_fn = lambda zz: self._decode_jit(params, zz,
+                                              jax.random.PRNGKey(seed))
+    else:
+      decode_fn = lambda zz: self._apply(
+          params, "decode", zz, rng=jax.random.PRNGKey(seed),
+          training=training,
+          mutables=self.state.mutables if self.state else None)
     extra_dims = z.ndim - 2
     if extra_dims > 0:  # (S..., B, zdim) -> (S*B, zdim)
       lead = z.shape[:-1]
-      z2 = z.reshape(-1, z.shape[-1])
-      px = self._apply(params, "decode", z2, rng=jax.random.PRNGKey(seed),
-                       training=training,
-                       mutables=self.state.mutables if self.state else None)
+      px = decode_fn(z.reshape(-1, z.shape[-1]))
       return px, lead
-    return self._apply(params, "decode", z, rng=jax.random.PRNGKey(seed),
-                       training=training,
-                       mutables=self.state.mutables if self.state else None)
+    return decode_fn(z)
 
   def __call__(self, x, training: bool = False, seed: int = 0):
     """x -> (px, qz) (reference :362-394)."""
