@@ -42,10 +42,9 @@ def test_param_sharding_rules():
       == P(None, "model")
   # non-matching leaves stay replicated
   assert sharded["other"].sharding.spec == P()
-  # bias (1-D) right-aligns the 2-D rule -> sharded on its only axis
+  # bias paths don't match the kernel rules -> replicated
   specs = param_shardings(params, mesh, megatron_rules("model"))
-  assert specs["encoder"]["layers_6"]["Dense_0"]["bias"].spec in (
-      P("model"), P(None))
+  assert specs["encoder"]["layers_6"]["Dense_0"]["bias"].spec == P()
 
 
 def test_gmm_sharded_expectation_matches():
@@ -56,9 +55,9 @@ def test_gmm_sharded_expectation_matches():
   gmm = GMM(nmix=2, batch_size=512).fit(X)
   Z1, F1, S1, llk1 = gmm.expectation(X)
   Z2, F2, S2, llk2 = gmm.expectation_sharded(X)
-  np.testing.assert_allclose(Z1, Z2, rtol=1e-5)
-  np.testing.assert_allclose(F1, F2, rtol=1e-5)
-  np.testing.assert_allclose(S1, S2, rtol=1e-5)
+  np.testing.assert_allclose(Z1, Z2, rtol=1e-5, atol=1e-4)
+  np.testing.assert_allclose(F1, F2, rtol=1e-5, atol=1e-4)
+  np.testing.assert_allclose(S1, S2, rtol=1e-5, atol=1e-4)
   assert abs(llk1 - llk2) < 1e-2
 
 
