@@ -38,9 +38,11 @@ Array = jax.Array
 
 
 def _shapes_broadcast(*shapes) -> Tuple[int, ...]:
+  # jnp.broadcast_shapes (not np) so symbolic dims from jax.export shape
+  # polymorphism broadcast correctly
   out: Tuple[int, ...] = ()
   for s in shapes:
-    out = np.broadcast_shapes(out, tuple(s))
+    out = jnp.broadcast_shapes(out, tuple(s))
   return tuple(out)
 
 

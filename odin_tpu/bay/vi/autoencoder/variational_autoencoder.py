@@ -486,7 +486,11 @@ class VariationalAutoencoder(VariationalModel):
     raw = self.make_step_fn(optimizer=optimizer,
                             learning_rate=learning_rate, jit=False,
                             **opt_kwargs)
-    data = jax.device_put(jnp.asarray(X))
+    # X may be a pytree (x, y, mask) for semi-supervised families
+    data = jax.device_put(
+        jax.tree_util.tree_map(jnp.asarray,
+                               tuple(X) if isinstance(X, (tuple, list))
+                               else X))
     state = parallel.replicate(self.state)
     k = min(int(steps_per_call), int(n_steps))
     fused = jax.jit(device_dataset_steps(raw, int(batch_size), k,
