@@ -501,6 +501,53 @@ def vad_threshold(frames: np.ndarray, threshold: float = 35) -> np.ndarray:
   return (energies > max_energy - threshold) & (energies > -55)
 
 
+def cqt_kernels(sr: int, fmin: float = 32.70, n_bins: int = 84,
+                bins_per_octave: int = 12,
+                window: str = "hann") -> Tuple[np.ndarray, int]:
+  """Complex constant-Q kernel bank [n_bins, n_fft] + n_fft.
+
+  Brown & Puckette's direct method: bin k has center frequency
+  ``fmin 2^(k/b)`` and a windowed complex exponential of Q-dependent length;
+  the CQT of a frame is then one (frames_fft @ conj(kernels_fft)) matmul —
+  TPU-friendly (MXU) versus the reference's librosa fallback.
+  """
+  Q = 1.0 / (2.0 ** (1.0 / bins_per_octave) - 1.0)
+  freqs = fmin * 2.0 ** (np.arange(n_bins) / bins_per_octave)
+  if freqs[-1] > sr / 2:
+    raise ValueError("highest CQT bin exceeds Nyquist; reduce n_bins/fmin")
+  lengths = np.ceil(Q * sr / freqs).astype(int)
+  n_fft = int(2 ** np.ceil(np.log2(lengths.max())))
+  kernels = np.zeros((n_bins, n_fft), np.complex128)
+  for k in range(n_bins):
+    L = lengths[k]
+    w = get_window(window, L, periodic=False) / L
+    t = np.arange(L)
+    sig = w * np.exp(2j * np.pi * freqs[k] * t / sr)
+    start = (n_fft - L) // 2  # center the kernel
+    kernels[k, start:start + L] = sig
+  return kernels, n_fft
+
+
+def cqt(y: np.ndarray, sr: int, step_length: int, fmin: float = 32.70,
+        n_bins: int = 84, bins_per_octave: int = 12,
+        window: str = "hann") -> np.ndarray:
+  """Constant-Q transform magnitude [n_frames, n_bins]
+  (reference `CQTExtractor`, ``speech.py:932``, which delegated to an
+  external implementation; here the direct kernel-matmul method)."""
+  kernels, n_fft = cqt_kernels(sr, fmin, n_bins, bins_per_octave, window)
+  y = np.asarray(y, np.float64)
+  if y.ndim > 1:  # downmix like AudioReader (multichannel -> mono)
+    y = y.mean(axis=-1)
+  pad = n_fft // 2
+  y = np.pad(y, pad, mode="reflect")
+  frames = segment_axis(y, n_fft, step_length, end="pad")
+  F = np.fft.fft(frames, axis=1)
+  K = np.fft.fft(kernels, axis=1)
+  # inner product in frequency domain: <frame, kernel> = ifft0(F * conj(K))
+  out = (F @ K.conj().T) / n_fft
+  return np.abs(out).astype("float32")
+
+
 def stack_frames(X: np.ndarray, frame_length: int,
                  step_length: Optional[int] = None,
                  keep_length: bool = False) -> np.ndarray:

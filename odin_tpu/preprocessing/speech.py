@@ -344,6 +344,31 @@ class SADgmm(Extractor):
     return label.astype(bool)
 
 
+class CQTExtractor(Extractor):
+  """Constant-Q spectrogram in dB (reference :932)."""
+
+  def __init__(self, step_length=0.010, fmin: float = 32.70,
+               n_bins: int = 84, bins_per_octave: int = 12,
+               top_db: float = 80.0, output_name="cqt"):
+    super().__init__(output_name=(output_name,))
+    self.step_length = step_length
+    self.fmin = float(fmin)
+    self.n_bins = int(n_bins)
+    self.bins_per_octave = int(bins_per_octave)
+    self.top_db = float(top_db)
+
+  def transform(self, X):
+    feat = X if isinstance(X, dict) else {"raw": X}
+    sr = feat.get("sr", 16000)
+    C = S.cqt(feat["raw"], sr, _to_samples(self.step_length, sr),
+              fmin=self.fmin, n_bins=self.n_bins,
+              bins_per_octave=self.bins_per_octave)
+    out = dict(feat)
+    out[self.output_name[0]] = S.power2db(C ** 2, top_db=self.top_db
+                                          ).astype("float32")
+    return out
+
+
 class PitchExtractor(Extractor):
   """YIN f0 track per frame (reference `openSMILE` pitch configs and
   ``signal.py:1904`` `pitch_track` — reimplemented natively, SURVEY §2.0)."""

@@ -111,3 +111,19 @@ def test_fast_lda_topics():
   x, _ = ds.numpy("train")
   model = fast_lda_topics(x, n_topics=5, max_iter=5)
   assert model.components_.shape == (5, 100)
+
+
+def test_cqt():
+  from odin_tpu.preprocessing.signal import cqt
+  from odin_tpu.preprocessing.speech import CQTExtractor
+  sr = 16000
+  t = np.arange(sr) / sr
+  y = np.sin(2 * np.pi * 440 * t).astype("f")
+  C = cqt(y, sr, step_length=512)
+  peak = int(np.median(C.argmax(1)))
+  assert peak == round(np.log2(440 / 32.70) * 12)
+  # an octave up moves the peak exactly bins_per_octave bins
+  C2 = cqt(np.sin(2 * np.pi * 880 * t).astype("f"), sr, step_length=512)
+  assert int(np.median(C2.argmax(1))) - peak == 12
+  feat = CQTExtractor().transform({"raw": y, "sr": sr})
+  assert feat["cqt"].shape[1] == 84
