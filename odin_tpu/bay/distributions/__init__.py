@@ -20,6 +20,7 @@ from odin_tpu.bay.distributions.continuous import (
     LogUniform,
     Uniform,
 )
+from odin_tpu.bay.distributions.conditional import ConditionalTensor
 from odin_tpu.bay.distributions.deterministic import (
     Batchwise,
     Deterministic,
