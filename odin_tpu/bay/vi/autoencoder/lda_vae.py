@@ -146,6 +146,15 @@ class amortizedLDA(VariationalAutoencoder):
     n = jnp.sum(jnp.asarray(x))
     return float(jnp.exp(-jnp.sum(elbo) / jnp.maximum(n, 1.0)))
 
+  def transform(self, x, seed: int = 0) -> np.ndarray:
+    """Posterior document-topic mixtures ``[n_docs, n_topics]`` (rows sum
+    to 1) — sklearn ``LatentDirichletAllocation.transform`` semantics, which
+    the reference's LDA interface mirrors."""
+    q_theta = self.encode(jnp.asarray(x), seed=seed)
+    theta = q_theta.mean()
+    theta = theta / jnp.maximum(jnp.sum(theta, -1, keepdims=True), 1e-12)
+    return np.asarray(theta)
+
   def get_topics(self, top_k: int = 10):
     """Topic-word weights (for inspection)."""
     p = self._params_of()["vae"]["topic_decoder"]["topics_words"]

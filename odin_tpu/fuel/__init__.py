@@ -2,7 +2,19 @@
 import inspect
 from typing import List, Type, Union
 
-from odin_tpu.fuel.bio_data import PBMC, Cortex, GeneDataset, SyntheticGenes
+from odin_tpu.fuel.bio_data import (
+    PBMC,
+    BreastTumor,
+    Cortex,
+    Forebrain,
+    GeneDataset,
+    HumanEmbryos,
+    Insilico,
+    Leukemia,
+    Melanoma,
+    SyntheticATAC,
+    SyntheticGenes,
+)
 from odin_tpu.fuel.databases import (
     MmapArray,
     MmapArrayWriter,
@@ -23,6 +35,8 @@ from odin_tpu.fuel.image_data.datasets import (
     CelebASmall,
     FashionMNIST,
     HalfMoons,
+    Kaokore,
+    LegoFaces,
     Omniglot,
     Shapes3D,
     Shapes3DSmall,
@@ -46,6 +60,8 @@ __all__ = [
     "dSprites", "dSpritesSmall", "Shapes3D", "Shapes3DSmall", "HalfMoons",
     "YDisentanglement", "Newsgroup20", "Newsgroup5", "SyntheticBoW",
     "Cortex", "PBMC", "SyntheticGenes", "GeneDataset", "NLPDataset",
+    "Melanoma", "Forebrain", "Insilico", "BreastTumor", "Leukemia",
+    "HumanEmbryos", "SyntheticATAC", "LegoFaces", "Kaokore",
 ]
 
 

@@ -14,7 +14,9 @@ import numpy as np
 from odin_tpu.fuel.dataset_base import IterableDataset, get_partition
 from odin_tpu.utils import get_data_path
 
-__all__ = ["GeneDataset", "Cortex", "PBMC", "SyntheticGenes"]
+__all__ = ["GeneDataset", "Cortex", "PBMC", "SyntheticGenes",
+           "Melanoma", "Forebrain", "Insilico", "BreastTumor", "Leukemia",
+           "HumanEmbryos", "SyntheticATAC"]
 
 
 class GeneDataset(IterableDataset):
@@ -108,6 +110,105 @@ class SyntheticGenes(GeneDataset):
   @property
   def labels(self):
     return [f"type{i}" for i in range(self.n_types)]
+
+  def _load(self, partition: str):
+    n = len(self._x)
+    sl = get_partition(partition, train=slice(0, int(0.8 * n)),
+                       valid=slice(int(0.8 * n), int(0.9 * n)),
+                       test=slice(int(0.9 * n), n))
+    return self._x[sl], self._y[sl]
+
+
+# ---------------------------------------------------------------------------
+# Single-cell ATAC-seq (reference ``odin/fuel/bio_data/atac_datasets.py``)
+# ---------------------------------------------------------------------------
+class _NPZAtac(_NPZGene):
+  """Binary chromatin-accessibility matrices.  The reference downloads
+  R-data archives and converts them via rpy2 (atac_datasets.py:34); with no
+  egress the converted ``{x, y, labels_name}`` npz cache is loaded instead,
+  and :class:`SyntheticATAC` covers testing."""
+
+  @property
+  def data_type(self):
+    return "atac"
+
+  @property
+  def labels(self):
+    if self._cache is not None and "labels_name" in self._cache:
+      return [str(s) for s in self._cache["labels_name"]]
+    return list(self._labels)
+
+
+class Melanoma(_NPZAtac):
+  """Melanoma scATAC (Bravo González-Blas et al. 2019; reference :22)."""
+  _name = "melanoma_atac"
+  _labels = ["MM001_proliferative", "MM011_proliferative",
+             "MM031_proliferative", "MM047_invasive", "MM057_proliferative",
+             "MM074_proliferative", "MM087_proliferative", "MM099_invasive"]
+
+
+class Forebrain(_NPZAtac):
+  _name = "forebrain_atac"
+  _labels = []
+
+
+class Insilico(_NPZAtac):
+  _name = "insilico_atac"
+  _labels = []
+
+
+class BreastTumor(_NPZAtac):
+  _name = "breast_tumor_atac"
+  _labels = []
+
+
+class Leukemia(_NPZAtac):
+  _name = "leukemia_atac"
+  _labels = []
+
+
+class HumanEmbryos(_NPZGene):
+  """scRNA-seq of human pre-implantation embryos (reference
+  ``bio_data/human_embryos.py:10``)."""
+  _name = "human_embryos"
+  _labels = ["E3", "E4", "E5", "E6", "E7"]
+
+
+class SyntheticATAC(GeneDataset):
+  """Binary accessibility counts from a latent topic model (cisTopic's
+  generative assumptions): cell topic mixtures x topic-region profiles ->
+  Bernoulli peaks.  Offline stand-in for the ATAC family."""
+
+  def __init__(self, n_cells: int = 2000, n_regions: int = 300,
+               n_topics: int = 5, seed: int = 1):
+    super().__init__(seed=seed)
+    rng = np.random.RandomState(seed)
+    self.n_regions = int(n_regions)
+    self.n_topics = int(n_topics)
+    profiles = rng.dirichlet(np.full(n_regions, 0.1), size=n_topics)
+    types = rng.randint(0, n_topics, n_cells)
+    theta = rng.dirichlet(np.full(n_topics, 0.3), size=n_cells)
+    theta = 0.7 * np.eye(n_topics)[types] + 0.3 * theta
+    rate = theta @ profiles * n_regions * 0.5
+    self._x = (rng.rand(n_cells, n_regions) <
+               (1 - np.exp(-rate))).astype("float32")
+    self._y = types.astype("int64")
+
+  @property
+  def name(self):
+    return "syntheticatac"
+
+  @property
+  def data_type(self):
+    return "atac"
+
+  @property
+  def shape(self):
+    return (self.n_regions,)
+
+  @property
+  def labels(self):
+    return [f"topic{i}" for i in range(self.n_topics)]
 
   def _load(self, partition: str):
     n = len(self._x)

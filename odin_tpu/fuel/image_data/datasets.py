@@ -437,3 +437,23 @@ class YDisentanglement(ImageDataset):
                     for k in self.factor_sizes], -1)
       self._cache[key] = (self.render(f), f.astype("float32"))
     return self._cache[key]
+
+
+class LegoFaces(NPZImageDataset):
+  """LEGO minifigure faces with description-derived factor labels
+  (reference ``image_data/lego_faces.py:287``).  The reference scrapes
+  images from the web (:53); with no egress this loads the scraped +
+  resized ``{x, y}`` npz cache, keeping the multi-hot factor labels."""
+  _name = "legofaces"
+  _shape = (64, 64, 3)
+  _labels = ["eyebrows", "eyes", "glasses", "smile", "frown", "open_mouth",
+             "teeth", "beard", "moustache", "lipstick", "angry", "scared",
+             "happy", "sad", "curly"]
+
+
+class Kaokore(NPZImageDataset):
+  """Pre-modern Japanese face artworks (reference ``image_data/kaokore.py``),
+  npz-gated with gender/status labels."""
+  _name = "kaokore"
+  _shape = (64, 64, 3)
+  _labels = ["male", "female", "noble", "warrior", "incarnation", "commoner"]

@@ -106,3 +106,38 @@ def test_storage(tmp_path):
   d["x"] = np.ones((3, 2), "f")
   assert "x" in d and d["x"].shape == (3, 2)
   assert len(d.get_md5_checksum()) == 32
+
+
+def test_synthetic_atac_and_registry():
+  from odin_tpu.fuel import (SyntheticATAC, get_all_dataset, get_dataset)
+  ds = SyntheticATAC(n_cells=500, n_regions=100, n_topics=4)
+  x, y = ds.numpy("train")
+  assert x.shape == (400, 100) and set(np.unique(x)) <= {0.0, 1.0}
+  assert ds.data_type == "atac"
+  # accessibility differs across latent topics (learnable signal)
+  m0, m1 = x[y == 0].mean(0), x[y == 1].mean(0)
+  assert np.abs(m0 - m1).max() > 0.3
+  # registry knows the new families
+  names = [c.__name__ for c in get_all_dataset()]
+  for n in ("Melanoma", "Forebrain", "LegoFaces", "Kaokore", "HumanEmbryos"):
+    assert n in names, n
+  assert isinstance(get_dataset("syntheticatac"), SyntheticATAC)
+  atac = [c.__name__ for c in get_all_dataset(data_type="atac")]
+  assert "Melanoma" in atac and "SyntheticATAC" in atac
+
+
+def test_npz_gated_datasets_error_clearly(tmp_path):
+  from odin_tpu.fuel import LegoFaces, Melanoma
+  with pytest.raises(FileNotFoundError):
+    Melanoma(path=str(tmp_path / "nope.npz")).numpy("train")
+  assert LegoFaces().shape == (64, 64, 3)
+  assert len(LegoFaces().labels) == 15
+
+
+def test_lda_transform_doc_topics():
+  from odin_tpu.bay.vi import amortizedLDA
+  lda = amortizedLDA(n_words=50, n_topics=3).build()
+  x = np.random.RandomState(0).poisson(2.0, (16, 50)).astype("f")
+  docs = lda.transform(x)
+  assert docs.shape == (16, 3)
+  np.testing.assert_allclose(docs.sum(-1), 1.0, atol=1e-4)
