@@ -26,7 +26,7 @@ __all__ = [
     "CalculateEnergy", "STFTExtractor", "PowerSpecExtractor",
     "MelsSpecExtractor", "MFCCsExtractor", "SpectraExtractor", "Power2Db",
     "SADthreshold", "SADgmm", "RASTAfilter", "AcousticNorm", "Read3ColSAD",
-    "ApplyingSAD",
+    "ApplyingSAD", "BNFExtractor",
 ]
 
 
@@ -485,3 +485,62 @@ class ApplyingSAD(Extractor):
         x = feat[name]
         out[name] = x[sad[:len(x)]]
     return out
+
+
+class BNFExtractor(Extractor):
+  """Deep bottleneck features from any JAX network
+  (reference ``speech.py:1012`` `_BNFExtractorBase` / :1084 / :1168).
+
+  Follows the reference's recipe exactly: MVN using speech-frame statistics
+  -> stack ``2*context+1`` frames -> apply the network in fixed-size
+  minibatches -> optionally drop non-speech frames.  `network` is either a
+  plain callable ``f(x[batch, dim]) -> y[batch, bnf_dim]`` or a
+  ``(flax_module, params)`` pair; the forward pass is jitted once with a
+  fixed batch shape (last batch is padded) so a remote TPU sees a single
+  compiled program instead of shape-polymorphic recompiles.
+  """
+
+  def __init__(self, input_name: str, network, output_name: str = "bnf",
+               sad_name: Optional[str] = "sad",
+               remove_non_speech: bool = True, stack_context: int = 10,
+               pre_mvn: bool = True, batch_size: int = 2048):
+    names = (input_name, sad_name) if sad_name else (input_name,)
+    super().__init__(input_name=names, output_name=(output_name,))
+    self.sad_name = sad_name
+    self.remove_non_speech = bool(remove_non_speech)
+    self.stack_context = int(stack_context or 0)
+    self.pre_mvn = bool(pre_mvn)
+    self.batch_size = int(batch_size)
+    import jax
+    if isinstance(network, tuple):  # (flax module, params)
+      module, params = network
+      fn = lambda x: module.apply(params, x)
+    else:
+      fn = network
+    self._forward = jax.jit(fn)
+
+  def _transform(self, inputs):
+    X = np.asarray(inputs[0])
+    sad = None
+    if self.sad_name is not None:
+      sad = np.asarray(inputs[1]).astype(bool)
+      if len(sad) != len(X):
+        raise ValueError(f"sad length {len(sad)} != frames {len(X)}")
+    X_speech = X[sad] if sad is not None else X
+    if self.pre_mvn:
+      X = (X - X_speech.mean(0, keepdims=True)) / (
+          X_speech.std(0, keepdims=True) + 1e-18)
+    if self.stack_context > 0:
+      X = S.stack_frames(X, frame_length=self.stack_context * 2 + 1,
+                         step_length=1, keep_length=True)
+    if self.remove_non_speech and sad is not None:
+      X = X[sad]
+    out = []
+    bs = self.batch_size
+    for s in range(0, len(X), bs):
+      chunk = X[s:s + bs]
+      n = len(chunk)
+      if n < bs:  # pad to the compiled batch shape, then trim
+        chunk = np.pad(chunk, ((0, bs - n), (0, 0)))
+      out.append(np.asarray(self._forward(chunk))[:n])
+    return np.concatenate(out, axis=0).astype("float32")

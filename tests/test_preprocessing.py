@@ -137,3 +137,34 @@ def test_batch_speech_features_device():
     assert len(f["mspec"]) == cfg.n_frames(len(u))
     assert f["mfcc"].shape[1] == cfg.n_ceps
     assert np.isfinite(f["mspec"]).all()
+
+
+def test_bnf_extractor():
+  import flax.linen as nn
+  import jax
+  from odin_tpu.preprocessing import BNFExtractor
+
+  class Bottleneck(nn.Module):
+    @nn.compact
+    def __call__(self, x):
+      return nn.Dense(7)(nn.relu(nn.Dense(32)(x)))
+
+  rng = np.random.RandomState(0)
+  X = rng.randn(300, 13).astype("f")
+  sad = (rng.rand(300) > 0.3)
+  mod = Bottleneck()
+  params = mod.init(jax.random.PRNGKey(0), np.zeros((1, 13 * 21), "f"))
+  bnf = BNFExtractor("mfcc", network=(mod, params), sad_name="sad",
+                     stack_context=10, batch_size=128)
+  out = bnf.transform({"mfcc": X, "sad": sad.astype("f")})
+  assert out["bnf"].shape == (int(sad.sum()), 7)
+  assert out["bnf"].dtype == np.float32
+  # keep all frames when requested
+  bnf2 = BNFExtractor("mfcc", network=(mod, params), sad_name="sad",
+                      remove_non_speech=False, stack_context=10,
+                      batch_size=128)
+  assert bnf2.transform({"mfcc": X, "sad": sad})["bnf"].shape == (300, 7)
+  # no sad provided
+  bnf3 = BNFExtractor("mfcc", network=(mod, params), sad_name=None,
+                      stack_context=10, batch_size=512)
+  assert bnf3.transform({"mfcc": X})["bnf"].shape == (300, 7)
