@@ -6,6 +6,7 @@ from odin_tpu.bay.layers import (
     DenseDeterministic,
     DistributionDense,
     MixtureDensityNetwork,
+    MixtureMassNetwork,
     MVNDiagLatents,
     NormalLatents,
 )

@@ -387,6 +387,42 @@ def _qlogistic_builder(params, event_shape, low=0, high=255, **kw):
                           inputs_domain="sigmoid"), event_shape)
 
 
+def _mixnb_params_size(event_size, n_components=2, zero_inflated=False, **kw):
+  per = 3 if zero_inflated else 2
+  return n_components * (1 + per * event_size)
+
+
+def _mixnb_builder(params, event_shape, n_components=2, zero_inflated=False,
+                   mean_activation="softplus", **kw):
+  """Mixture of mean/dispersion negative binomials (scVI-style count heads;
+  reference ``MixtureMassNetwork``, ``dense_distribution.py:565``, built on
+  ``NegativeBinomialMixture``, ``distributions/mixture.py:330``)."""
+  d = _size(event_shape)
+  K = n_components
+  logits = params[..., :K]
+  rest = params[..., K:]
+  act = jax.nn.softplus if mean_activation == "softplus" else getattr(
+      jax.nn, mean_activation)
+  loc = act(rest[..., :K * d]).reshape(rest.shape[:-1] + (K, d)) + 1e-8
+  disp = _softplus(rest[..., K * d:2 * K * d]).reshape(
+      rest.shape[:-1] + (K, d)) + 1e-8
+  comp = D.NegativeBinomialDisp(loc, disp)
+  if zero_inflated:
+    zi = rest[..., 2 * K * d:].reshape(rest.shape[:-1] + (K, d))
+    comp = D.ZeroInflated(comp, logits=zi)
+  return D.MixtureSameFamily(D.Categorical(logits=logits),
+                             D.Independent(comp, len(event_shape) or 1))
+
+
+register_distribution_alias(("mixnb", "nbmixture"), DistSpec(
+    "mixnb", _mixnb_params_size, _mixnb_builder, _no_prior))
+register_distribution_alias(("mixzinb", "zinbmixture"), DistSpec(
+    "mixzinb",
+    lambda d, n_components=2, **kw: _mixnb_params_size(
+        d, n_components, zero_inflated=True),
+    lambda p, e, n_components=2, **kw: _mixnb_builder(
+        p, e, n_components, zero_inflated=True, **kw),
+    _no_prior))
 register_distribution_alias(("qlogistic", "quantizedlogistic"), DistSpec(
     "qlogistic", _n_params(2), _qlogistic_builder, _no_prior))
 register_distribution_alias(("mixqlogist", "mixqlogistic"), DistSpec(

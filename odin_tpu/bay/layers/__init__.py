@@ -2,6 +2,7 @@ from odin_tpu.bay.layers.dense_distribution import (
     DenseDeterministic,
     DistributionDense,
     MixtureDensityNetwork,
+    MixtureMassNetwork,
     MVNDiagLatents,
     NormalLatents,
 )

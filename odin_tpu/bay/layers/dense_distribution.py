@@ -89,6 +89,23 @@ class MixtureDensityNetwork(DistributionDense):
                posterior_kwargs={"n_components": int(n_components)}, **kwargs)
 
 
+class MixtureMassNetwork(DistributionDense):
+  """Mixture of negative binomials head for count data (scVI-style;
+  reference ``dense_distribution.py:565``)."""
+
+  posterior: str = "mixnb"
+
+  @classmethod
+  def create(cls, units: int, n_components: int = 2,
+             zero_inflated: bool = False,
+             mean_activation: str = "softplus", **kwargs):
+    return cls(event_shape=(int(units),),
+               posterior="mixzinb" if zero_inflated else "mixnb",
+               posterior_kwargs={"n_components": int(n_components),
+                                 "mean_activation": mean_activation},
+               **kwargs)
+
+
 class DenseDeterministic(DistributionDense):
   """Deterministic (point-mass) head — the autoencoder baseline
   (reference ``dense_distribution.py:625``)."""

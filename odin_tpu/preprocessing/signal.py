@@ -252,6 +252,33 @@ def griffin_lim(spec_mag: np.ndarray, frame_length: int,
   return istft(spec_mag * angles, frame_length, step_length, window)
 
 
+def ispec(spec: np.ndarray, frame_length: int,
+          step_length: Optional[int] = None, window: str = "hann",
+          nb_iter: int = 48, normalize: bool = True, db: bool = False,
+          padding: bool = False,
+          de_preemphasis: Optional[float] = 0.97) -> np.ndarray:
+  """Invert a (power/dB) spectrogram back to a waveform with Griffin-Lim
+  (reference :1838-1903)."""
+  del padding  # frames are already centered by stft
+  spec = np.asarray(spec, np.float64)
+  if db:
+    spec = db2power(spec)
+  mag = np.sqrt(np.maximum(spec, 0.0))
+  y = griffin_lim(mag, frame_length, step_length, n_iter=int(nb_iter),
+                  window=window)
+  if de_preemphasis is not None and de_preemphasis > 0:
+    # inverse of pre_emphasis: y[t] += coeff * y[t-1].  The IIR pole at
+    # `coeff` has DC gain 1/(1-coeff) (~33x) — trim the edge transient
+    # below (reference trims y[1000:-1000], :1897) or it dominates.
+    from scipy.signal import lfilter
+    y = lfilter([1.0], [1.0, -float(de_preemphasis)], y)
+  if normalize:
+    trim = 1000 if len(y) > 4000 else 0  # reference :1897, short-signal guard
+    y = y[trim:len(y) - trim] if trim else y
+    y = (y - y.mean()) / (y.std() + 1e-8)
+  return y.astype("float32")
+
+
 # ---------------------------------------------------------------------------
 # Spectrogram stack (reference :636,1650,1693)
 # ---------------------------------------------------------------------------

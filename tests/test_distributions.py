@@ -359,3 +359,49 @@ def test_batchwise():
   assert bw.mean().shape == (12, 3)
   x = jnp.zeros((12, 3))
   assert bw.log_prob(x).shape == (12,)
+
+
+def test_mixnb_alias_and_mixture_mass_network():
+  from odin_tpu.bay.distribution_alias import parse_distribution
+  spec = parse_distribution("mixnb")
+  D_ev = 6
+  K = 3
+  n = spec.params_size(D_ev, n_components=K)
+  assert n == K * (1 + 2 * D_ev)
+  params = jax.random.normal(jax.random.PRNGKey(0), (7, n))
+  dist = spec.builder(params, (D_ev,), n_components=K)
+  assert dist.event_shape == (D_ev,)
+  x = jnp.ones((7, D_ev)) * 3.0
+  lp = dist.log_prob(x)
+  assert lp.shape == (7,) and bool(jnp.isfinite(lp).all())
+  s = dist.sample(jax.random.PRNGKey(1))
+  assert s.shape == (7, D_ev) and bool((np.asarray(s) >= 0).all())
+  # zero-inflated variant has 3 per-event chunks
+  zspec = parse_distribution("mixzinb")
+  nz = zspec.params_size(D_ev, n_components=K)
+  assert nz == K * (1 + 3 * D_ev)
+  zdist = zspec.builder(jax.random.normal(jax.random.PRNGKey(2), (5, nz)),
+                        (D_ev,), n_components=K)
+  lz = zdist.log_prob(jnp.zeros((5, D_ev)))
+  assert bool(jnp.isfinite(lz).all())
+
+  from odin_tpu.bay.layers.dense_distribution import MixtureMassNetwork
+  head = MixtureMassNetwork.create(D_ev, n_components=K)
+  p = head.init(jax.random.PRNGKey(0), jnp.zeros((2, 4)))
+  d = head.apply(p, jnp.zeros((2, 4)))
+  assert d.event_shape == (D_ev,)
+
+
+def test_ispec_roundtrip():
+  from odin_tpu.preprocessing.signal import ispec, stft
+  sr = 8000
+  t = np.arange(sr) / sr
+  y = np.sin(2 * np.pi * 220 * t).astype("f")
+  S = np.abs(stft(y, 256, 64)) ** 2
+  rec = ispec(S, 256, 64, nb_iter=16, de_preemphasis=None)
+  # same dominant frequency after phase reconstruction (rec is edge-trimmed,
+  # so compare in Hz, not FFT bins)
+  hz_orig = np.abs(np.fft.rfft(y)).argmax() * sr / len(y)
+  hz_rec = np.abs(np.fft.rfft(rec)).argmax() * sr / len(rec)
+  assert abs(hz_orig - hz_rec) <= 3, (hz_orig, hz_rec)
+  assert abs(float(rec.std()) - 1.0) < 1e-3  # normalized

@@ -47,5 +47,21 @@ def test_graft_entry_single_chip():
 
 
 def test_graft_entry_multichip():
-  import __graft_entry__ as g
-  g.dryrun_multichip(len(jax.devices()))
+  # Run in a fresh subprocess: XLA's CPU collective rendezvous has a fatal
+  # ~40s watchdog, and a long-running pytest process (dozens of compiled
+  # programs resident, single host core) can push the first mesh dispatch
+  # past it.  A clean interpreter keeps the dry-run well inside the window
+  # and matches how the driver invokes dryrun_multichip.
+  import subprocess
+  import sys
+  env = dict(os.environ,
+             JAX_PLATFORMS="cpu",
+             XLA_FLAGS="--xla_force_host_platform_device_count=4")
+  repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+  proc = subprocess.run(
+      [sys.executable, "-c",
+       "import jax; jax.config.update('jax_platforms', 'cpu');"
+       "import __graft_entry__ as g;"
+       "g.dryrun_multichip(len(jax.devices()))"],
+      cwd=repo, env=env, capture_output=True, text=True, timeout=1200)
+  assert proc.returncode == 0, proc.stderr[-2000:]
