@@ -31,7 +31,7 @@ def main_impl(cfg):
   net = XVectorNet(n_classes=cfg.n_speakers, embedding_dim=cfg.embedding_dim)
   rng = jax.random.PRNGKey(0)
   params = net.init(rng, jnp.asarray(X[:1]))["params"]
-  opt = optax.adam(cfg.lr)
+  opt = optax.adamw(cfg.lr, weight_decay=1e-4)
   state = TrainState(params={"net": params},
                      opt_states={"net": opt.init(params)},
                      step=jnp.zeros((), jnp.int32), rng=rng)
@@ -57,10 +57,18 @@ def main_impl(cfg):
   Xtr, ytr = X[tr_idx], labels[tr_idx]
 
   def batches(n):
+    # SpecAugment-lite: mask a random time span per utterance — with only
+    # ~a dozen train utterances per speaker the TDNN memorizes otherwise
     r = np.random.RandomState(0)
+    T = Xtr.shape[1]
     for _ in range(n):
       i = r.randint(0, len(Xtr), cfg.batch_size)
-      yield (Xtr[i], ytr[i])
+      xb = Xtr[i].copy()
+      for b in range(len(xb)):
+        w = r.randint(0, T // 4)
+        s = r.randint(0, T - w) if w else 0
+        xb[b, s:s + w] = 0.0
+      yield (xb, ytr[i])
 
   trainer = Trainer(logdir=cfg.output_dir)
   state = trainer.fit(batches(cfg.max_iter), step_fn, state,
