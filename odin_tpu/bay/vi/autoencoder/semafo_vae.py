@@ -113,10 +113,14 @@ class SemafoVAE(AnnealingVAE):
     aux["qy"] = py_z
     mi_y, mi_z = self._mi_loss(params, aux["qz"], py_z, k2, step, training,
                                mutables)
-    llk["mi_digits"] = mi_y * jnp.ones(z.shape[0])
+    # metric keys carry the labels head's name (reference
+    # ``semafo_vae.py:218-233``: f'mi_{self.labels.name}')
+    name = self.labels_conf.name if self.labels_conf is not None else "labels"
+    llk[f"mi_{name}"] = mi_y * jnp.ones(z.shape[0])
     llk["mi_latents"] = mi_z * jnp.zeros(z.shape[0])  # monitoring only
     if y is not None:
-      llk["llk_digits"] = masked_mean_llk(self.alpha * py_z.log_prob(y), mask)
+      llk[f"llk_{name}"] = masked_mean_llk(self.alpha * py_z.log_prob(y),
+                                           mask)
     return llk, kl, aux
 
 
