@@ -66,6 +66,12 @@ from odin_tpu.bay.vi.autoencoder.semafo_vae import (
     semafosm,
     semafot,
 )
+from odin_tpu.bay.vi.autoencoder.self_supervised_vae import (
+    AdaptiveVAE,
+    GroupVAE,
+    MultiLevelVAE,
+    WeaklySupervisedVAE,
+)
 from odin_tpu.bay.vi.autoencoder.stochastic_vae import ImputeVAE, StochasticVAE
 from odin_tpu.bay.vi.autoencoder.two_stage_vae import TwoStageVAE
 from odin_tpu.bay.vi.autoencoder.vamprior import VampriorVAE
@@ -83,7 +89,8 @@ __all__ = [
     "semafoh", "semafos", "semafosm", "semafosc", "semafop", "semafot",
     "HierarchicalVAE", "LadderVAE", "UnetVAE", "PUnetVAE", "VeryDeepVAE",
     "BiConvLatents", "amortizedLDA", "auxiliaryLDA", "nonlinearLDA", "ALDA",
-    "StochasticVAE", "ImputeVAE", "DistEncoder", "get_vae", "get_all_vae",
+    "StochasticVAE", "ImputeVAE", "DistEncoder", "GroupVAE", "MultiLevelVAE",
+    "AdaptiveVAE", "WeaklySupervisedVAE", "get_vae", "get_all_vae",
 ]
 
 

@@ -1,5 +1,11 @@
 """Speech/feature preprocessing (reference: ``odin/preprocessing``)."""
 from odin_tpu.preprocessing import kaldi, signal, video
+from odin_tpu.preprocessing.opensmile import (
+    openSMILEf0,
+    openSMILEloudness,
+    openSMILEpitch,
+    openSMILEsad,
+)
 from odin_tpu.preprocessing.base import (
     AsType,
     Converter,

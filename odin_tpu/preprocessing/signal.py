@@ -27,6 +27,7 @@ __all__ = [
     "power2db", "db2power", "mels_spectrogram", "ceps_spectrogram",
     "pre_emphasis", "delta", "shifted_deltas", "mvn", "wmvn", "rastafilt",
     "smooth", "vad_energy", "vad_threshold", "pad_sequences", "griffin_lim",
+    "shs_pitch", "loudness", "intensity",
 ]
 
 
@@ -693,6 +694,111 @@ def pitch_track(y: np.ndarray, sr: int, step_length: int,
   voiced = region.min(1) < max(threshold, 0.5)
   out = f0 if otype == "f0" else np.where(voiced, f0, 0.0)
   return out.astype("float32")
+
+
+def shs_pitch(y: np.ndarray, sr: int, step_length: int,
+              frame_length: Optional[int] = None,
+              fmin: float = 52.0, fmax: float = 620.0,
+              n_harmonics: int = 15, compression: float = 0.84,
+              bins_per_octave: int = 48, window: Union[str, tuple] = "hann",
+              voicing_threshold: float = 0.7,
+              otype: str = "pitch") -> Tuple[np.ndarray, np.ndarray]:
+  """Subharmonic-summation pitch (Hermes 1988) + voicing probability.
+
+  Native replacement for the reference's openSMILE ``prosodyShs.cfg``
+  subprocess path (``odin/preprocessing/_opensmile.py:246-376``,
+  SURVEY.md §2.0): amplitude spectrum resampled onto a log2-frequency
+  grid, then the subharmonic sum ``H(f) = sum_n c^(n-1) A(n f)`` is a
+  fixed set of grid shifts; the winning candidate in [fmin, fmax] is the
+  pitch.  Voicing probability is the normalized autocorrelation at the
+  winning period (the ACF comes free from the power spectrum already
+  computed).  Returns ``(f0, voicing)`` per frame; `otype='pitch'`
+  zeroes frames with ``voicing < voicing_threshold``.
+  """
+  y = np.asarray(y, np.float64)
+  if frame_length is None:
+    # >= 2 periods of the lowest candidate
+    frame_length = int(np.ceil(2.0 * sr / fmin))
+  if len(y) < frame_length:
+    y = np.pad(y, (0, frame_length - len(y)))
+  frames = segment_axis(y, frame_length, step_length, end="pad")
+  w = get_window(window, frame_length)
+  n_fft = int(2 ** np.ceil(np.log2(frame_length * 2)))
+  spec = np.fft.rfft(frames * w, n_fft, axis=1)
+  power = np.abs(spec) ** 2
+  amp = np.sqrt(power)
+  freqs = np.fft.rfftfreq(n_fft, 1.0 / sr)
+  # log2-frequency grid covering [fmin, min(n_harmonics*fmax, Nyquist)]
+  f_hi = min(sr / 2.0, n_harmonics * fmax)
+  n_bins = int(np.ceil(np.log2(f_hi / fmin) * bins_per_octave)) + 1
+  grid = fmin * 2.0 ** (np.arange(n_bins) / bins_per_octave)
+  # vectorized linear interpolation of amp onto the grid
+  hi = np.searchsorted(freqs, grid).clip(1, len(freqs) - 1)
+  lo = hi - 1
+  t = (grid - freqs[lo]) / np.maximum(freqs[hi] - freqs[lo], 1e-12)
+  amp_g = amp[:, lo] * (1.0 - t) + amp[:, hi] * t  # (T, n_bins)
+  # subharmonic summation: harmonic n lives log2(n) octaves up the grid
+  n_cand = int(np.floor(np.log2(fmax / fmin) * bins_per_octave)) + 1
+  n_cand = min(n_cand, n_bins)
+  H = np.zeros((len(frames), n_cand))
+  for n in range(1, n_harmonics + 1):
+    shift = int(round(np.log2(n) * bins_per_octave))
+    stop = min(n_cand, n_bins - shift)
+    if stop <= 0:
+      break
+    H[:, :stop] += (compression ** (n - 1)) * amp_g[:, shift:shift + stop]
+  best = H.argmax(axis=1)
+  f0 = grid[best]
+  # voicing: normalized ACF at the winning lag (Wiener-Khinchin)
+  acf = np.fft.irfft(power, n_fft, axis=1)
+  tau = np.clip(np.round(sr / f0), 1, n_fft // 2 - 1).astype(np.int64)
+  r0 = acf[:, 0]
+  voicing = np.clip(
+      acf[np.arange(len(frames)), tau] / np.maximum(r0, 1e-12), 0.0, 1.0)
+  voicing = np.where(r0 > 1e-12, voicing, 0.0)
+  if otype == "pitch":
+    f0 = np.where(voicing >= voicing_threshold, f0, 0.0)
+  return f0.astype("float32"), voicing.astype("float32")
+
+
+def loudness(y: np.ndarray, sr: int, frame_length: int, step_length: int,
+             n_mels: int = 40, fmin: float = 20.0,
+             fmax: Optional[float] = None, window: Union[str, tuple] = "hamm",
+             ref_intensity: float = 1e-6) -> np.ndarray:
+  """Narrow-band auditory loudness, one value per frame.
+
+  Native replacement for openSMILE's "simple auditory band model"
+  (``_opensmile.py:210-245``): mel-band intensities I_b from the windowed
+  power spectrum, specific loudness ``(I_b / I0)^0.3`` (Zwicker power
+  law; I0 = 1e-6 is openSMILE's 60 dB reference for signals in [-1, 1]),
+  averaged over bands.
+  """
+  y = np.asarray(y, np.float64)
+  if len(y) < frame_length:
+    y = np.pad(y, (0, frame_length - len(y)))
+  frames = segment_axis(y, frame_length, step_length, end="pad")
+  w = get_window(window, frame_length)
+  n_fft = int(2 ** np.ceil(np.log2(frame_length)))
+  power = np.abs(np.fft.rfft(frames * w, n_fft, axis=1)) ** 2
+  power /= (np.sum(w) ** 2 / 2.0)  # coherent-gain normalization
+  fb = mel_filters(sr, n_fft, n_mels=n_mels, fmin=fmin, fmax=fmax)
+  bands = power @ fb.T  # (T, n_mels)
+  spec_loud = (np.maximum(bands, 0.0) / ref_intensity) ** 0.3
+  return spec_loud.mean(axis=1).astype("float32")
+
+
+def intensity(y: np.ndarray, sr: int, frame_length: int,
+              step_length: int) -> np.ndarray:
+  """Frame loudness ``L = (I / I0)^0.3`` with I = mean of squared
+  Hamming-windowed samples, I0 = 1e-6 (openSMILE ``cIntensity``
+  semantics, ``_opensmile.py:276-284`` docstring)."""
+  y = np.asarray(y, np.float64)
+  if len(y) < frame_length:
+    y = np.pad(y, (0, frame_length - len(y)))
+  frames = segment_axis(y, frame_length, step_length, end="pad")
+  w = get_window("hamm", frame_length)
+  I = np.mean((frames * w) ** 2, axis=1)
+  return ((I / 1e-6) ** 0.3).astype("float32")
 
 
 def pad_sequences(sequences, maxlen: Optional[int] = None,

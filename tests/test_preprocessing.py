@@ -168,3 +168,54 @@ def test_bnf_extractor():
   bnf3 = BNFExtractor("mfcc", network=(mod, params), sad_name=None,
                       stack_context=10, batch_size=512)
   assert bnf3.transform({"mfcc": X})["bnf"].shape == (300, 7)
+
+
+def test_opensmile_native():
+  """Native openSMILE replacements: SHS pitch finds a pure tone's f0,
+  loudness tracks amplitude, SAD score separates bursts from silence."""
+  from odin_tpu.preprocessing import (openSMILEf0, openSMILEloudness,
+                                      openSMILEpitch, openSMILEsad)
+  from odin_tpu.preprocessing import signal as S
+
+  sr = 16000
+  t = np.arange(2 * sr) / sr
+  tone = (0.5 * np.sin(2 * np.pi * 220.0 * t)).astype("f")
+  # --- SHS kernel accuracy on a pure tone (+ weak harmonics) -------------
+  harm = tone + 0.25 * np.sin(2 * np.pi * 440.0 * t).astype("f") \
+      + 0.12 * np.sin(2 * np.pi * 660.0 * t).astype("f")
+  f0, voic = S.shs_pitch(harm, sr, step_length=160, frame_length=800,
+                         otype="pitch")
+  mid = f0[5:-5]
+  assert np.all(mid > 0), "voiced tone must not be gated out"
+  assert abs(np.median(mid) - 220.0) / 220.0 < 0.05
+  assert voic[5:-5].min() > 0.5
+  # silence -> unvoiced
+  f0s, voic_s = S.shs_pitch(np.zeros(sr, "f"), sr, 160, frame_length=800)
+  assert np.all(f0s == 0)
+  # --- extractors ---------------------------------------------------------
+  feat = {"raw": harm, "sr": sr}
+  out = openSMILEpitch(frame_length=0.05, f0=True, loudness=True,
+                       voiceProb=True).transform(feat)
+  for k in ("pitch", "f0", "loudness", "sap"):
+    assert out[k].ndim == 2 and out[k].shape[1] == 1, k
+  assert abs(np.median(out["pitch"][out["pitch"] > 0]) - 220.0) < 20.0
+  out_acf = openSMILEpitch(frame_length=0.05, method="acf").transform(feat)
+  p = out_acf["pitch"][out_acf["pitch"] > 0]
+  assert len(p) and abs(np.median(p) - 220.0) < 20.0
+  assert "f0" in openSMILEf0(frame_length=0.05).transform(feat)
+  # --- loudness: louder signal -> larger value ----------------------------
+  quiet = {"raw": 0.05 * harm, "sr": sr}
+  L1 = openSMILEloudness(frame_length=0.05).transform(feat)["loudness"]
+  L2 = openSMILEloudness(frame_length=0.05).transform(quiet)["loudness"]
+  assert L1.mean() > L2.mean() > 0
+  Li = openSMILEloudness(frame_length=0.05,
+                         to_intensity=True).transform(feat)["intensity"]
+  np.testing.assert_allclose(Li, L1 * 60.0, rtol=1e-6)
+  # --- SAD: bursts vs silence ---------------------------------------------
+  y = synth_speech(sr * 2)
+  sad = openSMILEsad(frame_length=0.025).transform({"raw": y, "sr": sr})
+  score = sad["sad"].ravel()
+  assert score.min() >= -1.0 and score.max() <= 1.0
+  sad_b = openSMILEsad(frame_length=0.025,
+                       threshold=0.0).transform({"raw": y, "sr": sr})
+  assert sad_b["sad"].dtype == bool

@@ -130,3 +130,93 @@ def test_beta_scaling_changes_kl_weight():
   llk2, kl2, _ = v2.elbo_components(v2.state.params, X, KEY, 0)
   np.testing.assert_allclose(np.asarray(kl1["kl_latents"]) * 10.0,
                              np.asarray(kl2["kl_latents"]), rtol=1e-4)
+
+
+def test_self_supervised_family():
+  """GroupVAE/ML-VAE/Ada-GVAE/weak supervision on paired observations
+  (reference stubs implemented for real, self_supervised_vae.py)."""
+  from odin_tpu.bay.random_variable import RVconf
+  from odin_tpu.bay.vi import (AdaptiveVAE, GroupVAE, MultiLevelVAE,
+                               WeaklySupervisedVAE)
+  from odin_tpu.bay.vi.autoencoder.self_supervised_vae import (
+      _aggregate, _sym_kl_per_dim)
+
+  # registry
+  for n in ("groupvae", "multilevelvae", "adaptivevae",
+            "weaklysupervisedvae"):
+    assert get_vae(n) is not None
+
+  # aggregation math
+  m1, s1 = jnp.zeros((2, 3)), jnp.ones((2, 3))
+  m2, s2 = jnp.ones((2, 3)) * 2.0, jnp.ones((2, 3))
+  mg, sg = _aggregate(m1, s1, m2, s2, "group")
+  np.testing.assert_allclose(np.asarray(mg), 1.0)
+  np.testing.assert_allclose(np.asarray(sg), 1.0)
+  mp, sp = _aggregate(m1, s1, m2, s2, "multilevel")
+  np.testing.assert_allclose(np.asarray(mp), 1.0)       # equal precisions
+  np.testing.assert_allclose(np.asarray(sp), np.sqrt(0.5))
+  # identical posteriors -> zero symmetric KL
+  np.testing.assert_allclose(np.asarray(_sym_kl_per_dim(m1, s1, m1, s1)), 0.0,
+                             atol=1e-6)
+
+  def make(cls, **kw):
+    return cls(latents=RVconf(6, "mvndiag", projection=True, name="latents"),
+               observation=RVconf((12,), "gaussian", projection=True,
+                                  name="observation"),
+               input_shape=(12,), **kw).build(seed=0)
+
+  key = jax.random.PRNGKey(0)
+  rng = np.random.RandomState(1)
+  W = rng.randn(3, 12).astype("f")
+  c = rng.randn(16, 3).astype("f")
+  x1 = (c + 0.1 * rng.randn(16, 3).astype("f")) @ W
+  x2 = (c + 0.1 * rng.randn(16, 3).astype("f")) @ W
+
+  for cls, kw in [(GroupVAE, dict(n_shared=3)), (MultiLevelVAE, {}),
+                  (AdaptiveVAE, dict(base_method="multilevel")),
+                  (WeaklySupervisedVAE, dict(strategy="match", n_changed=2))]:
+    vae = make(cls, **kw)
+    llk, kl, aux = vae.elbo_components(vae.state.params, (x1, x2), key, 0,
+                                       training=True)
+    assert llk["llk_observation"].shape == (16,)
+    assert np.all(np.isfinite(np.asarray(llk["llk_observation"])))
+    assert np.all(np.isfinite(np.asarray(kl["kl_latents"])))
+    # (B, 2, ...) stacked-pair form gives the same structure
+    llk_b, _, _ = vae.elbo_components(
+        vae.state.params, np.stack([x1, x2], 1), key, 0, training=True)
+    np.testing.assert_allclose(np.asarray(llk_b["llk_observation"]),
+                               np.asarray(llk["llk_observation"]), rtol=1e-5)
+    # unpaired fallback keeps evaluation paths alive
+    llk_u, _, _ = vae.elbo_components(vae.state.params, x1, key, 0)
+    assert llk_u["llk_observation"].shape == (16,)
+
+  # adaptive mask: identical pair members -> all-but-argmax dims shared
+  ada = make(AdaptiveVAE)
+  _, _, aux = ada.elbo_components(ada.state.params, (x1, x1 + 1e-4), key, 0)
+  # shared-dim count is reported as a metric
+  assert float(aux["n_shared"]) >= 0
+
+  # weak supervision: rank strategy adds a pair_loss term driven by y
+  wvae = make(WeaklySupervisedVAE, strategy="rank")
+  y = (rng.rand(16) > 0.5).astype("f")
+  _, kl_r, _ = wvae.elbo_components(wvae.state.params, (x1, x2, y), key, 0,
+                                    training=True)
+  assert "pair_loss" in kl_r and np.all(np.isfinite(np.asarray(
+      kl_r["pair_loss"])))
+  # restricted strategy ties posterior means to observed factors
+  rvae = make(WeaklySupervisedVAE, strategy="restricted")
+  yf = rng.randn(16, 3).astype("f")
+  _, kl_f, _ = rvae.elbo_components(rvae.state.params, (x1, x2, yf), key, 0,
+                                    training=True)
+  assert "pair_loss" in kl_f
+
+  # short fit on pairs: loss must drop
+  gv = make(GroupVAE, n_shared=3)
+  step = jax.jit(gv.make_step_fn(learning_rate=1e-3, jit=False))
+  state = gv.state
+  losses = []
+  for i in range(40):
+    i1 = rng.randint(0, 16, 16)
+    state, m = step(state, (x1[i1], x2[i1]))
+    losses.append(float(m["loss"]))
+  assert losses[-1] < losses[0]
