@@ -66,6 +66,13 @@ from odin_tpu.bay.vi.autoencoder.semafo_vae import (
     semafosm,
     semafot,
 )
+from odin_tpu.bay.vi.autoencoder.cycle_vae import CycleConsistentVAE
+from odin_tpu.bay.vi.autoencoder.moe_vae import MoeVAE
+from odin_tpu.bay.vi.autoencoder.sequential_vae import (
+    SequentialAttentionVAE,
+    SequentialVAE,
+    VariationalRNN,
+)
 from odin_tpu.bay.vi.autoencoder.self_supervised_vae import (
     AdaptiveVAE,
     GroupVAE,
@@ -90,7 +97,9 @@ __all__ = [
     "HierarchicalVAE", "LadderVAE", "UnetVAE", "PUnetVAE", "VeryDeepVAE",
     "BiConvLatents", "amortizedLDA", "auxiliaryLDA", "nonlinearLDA", "ALDA",
     "StochasticVAE", "ImputeVAE", "DistEncoder", "GroupVAE", "MultiLevelVAE",
-    "AdaptiveVAE", "WeaklySupervisedVAE", "get_vae", "get_all_vae",
+    "AdaptiveVAE", "WeaklySupervisedVAE", "VariationalRNN", "SequentialVAE",
+    "CycleConsistentVAE", "MoeVAE", "SequentialAttentionVAE",
+    "get_vae", "get_all_vae",
 ]
 
 
