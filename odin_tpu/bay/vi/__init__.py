@@ -1,6 +1,13 @@
 """Variational inference: VAE zoo + disentanglement evaluation
 (reference: ``odin/bay/vi``)."""
 from odin_tpu.bay.vi._base import VariationalModel, traverse_dims
+from odin_tpu.bay.vi.utils import (
+    discretizing,
+    marginalize_categorical_labels,
+    permute_dims,
+    prepare_ssl_inputs,
+    split_ssl_inputs,
+)
 from odin_tpu.bay.vi.autoencoder import *  # noqa: F401,F403
 from odin_tpu.bay.vi.autoencoder import get_vae
 from odin_tpu.bay.vi.disentanglement_gym import DisentanglementGym, GroundTruth

@@ -44,11 +44,15 @@ from odin_tpu.fuel.image_data.datasets import (
     dSprites,
     dSpritesSmall,
 )
+from odin_tpu.fuel.audio_data import AudioFeatureLoader
 from odin_tpu.fuel.nlp_data import (
+    ImdbReview,
+    MathArithmetic,
     Newsgroup5,
     Newsgroup20,
     NLPDataset,
     SyntheticBoW,
+    TinyShakespear,
 )
 from odin_tpu.fuel.pipeline import DataPipeline
 
@@ -62,6 +66,7 @@ __all__ = [
     "Cortex", "PBMC", "SyntheticGenes", "GeneDataset", "NLPDataset",
     "Melanoma", "Forebrain", "Insilico", "BreastTumor", "Leukemia",
     "HumanEmbryos", "SyntheticATAC", "LegoFaces", "Kaokore",
+    "ImdbReview", "TinyShakespear", "MathArithmetic", "AudioFeatureLoader",
 ]
 
 

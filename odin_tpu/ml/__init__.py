@@ -7,9 +7,11 @@ from odin_tpu.ml.cluster import KMeansJax, fast_dbscan, fast_kmeans, fast_knn
 from odin_tpu.ml.decompositions import (
     MiniBatchPCA,
     PPCA,
+    RandomizedPCA,
     SupervisedPPCA,
     fast_pca,
 )
+from odin_tpu.ml.neural_nlp import Transformer
 from odin_tpu.ml.gmm_embedding import (
     GMMThreshold,
     GMMclassifier,
@@ -33,6 +35,7 @@ __all__ = [
     "compute_class_avg", "compute_within_cov", "fast_tsne", "fast_umap",
     "fast_svc", "fast_logistic_regression", "fast_gbtree_classifier",
     "fast_rf_classifier", "linear_classifier", "fast_lda_topics",
+    "RandomizedPCA", "Transformer",
 ]
 
 

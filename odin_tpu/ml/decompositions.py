@@ -12,7 +12,8 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-__all__ = ["fast_pca", "PPCA", "SupervisedPPCA", "MiniBatchPCA"]
+__all__ = ["fast_pca", "PPCA", "SupervisedPPCA", "MiniBatchPCA",
+           "RandomizedPCA"]
 
 
 def fast_pca(*x, n_components: Optional[int] = None, algo: str = "pca",
@@ -148,3 +149,75 @@ class MiniBatchPCA:
   @property
   def components_(self):
     return self._model.components_
+
+
+class RandomizedPCA:
+  """PCA via randomized SVD (Halko et al. 2009) — reference
+  ``ml/decompositions.py:531``, redesigned as one batched XLA pipeline:
+  the range-finder (Gaussian sketch + `iterated_power` power iterations
+  with QR re-orthonormalization) and the small-matrix SVD are jitted, so
+  the whole fit is a handful of large matmuls on the accelerator.
+  """
+
+  def __init__(self, n_components: Optional[int] = None, copy: bool = True,
+               iterated_power: int = 2, whiten: bool = False,
+               random_state: Optional[int] = None):
+    self.n_components = n_components
+    self.copy = bool(copy)
+    self.iterated_power = int(iterated_power)
+    self.whiten = bool(whiten)
+    self.random_state = random_state
+
+  def fit(self, X, y=None):
+    import jax
+    import jax.numpy as jnp
+
+    X = np.asarray(X, np.float32)
+    n, d = X.shape
+    k = self.n_components or min(n, d)
+    k = min(k, min(n, d))
+    seed = self.random_state if self.random_state is not None else 0
+    n_oversample = min(2 * k + 10, d)
+    n_iter = self.iterated_power
+
+    @jax.jit
+    def _rsvd(X, key):
+      mean = X.mean(axis=0)
+      Xc = X - mean
+      Q = jax.random.normal(key, (d, n_oversample), X.dtype)
+      Y = Xc @ Q
+      Y, _ = jnp.linalg.qr(Y)
+      for _ in range(n_iter):  # static unroll: n_iter is tiny
+        Z, _ = jnp.linalg.qr(Xc.T @ Y)
+        Y, _ = jnp.linalg.qr(Xc @ Z)
+      B = Y.T @ Xc  # (p, d) small projected matrix
+      Ub, s, Vt = jnp.linalg.svd(B, full_matrices=False)
+      return mean, s, Vt
+
+    mean, s, Vt = _rsvd(jnp.asarray(X), jax.random.PRNGKey(seed))
+    self.mean_ = np.asarray(mean)
+    self.singular_values_ = np.asarray(s[:k])
+    self.components_ = np.asarray(Vt[:k])
+    var = self.singular_values_ ** 2 / max(n - 1, 1)
+    total_var = float(np.var(X - self.mean_, axis=0, ddof=1).sum())
+    self.explained_variance_ = var
+    self.explained_variance_ratio_ = var / max(total_var, 1e-12)
+    self.n_samples_ = n
+    return self
+
+  def transform(self, X):
+    X = np.asarray(X, np.float32) - self.mean_
+    out = X @ self.components_.T
+    if self.whiten:
+      out = out * np.sqrt(self.n_samples_) / np.maximum(
+          self.singular_values_, 1e-12)
+    return out
+
+  def fit_transform(self, X, y=None):
+    return self.fit(X).transform(X)
+
+  def inverse_transform(self, X):
+    X = np.asarray(X, np.float32)
+    if self.whiten:
+      X = X * self.singular_values_ / np.sqrt(self.n_samples_)
+    return X @ self.components_ + self.mean_

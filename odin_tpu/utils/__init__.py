@@ -22,8 +22,16 @@ __all__ = [
     "get_cache_path",
     "get_data_path",
     "get_exp_path",
+    "get_datasetpath",
+    "get_exppath",
     "one_hot",
     "cache_disk",
+    "cache_memory",
+    "get_system_status",
+    "get_process_status",
+    "Progbar",
+    "ArgController",
+    "stdio",
 ]
 
 
@@ -147,6 +155,61 @@ def one_hot(y: np.ndarray, num_classes: Optional[int] = None, dtype="float32") -
   return out
 
 
+# reference-name aliases (``odin/utils/__init__.py:1170-1276``)
+def get_datasetpath(*a, **kw) -> str:
+  return get_data_path()
+
+
+def get_exppath(*a, **kw) -> str:
+  return get_exp_path()
+
+
+def cache_memory(fn: Callable) -> Callable:
+  """In-process memoization keyed by the md5 of the arguments
+  (reference ``odin/utils/cache_utils.py:66``)."""
+  import functools
+  _store = {}
+
+  @functools.wraps(fn)
+  def wrapped(*args, **kwargs):
+    key = md5_checksum((args, tuple(sorted(kwargs.items()))))
+    if key not in _store:
+      _store[key] = fn(*args, **kwargs)
+    return _store[key]
+
+  wrapped.cache_clear = _store.clear
+  return wrapped
+
+
+def get_system_status(scale_factor: float = 1.0) -> dict:
+  """Host memory/CPU snapshot (reference ``odin/utils/__init__.py:1433``);
+  psutil-gated with an os-level fallback."""
+  try:
+    import psutil
+    vm = psutil.virtual_memory()
+    return {"cpu_count": psutil.cpu_count(),
+            "cpu_percent": psutil.cpu_percent(),
+            "memory_total": vm.total * scale_factor,
+            "memory_available": vm.available * scale_factor,
+            "memory_percent": vm.percent}
+  except ImportError:
+    return {"cpu_count": os.cpu_count(), "cpu_percent": None,
+            "memory_total": None, "memory_available": None,
+            "memory_percent": None}
+
+
+def get_process_status(pid: Optional[int] = None) -> dict:
+  """Per-process rss/cpu snapshot (reference ``utils/__init__.py:1456``)."""
+  try:
+    import psutil
+    p = psutil.Process(pid)
+    return {"pid": p.pid, "rss": p.memory_info().rss,
+            "cpu_percent": p.cpu_percent(), "threads": p.num_threads()}
+  except ImportError:
+    return {"pid": pid or os.getpid(), "rss": None, "cpu_percent": None,
+            "threads": None}
+
+
 def cache_disk(fn: Callable) -> Callable:
   """Disk-memoize `fn` keyed by the md5 of its arguments.
 
@@ -167,3 +230,8 @@ def cache_disk(fn: Callable) -> Callable:
     return out
 
   return wrapped
+
+
+# re-exports of the reference's headline utilities living in submodules
+from odin_tpu.utils.progbar import Progbar  # noqa: E402
+from odin_tpu.utils.cli import ArgController, stdio  # noqa: E402

@@ -141,3 +141,27 @@ def test_vector_normalizer_and_classifiers():
   for algo in ("lda", "logistic", "rf"):
     model = linear_classifier(X, y, algo=algo)
     assert model.predict(X[:5]).shape == (5,)
+
+
+def test_randomized_pca_matches_exact():
+  """RandomizedPCA (randomized SVD, reference decompositions.py:531):
+  explained-variance ratios match exact PCA; whiten + inverse round-trip."""
+  from sklearn.decomposition import PCA
+
+  from odin_tpu.ml import RandomizedPCA
+
+  rng = np.random.RandomState(0)
+  X = rng.randn(300, 40).astype("f")
+  X[:, :4] *= 8
+  p = RandomizedPCA(n_components=6, random_state=0).fit(X)
+  exact = PCA(6).fit(X)
+  np.testing.assert_allclose(p.explained_variance_ratio_,
+                             exact.explained_variance_ratio_, atol=1e-2)
+  Z = p.transform(X)
+  assert Z.shape == (300, 6)
+  Xr = p.inverse_transform(Z)
+  # reconstruction from the top components recovers the dominant block
+  assert np.corrcoef(Xr[:, 0], X[:, 0])[0, 1] > 0.95
+  Zw = RandomizedPCA(n_components=6, whiten=True,
+                     random_state=0).fit_transform(X)
+  np.testing.assert_allclose(np.std(Zw, axis=0), 1.0, atol=0.1)

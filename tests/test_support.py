@@ -88,3 +88,37 @@ def test_explain():
   assert delta.max() <= 0.05 + 1e-6 and delta.max() > 0
   dd = DeepDream(lambda x: vae.encode(x).mean(), n_steps=3).dream(X)
   assert dd.shape == X.shape
+
+
+def test_utils_reference_surface():
+  """Progbar/ArgController/stdio/cache_memory/system-status exports
+  (reference odin/utils grab-bag)."""
+  import io
+  import sys
+
+  from odin_tpu.utils import (ArgController, Progbar, cache_memory,
+                              get_datasetpath, get_exppath,
+                              get_process_status, get_system_status, stdio)
+
+  calls = []
+
+  @cache_memory
+  def f(a, b=1):
+    calls.append((a, b))
+    return a + b
+
+  assert f(1) == 2 and f(1) == 2 and len(calls) == 1
+  assert f(1, b=2) == 3 and len(calls) == 2
+  f.cache_clear()
+  assert f(1) == 2 and len(calls) == 3
+
+  st = get_system_status()
+  assert "cpu_count" in st
+  ps = get_process_status()
+  assert "pid" in ps
+  assert isinstance(get_datasetpath(), str)
+  assert isinstance(get_exppath(), str)
+  # Progbar smoke
+  pb = Progbar(target=10, name="t", print_report=False)
+  for _ in range(10):
+    pb.add(1)
