@@ -61,6 +61,8 @@ class ScoreBoard:
     row.setdefault("timestamp", time.time())
     self._ensure_table(table, row)
     table = self._safe(table)
+    if isinstance(unique, str):  # a single key, not an iterable of chars
+      unique = (unique,)
     if unique:
       cond = " AND ".join(f"{self._safe(k)}=?" for k in unique)
       exists = self._conn.execute(

@@ -122,3 +122,17 @@ def test_utils_reference_surface():
   pb = Progbar(target=10, name="t", print_report=False)
   for _ in range(10):
     pb.add(1)
+
+
+def test_scoreboard_string_unique():
+  """unique='name' (a single string key) must not be iterated char-wise."""
+  import tempfile
+
+  from odin_tpu.training.scores import ScoreBoard
+
+  with tempfile.TemporaryDirectory() as d:
+    sb = ScoreBoard(os.path.join(d, "s.db"))
+    sb.write("runs", unique="name", name="a", elbo=-90.5)
+    sb.write("runs", unique="name", name="a", elbo=-85.0, replace=True)
+    rows = sb.select("runs")
+    assert len(rows) == 1 and abs(rows[0]["elbo"] + 85.0) < 1e-6
