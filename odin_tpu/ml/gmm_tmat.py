@@ -133,7 +133,10 @@ class GMM:
     the reference's CPU-process/GPU `_split_jobs` dispatch
     (``gmm_tmat.py:102-133``; see SURVEY.md §2.1 TPU mapping)."""
     from jax.sharding import PartitionSpec as P
-    from jax.experimental.shard_map import shard_map
+    try:
+      from jax import shard_map
+    except ImportError:  # older jax
+      from jax.experimental.shard_map import shard_map
     mesh = mesh or parallel.default_mesh()
     n_dev = mesh.devices.size
     mu = jnp.asarray(self.mu, jnp.float32)

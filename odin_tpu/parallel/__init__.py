@@ -24,6 +24,8 @@ __all__ = [
     "P",
     "Mesh",
     "NamedSharding",
+    "initialize_distributed",
+    "host_local_batch",
 ]
 
 _DEFAULT_MESH: Optional[Mesh] = None
@@ -106,3 +108,55 @@ def data_parallel_jit(fn, mesh: Optional[Mesh] = None, donate_state: bool = True
   # callers place `state` with replicate() and `batch` with shard_batch();
   # jit propagates those placements, so one compile serves the whole run.
   return jax.jit(fn, donate_argnums=(0,) if donate_state else ())
+
+
+def initialize_distributed(coordinator_address: Optional[str] = None,
+                           num_processes: Optional[int] = None,
+                           process_id: Optional[int] = None) -> int:
+  """Multi-host bring-up: `jax.distributed.initialize` with the standard
+  TPU-pod auto-detection (all args None on Cloud TPU), no-op when the
+  runtime is single-process.
+
+  This is the odin-tpu replacement for the reference's `MPI` worker pool
+  (``odin/utils/mpi.py:386``) at the cluster level: after it returns,
+  `get_mesh()` spans every chip of every host and `shard_batch`'s
+  `P('data', ...)` placements become global arrays fed per-host via
+  `host_local_batch`.  Returns the process index.
+  """
+  import jax
+
+  if jax.process_count() > 1 or coordinator_address is None:
+    # already initialized, or single-process / auto-detected TPU runtime
+    try:
+      if coordinator_address is not None or num_processes is not None:
+        jax.distributed.initialize(coordinator_address, num_processes,
+                                   process_id)
+    except RuntimeError:
+      pass  # double-initialize: keep the existing runtime
+  else:
+    jax.distributed.initialize(coordinator_address, num_processes, process_id)
+  return jax.process_index()
+
+
+def host_local_batch(batch: Any, mesh: Optional[Mesh] = None,
+                     axis: str = "data") -> Any:
+  """Assemble a GLOBAL sharded batch from each host's local shard.
+
+  Every process passes its own `(local_batch, ...)` array; the result is a
+  global array of leading dim ``local_batch * num_processes`` sharded along
+  `axis` — the multi-host version of `shard_batch` (which assumes the full
+  batch is addressable from one host).  Single-process: identical to
+  `shard_batch`.
+  """
+  import jax
+
+  mesh = mesh or default_mesh()
+  if jax.process_count() == 1:
+    return shard_batch(batch, mesh, axis)
+
+  def _put(x):
+    x = np.asarray(x)
+    sharding = _batch_sharding(mesh, x.ndim, axis)
+    return jax.make_array_from_process_local_data(sharding, x)
+
+  return jax.tree_util.tree_map(_put, batch)

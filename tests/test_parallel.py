@@ -73,3 +73,19 @@ def test_device_dataset_training():
   ev = vae.make_eval_fn(jit=False)
   m = jax.device_get(ev(vae.state, X))
   assert np.isfinite(float(m["elbo"]))
+
+
+def test_multihost_helpers_single_process():
+  """initialize_distributed is a no-op single-process; host_local_batch
+  reduces to shard_batch."""
+  import jax
+
+  from odin_tpu import parallel
+
+  assert parallel.initialize_distributed() == jax.process_index() == 0
+  mesh = parallel.get_mesh()
+  x = np.arange(32, dtype="f").reshape(16, 2)
+  g = parallel.host_local_batch(x, mesh)
+  s = parallel.shard_batch(x, mesh)
+  np.testing.assert_allclose(np.asarray(g), np.asarray(s))
+  assert g.sharding.spec == s.sharding.spec
