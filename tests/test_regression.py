@@ -65,3 +65,19 @@ def test_graft_entry_multichip():
        "g.dryrun_multichip(len(jax.devices()))"],
       cwd=repo, env=env, capture_output=True, text=True, timeout=1200)
   assert proc.returncode == 0, proc.stderr[-2000:]
+
+
+def test_zoo_registry_includes_stub_families():
+  """The reference's declared-but-stub models are real classes here and
+  must stay registered (above-parity guarantee, PARITY.md)."""
+  from odin_tpu.bay.vi import get_vae
+  for name in ("groupvae", "multilevelvae", "adaptivevae",
+               "weaklysupervisedvae", "variationalrnn", "sequentialvae",
+               "sequentialattentionvae", "cycleconsistentvae", "moevae"):
+    cls = get_vae(name)
+    assert cls.elbo_components is not None
+    # every one overrides the objective (not a bare subclass like the
+    # reference stubs were)
+    from odin_tpu.bay.vi.autoencoder.variational_autoencoder import (
+        VariationalAutoencoder)
+    assert cls.elbo_components is not VariationalAutoencoder.elbo_components
