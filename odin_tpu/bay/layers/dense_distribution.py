@@ -43,6 +43,7 @@ class DistributionDense(nn.Module):
   projection: bool = True
   dropout: float = 0.0
   use_bias: bool = True
+  autoregressive: bool = False  # MADE-style masked projection (ref :213)
 
   @property
   def spec(self) -> DistSpec:
@@ -66,8 +67,21 @@ class DistributionDense(nn.Module):
   def __call__(self, x, training: bool = False) -> Distribution:
     kw = self.posterior_kwargs or {}
     if self.projection:
-      params = nn.Dense(self.params_size, use_bias=self.use_bias,
-                        name="projection")(x)
+      if self.autoregressive:
+        from odin_tpu.bay.layers.autoregressive import AutoregressiveDense
+        per_dim = self.params_size // self.event_size
+        if per_dim * self.event_size != self.params_size:
+          raise ValueError(
+              f"autoregressive head needs params_size divisible by "
+              f"event_size ({self.params_size} / {self.event_size})")
+        params = AutoregressiveDense(params=per_dim,
+                                     event_size=self.event_size,
+                                     hidden_units=(self.params_size,),
+                                     use_bias=self.use_bias,
+                                     name="projection")(x)
+      else:
+        params = nn.Dense(self.params_size, use_bias=self.use_bias,
+                          name="projection")(x)
     else:
       params = x
     if self.dropout > 0:

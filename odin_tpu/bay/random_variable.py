@@ -32,6 +32,7 @@ class RVconf:
   event_shape: Union[int, Sequence[int]] = ()
   posterior: str = "normal"
   projection: bool = True
+  autoregressive: bool = False
   dropout: float = 0.0
   name: str = "variable"
   prior: Optional[Distribution] = None
@@ -60,6 +61,7 @@ class RVconf:
         posterior=self.posterior,
         posterior_kwargs=dict(self.kwargs),
         projection=self.projection,
+        autoregressive=self.autoregressive,
         dropout=self.dropout,
         name=name or self.name,
     )

@@ -405,3 +405,41 @@ def test_ispec_roundtrip():
   hz_rec = np.abs(np.fft.rfft(rec)).argmax() * sr / len(rec)
   assert abs(hz_orig - hz_rec) <= 3, (hz_orig, hz_rec)
   assert abs(float(rec.std()) - 1.0) < 1e-3  # normalized
+
+
+def test_autoregressive_head():
+  """RVconf(autoregressive=True): MADE masks must make parameter i depend
+  only on inputs of degree < i, and the head must train inside a VAE."""
+  import jax
+  import jax.numpy as jnp
+
+  from odin_tpu.bay.layers.autoregressive import AutoregressiveDense
+  from odin_tpu.bay.random_variable import RVconf
+
+  E, P, IN = 5, 2, 7
+  net = AutoregressiveDense(params=P, event_size=E, hidden_units=(16,))
+  x = jnp.asarray(np.random.RandomState(0).randn(1, IN).astype("f"))
+  params = net.init(jax.random.PRNGKey(0), x)
+
+  # autoregressive property via jacobian: output for event dim i must have
+  # zero gradient w.r.t. inputs with degree >= i+1
+  J = jax.jacobian(lambda xx: net.apply(params, xx[None])[0])(x[0])  # (P*E, IN)
+  deg_in = (np.arange(IN) % E) + 1
+  Jm = np.asarray(J).reshape(P, E, IN)
+  for i in range(E):  # event dim i has degree i+1
+    blocked = deg_in >= (i + 1)
+    assert np.allclose(Jm[:, i, blocked], 0.0, atol=1e-7), i
+  # dim 0 depends on nothing (fully autoregressive start)
+  assert np.allclose(Jm[:, 0, :], 0.0, atol=1e-7)
+  # later dims DO depend on earlier-degree inputs
+  assert np.abs(Jm[:, E - 1, deg_in < E]).max() > 0
+
+  # end-to-end: head builds a distribution and produces finite log-probs
+  head = RVconf(E, "mvndiag", projection=True, autoregressive=True,
+                name="latents").create_posterior()
+  p = head.init({"params": jax.random.PRNGKey(0),
+                 "sample": jax.random.PRNGKey(1)}, jnp.zeros((3, IN)))
+  qz = head.apply(p, jnp.asarray(np.random.randn(3, IN), jnp.float32))
+  z = qz.sample(jax.random.PRNGKey(2))
+  assert z.shape == (3, E)
+  assert np.all(np.isfinite(np.asarray(qz.log_prob(z))))
