@@ -28,4 +28,7 @@ from odin_tpu.backend.metrics import (
     frechet_distance,
     frechet_inception_distance,
     prc_curve,
+    roc_curve,
+    roc_curve_,
+    LER,
 )

@@ -12,7 +12,7 @@ from typing import Optional, Sequence, Tuple
 import numpy as np
 
 __all__ = [
-    "det_curve", "roc_curve_", "prc_curve", "compute_EER", "compute_minDCF",
+    "det_curve", "roc_curve_", "roc_curve", "prc_curve", "compute_EER", "compute_minDCF",
     "compute_AUC", "compute_Cnorm", "compute_Cavg", "frechet_distance",
     "frechet_inception_distance", "binary_accuracy", "categorical_accuracy",
     "confusion_matrix", "LER",
@@ -90,6 +90,9 @@ def roc_curve_(y_true, y_score, pos_label=None):
   """ROC curve (fpr, tpr, thresholds); thin wrapper for API parity."""
   from sklearn.metrics import roc_curve as _roc
   return _roc(y_true, y_score, pos_label=pos_label)
+
+
+roc_curve = roc_curve_  # reference name (``backend/metrics.py:431``)
 
 
 def prc_curve(y_true, y_probas, pos_label=None):

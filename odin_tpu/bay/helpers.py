@@ -81,3 +81,59 @@ def concat_distributions(distributions: Sequence[Distribution],
   except Exception:
     pass
   return Batchwise(distributions, axis=axis)
+
+
+class KLdivergence:
+  """Freeze `kl_divergence` arguments for later calls
+  (reference ``bay/helpers.py:285``): returns 0 when no prior is given.
+
+  In the reference this object is attached to posteriors returned by
+  `DistributionDense`; here distributions are immutable pytrees, so it is a
+  standalone helper kept for API fidelity.
+  """
+
+  def __init__(self, posterior: Distribution,
+               prior: Optional[Distribution] = None,
+               analytic: bool = False,
+               sample_shape=(),
+               reverse: bool = True,
+               free_bits: Optional[float] = None,
+               seed: int = 1):
+    self.posterior = posterior
+    self.prior = prior
+    self.analytic = bool(analytic)
+    self.sample_shape = sample_shape
+    self.reverse = bool(reverse)
+    self.free_bits = free_bits
+    self.seed = int(seed)
+
+  def __call__(self, prior: Optional[Distribution] = None,
+               analytic: Optional[bool] = None,
+               sample_shape="__default__",
+               reverse: Optional[bool] = None,
+               free_bits="__default__"):
+    prior = prior if prior is not None else self.prior
+    if prior is None:
+      return jnp.zeros(())
+    analytic = self.analytic if analytic is None else bool(analytic)
+    reverse = self.reverse if reverse is None else bool(reverse)
+    if sample_shape == "__default__":
+      sample_shape = self.sample_shape
+    if free_bits == "__default__":
+      free_bits = self.free_bits
+    q_sample = None
+    if not analytic:
+      shape = (sample_shape,) if isinstance(sample_shape, int) \
+          else tuple(sample_shape)
+      q_sample = self.posterior.sample(jax.random.PRNGKey(self.seed),
+                                       shape or (1,))
+    return kl_divergence(self.posterior, prior, analytic=analytic,
+                         q_sample=q_sample, reverse=reverse,
+                         free_bits=free_bits)
+
+  def __repr__(self):
+    return (f"KLdivergence(analytic={self.analytic}, "
+            f"reverse={self.reverse}, free_bits={self.free_bits})")
+
+
+__all__.append("KLdivergence")

@@ -59,4 +59,5 @@ from odin_tpu.networks.util_layers import (
     PositionalEncoder,
     Reduce,
     SkipConnection,
+    get_embedding,
 )
