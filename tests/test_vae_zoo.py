@@ -215,7 +215,7 @@ def test_self_supervised_family():
   step = jax.jit(gv.make_step_fn(learning_rate=1e-3, jit=False))
   state = gv.state
   losses = []
-  for i in range(40):
+  for i in range(25):
     i1 = rng.randint(0, 16, 16)
     state, m = step(state, (x1[i1], x2[i1]))
     losses.append(float(m["loss"]))
@@ -264,7 +264,7 @@ def test_sequential_family():
   step = jax.jit(vrnn.make_step_fn(learning_rate=3e-3, jit=False))
   state = vrnn.state
   losses = [0.0]
-  for i in range(50):
+  for i in range(30):
     state, m = step(state, batch())
     losses.append(float(m["loss"]))
   assert np.isfinite(losses[-1]) and losses[-1] < losses[1]
@@ -281,7 +281,7 @@ def test_sequential_family():
   step = jax.jit(dsa.make_step_fn(learning_rate=3e-3, jit=False))
   state = dsa.state
   l0 = lN = None
-  for i in range(50):
+  for i in range(30):
     state, m = step(state, batch())
     l0 = float(m["loss"]) if l0 is None else l0
     lN = float(m["loss"])
@@ -325,7 +325,7 @@ def test_cycle_consistent_vae():
   step = jax.jit(vae.make_step_fn(learning_rate=1e-3, jit=False))
   state = vae.state
   losses = []
-  for _ in range(40):
+  for _ in range(25):
     state, m = step(state, pair())
     losses.append(float(m["loss"]))
   assert losses[-1] < losses[0]
@@ -373,7 +373,7 @@ def test_moe_vae():
   step = jax.jit(vae.make_step_fn(learning_rate=1e-3, jit=False))
   state = vae.state
   losses = []
-  for _ in range(40):
+  for _ in range(25):
     state, m = step(state, batch())
     losses.append(float(m["loss"]))
   assert losses[-1] < losses[0]
@@ -407,7 +407,7 @@ def test_sequential_attention_vae():
   step = jax.jit(vae.make_step_fn(learning_rate=3e-3, jit=False))
   state = vae.state
   l0 = lN = None
-  for _ in range(50):
+  for _ in range(30):
     state, m = step(state, batch())
     l0 = float(m["loss"]) if l0 is None else l0
     lN = float(m["loss"])
