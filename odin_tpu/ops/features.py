@@ -158,6 +158,11 @@ def speech_features(y: jnp.ndarray,
   """
   if y.ndim == 1:
     y = y[None]
+  if y.dtype == jnp.int16:
+    # int16 PCM ingested raw: the host->device transfer (the end-to-end
+    # bottleneck, BASELINE.md) moves half the bytes; scaling to [-1, 1)
+    # happens on device and is exact for wav-sourced audio
+    y = y.astype(jnp.float32) * (1.0 / 32768.0)
   B, T = y.shape
   n_frames = config.n_frames(T)
   if lengths is None:

@@ -73,3 +73,27 @@ def test_pallas_kernel_interpreter():
     out = speech_features(jnp.asarray(y), CFG, use_pallas=True)
   np.testing.assert_allclose(np.asarray(out["mspec"]),
                              np.asarray(ref["mspec"]), atol=0.01)
+
+
+def test_int16_ingestion_matches_float32():
+  """int16 PCM transfer path: device rescale must match the float32 path
+  exactly when the audio is 16-bit quantized."""
+  import jax.numpy as jnp
+
+  from odin_tpu.ops.features import FeatureConfig, speech_features
+  from odin_tpu.preprocessing.processor import batch_speech_features
+
+  rng = np.random.RandomState(0)
+  pcm = (rng.randn(2, 4000) * 4000).astype(np.int16)
+  conf = FeatureConfig(sr=8000, frame_length=200, step_length=80, n_fft=256,
+                       n_mels=20)
+  a = speech_features(jnp.asarray(pcm), conf)
+  b = speech_features(jnp.asarray(pcm.astype(np.float32) / 32768.0), conf)
+  np.testing.assert_allclose(np.asarray(a["mspec"]), np.asarray(b["mspec"]),
+                             rtol=1e-5, atol=1e-4)
+  # corpus API: int16 utterances auto-select the raw-PCM transfer
+  utts = [pcm[0], pcm[1][:3000]]
+  feats = batch_speech_features(utts, conf, features=("mspec",))
+  assert len(feats) == 2
+  np.testing.assert_allclose(feats[0]["mspec"], np.asarray(a["mspec"][0]),
+                             rtol=1e-5, atol=1e-4)
