@@ -11,3 +11,7 @@ from odin_tpu.bay.layers import (
     NormalLatents,
 )
 from odin_tpu.bay.random_variable import RVconf
+
+from odin_tpu.bay import stochastic_initializers as initializers  # noqa: E402
+from odin_tpu.bay import vi  # noqa: E402  (also exposes bay.mixed_membership)
+from odin_tpu.bay import mixed_membership  # noqa: E402

@@ -128,3 +128,140 @@ def fast_lda_topics(X, *, n_topics: int = 10, max_iter: int = 20,
                                     random_state=random_state, **kwargs)
   model.fit(np.asarray(X))
   return model
+
+
+def clustering(X, algo, n_clusters: int = 8, random_state: int = 1,
+               **kwargs):
+  """Dispatch clustering by name (reference ``ml/__init__.py:101``)."""
+  algo = str(algo).strip().lower()
+  if "kmean" in algo:
+    return fast_kmeans(X, n_clusters=n_clusters, random_state=random_state,
+                       **kwargs)
+  if "knn" in algo:
+    return fast_knn(X, n_neighbors=kwargs.pop("n_neighbors", n_clusters),
+                    **kwargs)
+  if "dbscan" in algo:
+    return fast_dbscan(X, **kwargs)
+  raise ValueError(f"no clustering algorithm named '{algo}'")
+
+
+def dimension_reduce(*X, algo: str = "pca", n_components: int = 2,
+                     random_state: int = 1, **kwargs):
+  """Dimension reduction by name over one or more arrays
+  (reference ``ml/__init__.py:129``)."""
+  algo = str(algo).strip().lower()
+  if "pca" in algo:
+    return fast_pca(*X, n_components=n_components, **kwargs)
+  if "umap" in algo:
+    return fast_umap(*X, n_components=n_components,
+                     random_state=random_state, **kwargs)
+  if "tsne" in algo:
+    return fast_tsne(*X, n_components=n_components,
+                     random_state=random_state, **kwargs)
+  if "kmean" in algo:
+    model = fast_kmeans(X[0], n_clusters=n_components,
+                        random_state=random_state, **kwargs)
+    out = [model.transform(np.asarray(x)) for x in X]
+    return out[0] if len(X) == 1 else tuple(out)
+  if "knn" in algo:
+    model = fast_knn(X[0], n_neighbors=n_components, **kwargs)
+    out = [model.kneighbors(np.asarray(x))[0] for x in X]
+    return out[0] if len(X) == 1 else tuple(out)
+  raise ValueError(f"no dimension-reduction algorithm named '{algo}'")
+
+
+from enum import IntFlag as _IntFlag, auto as _auto
+
+
+class DimReduce(_IntFlag):
+  """Composable dimension-reduction selector
+  (reference ``ml/__init__.py:209``): ``(DimReduce.PCA | DimReduce.TSNE)(X)``
+  runs each selected method and returns the list of results."""
+
+  PCA = _auto()
+  UMAP = _auto()
+  TSNE = _auto()
+  KNN = _auto()
+  KMEANS = _auto()
+
+  def __iter__(self):
+    for m in type(self):
+      if m in self:
+        yield m
+
+  def __len__(self):
+    return len(list(iter(self)))
+
+  @property
+  def is_single(self) -> bool:
+    return len(self) == 1
+
+  def __call__(self, *X, n_components: int = 2, random_state: int = 1,
+               **kwargs):
+    methods = list(iter(self))
+    outs = [dimension_reduce(*X, algo=m.name.lower(),
+                             n_components=n_components,
+                             random_state=random_state, **kwargs)
+            for m in methods]
+    return outs[0] if len(outs) == 1 else outs
+
+
+def evaluate(y_true, y_pred_proba=None, y_pred_log_proba=None, labels=None,
+             title: str = "", print_log: bool = True):
+  """Classifier diagnostic report: log-loss, accuracy, C_norm, EER, minDCF,
+  confusion matrix (reference ``ml/base.py:17``).  Returns the metric dict.
+  """
+  from sklearn.metrics import accuracy_score, log_loss
+
+  from odin_tpu.backend.metrics import (compute_Cnorm, compute_EER,
+                                        compute_minDCF, confusion_matrix,
+                                        det_curve)
+  if y_pred_proba is None and y_pred_log_proba is None:
+    raise ValueError("need y_pred_proba or y_pred_log_proba")
+  scores = np.log(np.clip(y_pred_proba, 1e-12, None)) \
+      if y_pred_log_proba is None else np.asarray(y_pred_log_proba)
+  y_true = np.asarray(y_true)
+  if y_true.ndim == 2:
+    y_true = y_true.argmax(-1)
+  y_pred = scores.argmax(-1)
+  ll = (log_loss(y_true, y_pred_proba) if y_pred_proba is not None
+        else float("nan"))
+  acc = accuracy_score(y_true, y_pred)
+  cm = confusion_matrix(y_true, y_pred)
+  cnorm, _ = compute_Cnorm(y_true, scores)
+  truth_1hot = np.eye(scores.shape[1])[y_true]
+  Pfa, Pmiss, _ = det_curve(truth_1hot.ravel(), scores.ravel())
+  eer = compute_EER(Pfa, Pmiss)
+  mindcf, _ = compute_minDCF(Pfa, Pmiss)
+  report = dict(log_loss=ll, accuracy=float(acc),
+                Cnorm=float(np.mean(cnorm)), EER=float(eer),
+                minDCF=float(mindcf), confusion_matrix=cm)
+  if print_log:
+    from odin_tpu.visual import print_confusion
+    print(f"-------- {title}")
+    for k in ("log_loss", "accuracy", "Cnorm", "EER", "minDCF"):
+      print(f"{k:9s}: {report[k]:.4f}")
+    print(print_confusion(cm, labels=labels))
+  return report
+
+
+def get_topics_string(lda, vocabulary, n_topics: int = 10,
+                      n_words: int = 10, show_word_prob: bool = False):
+  """Human-readable topic summaries from any model with `components_`
+  (reference ``ml/fast_lda_topics.py:29``)."""
+  topics = np.asarray(lda.components_)
+  alpha = topics.sum(1)
+  alpha = alpha / alpha.sum()
+  topics = topics / topics.sum(1, keepdims=True)
+  text = []
+  for idx, t in enumerate(np.argsort(-alpha, kind="mergesort")[:n_topics]):
+    words = topics[t]
+    desc = " ".join(
+        f"{vocabulary[i]}_{words[i]:.2f}" if show_word_prob
+        else f"{vocabulary[i]}" for i in np.argsort(-words)[:n_words])
+    text.append(f"[#{idx}]index:{t:3d} alpha={alpha[t]:.2f} {desc}")
+  return np.array(text)
+
+
+__all__ += ["clustering", "dimension_reduce", "DimReduce", "evaluate",
+            "get_topics_string"]

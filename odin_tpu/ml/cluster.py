@@ -100,3 +100,13 @@ def fast_dbscan(X, *, eps: float = 0.5, min_samples: int = 5, **kwargs):
   """Reference ``cluster.py:299``."""
   from sklearn.cluster import DBSCAN
   return DBSCAN(eps=eps, min_samples=min_samples, **kwargs).fit(np.asarray(X))
+
+
+def _kmeans_transform(self, X):
+  """Distance to each center (sklearn `KMeans.transform` parity)."""
+  import numpy as _np
+  X = _np.asarray(X, _np.float32)
+  return _np.linalg.norm(X[:, None, :] - self.cluster_centers_[None], axis=-1)
+
+
+KMeansJax.transform = _kmeans_transform

@@ -1,5 +1,5 @@
 """Speech/feature preprocessing (reference: ``odin/preprocessing``)."""
-from odin_tpu.preprocessing import kaldi, signal, video
+from odin_tpu.preprocessing import kaldi, signal, text, textgrid, video
 from odin_tpu.preprocessing.opensmile import (
     openSMILEf0,
     openSMILEloudness,
@@ -8,6 +8,7 @@ from odin_tpu.preprocessing.opensmile import (
 )
 from odin_tpu.preprocessing.base import (
     AsType,
+    set_extractor_debug,
     Converter,
     Delete,
     DeltaExtractor,

@@ -105,9 +105,10 @@ class Extractor:
 class Pipeline:
   """Chain of extractors (reference `make_pipeline`, ``base.py:96``)."""
 
-  def __init__(self, steps: Sequence[Extractor], debug: bool = False):
+  def __init__(self, steps: Sequence[Extractor],
+               debug: Optional[bool] = None):
     self.steps = list(steps)
-    self.debug = bool(debug)
+    self.debug = _DEBUG_DEFAULT[0] if debug is None else bool(debug)
 
   def transform(self, X) -> Dict[str, Any]:
     feat = X if isinstance(X, dict) else {"raw": X}
@@ -123,7 +124,8 @@ class Pipeline:
     return self.transform(X)
 
 
-def make_pipeline(steps: Sequence[Extractor], debug: bool = False) -> Pipeline:
+def make_pipeline(steps: Sequence[Extractor],
+                  debug: Optional[bool] = None) -> Pipeline:
   flat = []
   for s in steps:
     if isinstance(s, Pipeline):
@@ -281,3 +283,13 @@ class StackFeatures(Extractor):
         pads.append(np.pad(x, ((0, k), (0, 0)), mode="edge")[k:])
       out[name] = np.concatenate(pads, axis=-1)
     return out
+
+
+_DEBUG_DEFAULT = [False]
+
+
+def set_extractor_debug(debug: bool) -> None:
+  """Global default for new pipelines' debug mode (reference
+  ``odin/preprocessing`` `set_extractor_debug`); existing pipelines keep
+  their own flag."""
+  _DEBUG_DEFAULT[0] = bool(debug)

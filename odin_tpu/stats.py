@@ -96,3 +96,65 @@ def sampling_iter(it: Iterable, k: int, seed: int = 1) -> list:
       if j < k:
         reservoir[j] = item
   return reservoir
+
+
+def is_discrete(x) -> bool:
+  """All values integral (reference ``stats.py:164``)."""
+  x = np.asarray(x)
+  return bool(np.all(x == x.astype(np.int64)))
+
+
+def is_binary(x) -> bool:
+  """Only {0, 1} values (reference ``stats.py:174``)."""
+  u = np.unique(np.asarray(x))
+  return bool(np.all(np.isin(u, (0, 1))))
+
+
+def sparsity_percentage(x, batch_size: int = 1024) -> float:
+  """Fraction of zero entries, streamed in batches
+  (reference ``stats.py:360``)."""
+  n_zeros, n_total = 0, int(np.prod(x.shape))
+  for start in range(0, x.shape[0], batch_size):
+    y = x[start:start + batch_size]
+    nnz = (y.count_nonzero() if hasattr(y, "count_nonzero")
+           else np.count_nonzero(y))
+    n_zeros += int(np.prod(y.shape)) - int(nnz)
+  return n_zeros / n_total
+
+
+def logVMR(x, axis=None, logged_values: bool = False):
+  """log(1 + variance-to-mean ratio) — index of dispersion (0 for
+  constant, 1 for Poisson, >1 over-dispersed; reference ``stats.py:373``)."""
+  x = np.asarray(x)
+  if logged_values:
+    x = np.expm1(x)
+  return np.log1p(np.var(x, axis=axis) / np.mean(x, axis=axis))
+
+
+def prior2weights(prior, exponential: bool = False, min_value: float = 0.1,
+                  max_value=None, norm: bool = False) -> np.ndarray:
+  """Class priors -> inverse-frequency class weights
+  (reference ``stats.py:16``): highest-prior class gets weight ~1, rarer
+  classes proportionally more; optional [min, max] rescaling and
+  normalization; zero-prior classes get weight 0."""
+  prior = np.asarray(prior, np.float64).ravel()
+  prior = prior / prior.sum()
+  zero_ids = np.where(prior == 0)[0]
+  nz = prior[prior > 0]
+  w_nz = (1.0 / nz) * nz.max()
+  if exponential:
+    w_nz = w_nz ** 2
+  if min_value is not None and max_value is not None:
+    lo, hi = float(min_value), float(max_value)
+    rng = w_nz.max() - w_nz.min()
+    w_nz = lo if rng == 0 else (hi - lo) * (w_nz - w_nz.min()) / rng + lo
+  if norm:
+    w_nz = w_nz / w_nz.sum()
+  out = np.zeros_like(prior)
+  out[prior > 0] = w_nz
+  out[zero_ids] = 0.0
+  return out
+
+
+__all__ += ["is_discrete", "is_binary", "sparsity_percentage", "logVMR",
+            "prior2weights"]

@@ -65,3 +65,18 @@ def early_stopping_callback(early_stopper: EarlyStopping,
     return None
 
   return hook
+
+
+class Callback:
+  """Minimal callback base (reference keras-style `Callback`): subclass
+  and override the hooks; instances are also usable directly as
+  `Trainer.fit(callbacks=[...])` entries via `__call__`."""
+
+  def on_batch_end(self, trainer, state, metrics):
+    return None
+
+  def on_valid_end(self, trainer, state, valid_metrics):
+    return None
+
+  def __call__(self, trainer, state, valid_metrics):
+    return self.on_valid_end(trainer, state, valid_metrics)

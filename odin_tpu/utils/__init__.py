@@ -235,3 +235,52 @@ def cache_disk(fn: Callable) -> Callable:
 # re-exports of the reference's headline utilities living in submodules
 from odin_tpu.utils.progbar import Progbar  # noqa: E402
 from odin_tpu.utils.cli import ArgController, stdio  # noqa: E402
+from odin_tpu.utils.mpi import MPI, SharedCounter, async_process, async_thread  # noqa: E402
+
+
+def flatten_list(seq, level=None):
+  """Flatten nested lists/tuples (reference ``utils`` `flatten_list`);
+  `level` bounds the recursion depth (None = fully flat)."""
+  out = []
+  for item in seq:
+    if isinstance(item, (list, tuple)) and (level is None or level > 0):
+      out.extend(flatten_list(
+          item, None if level is None else level - 1))
+    else:
+      out.append(item)
+  return out
+
+
+_ANSI = {"red": "\033[91m", "green": "\033[92m", "yellow": "\033[93m",
+         "blue": "\033[94m", "magenta": "\033[95m", "cyan": "\033[96m",
+         "lightred": "\033[91m", "lightgreen": "\033[92m"}
+
+
+def ctext(text, color: str = "red") -> str:
+  """ANSI-colored text (reference ``utils`` `ctext`); plain when the
+  stream is not a tty."""
+  import sys as _sys
+  code = _ANSI.get(str(color).lower())
+  if code is None or not getattr(_sys.stdout, "isatty", lambda: False)():
+    return str(text)
+  return f"{code}{text}\033[0m"
+
+
+def eprint(*args, **kwargs):
+  """print to stderr (reference ``utils`` `eprint`)."""
+  import sys as _sys
+  kwargs.setdefault("file", _sys.stderr)
+  print(*args, **kwargs)
+
+
+class MD5object:
+  """Mixin: md5 of the object's picklable state
+  (reference ``utils/crypto.py` `MD5object`)."""
+
+  @property
+  def md5_checksum(self) -> str:
+    return md5_checksum(self.__dict__)
+
+
+__all__ += ["MPI", "SharedCounter", "async_process", "async_thread",
+            "flatten_list", "ctext", "eprint", "MD5object"]

@@ -13,7 +13,7 @@ import os
 import types
 from typing import Any, Callable, Iterable, Iterator, List, Optional, Sequence
 
-__all__ = ["MPI", "async_process"]
+__all__ = ["MPI", "async_process", "async_thread", "SharedCounter"]
 
 _WORKER_FN: Optional[Callable] = None
 
@@ -88,3 +88,50 @@ def async_process(fn: Callable, *args, **kwargs):
   p = mp.get_context("fork").Process(target=fn, args=args, kwargs=kwargs, daemon=True)
   p.start()
   return p
+
+
+def async_thread(fn: Callable, *args, **kwargs):
+  """Run `fn` in a daemon thread; returns an object with `.get()`
+  (reference ``utils/mpi.py:164``)."""
+  import threading
+
+  class _Future:
+    def __init__(self):
+      self._result = None
+      self._exc = None
+      self._thread = threading.Thread(target=self._run, daemon=True)
+      self._thread.start()
+
+    def _run(self):
+      try:
+        self._result = fn(*args, **kwargs)
+      except BaseException as e:  # surfaced on .get()
+        self._exc = e
+
+    def get(self, timeout=None):
+      self._thread.join(timeout)
+      if self._exc is not None:
+        raise self._exc
+      return self._result
+
+    finished = property(lambda self: not self._thread.is_alive())
+
+  return _Future()
+
+
+class SharedCounter:
+  """Process-safe monotonically increasing counter
+  (reference ``utils/mpi.py:365-384``)."""
+
+  def __init__(self, initial: int = 0):
+    import multiprocessing
+    self._value = multiprocessing.Value("i", int(initial))
+
+  def add(self, n: int = 1) -> int:
+    with self._value.get_lock():
+      self._value.value += int(n)
+      return self._value.value
+
+  @property
+  def value(self) -> int:
+    return self._value.value

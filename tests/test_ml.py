@@ -165,3 +165,37 @@ def test_randomized_pca_matches_exact():
   Zw = RandomizedPCA(n_components=6, whiten=True,
                      random_state=0).fit_transform(X)
   np.testing.assert_allclose(np.std(Zw, axis=0), 1.0, atol=0.1)
+
+
+def test_ml_dispatchers_and_evaluate():
+  """clustering/dimension_reduce/DimReduce/evaluate/get_topics_string
+  (reference ml/__init__.py:101-260, ml/base.py:17)."""
+  from odin_tpu.ml import (DimReduce, clustering, dimension_reduce, evaluate,
+                           fast_lda_topics, get_topics_string)
+
+  rng = np.random.RandomState(0)
+  X = np.concatenate([rng.randn(40, 6) + 4, rng.randn(40, 6) - 4]).astype("f")
+  km = clustering(X, "kmeans", n_clusters=2)
+  assert len(np.unique(km.predict(X))) == 2
+  assert dimension_reduce(X, algo="pca", n_components=3).shape == (80, 3)
+  Zs = (DimReduce.PCA | DimReduce.KMEANS)(X, n_components=2)
+  assert len(Zs) == 2 and all(z.shape == (80, 2) for z in Zs)
+  y = np.array([0] * 40 + [1] * 40)
+  proba = np.stack([1 - y * 0.8 - 0.1, y * 0.8 + 0.1], -1)
+  rep = evaluate(y, y_pred_proba=proba, print_log=False)
+  assert rep["accuracy"] == 1.0 and np.isfinite(rep["EER"])
+  lda = fast_lda_topics(rng.poisson(3, (30, 20)), n_topics=3, max_iter=4)
+  txt = get_topics_string(lda, {i: f"w{i}" for i in range(20)}, n_topics=2)
+  assert len(txt) == 2
+
+
+def test_stats_utilities():
+  from odin_tpu.stats import (is_binary, is_discrete, logVMR, prior2weights,
+                              sparsity_percentage)
+  assert is_discrete([1, 2, 3]) and not is_discrete([1.5])
+  assert is_binary([0, 1, 1]) and not is_binary([0, 2])
+  x = np.zeros((10, 4)); x[0, 0] = 1.0
+  assert abs(sparsity_percentage(x) - 39 / 40) < 1e-9
+  assert logVMR(np.ones(100)) < 1e-6  # constant -> VMR 0
+  w = prior2weights([0.7, 0.2, 0.1, 0.0], min_value=0.1, max_value=1.0)
+  assert w[0] < w[1] < w[2] and w[3] == 0.0
