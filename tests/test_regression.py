@@ -10,33 +10,47 @@ import jax
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
+_BAND_SCRIPT = """
+import numpy as np
+import jax
+jax.config.update('jax_platforms', 'cpu')
+from odin_tpu.bay.vi import BetaVAE
+from odin_tpu.networks import get_networks
+rng = np.random.RandomState(0)
+X = (rng.rand(256, 28, 28, 1) < 0.3).astype('float32')
+vae = BetaVAE(beta=1.0, **get_networks('mnist', zdim=16)).build(seed=7)
+r = np.random.RandomState(7)
+def it(n):
+  for _ in range(n):
+    yield X[r.randint(0, 256, 16)]
+vae.fit(it(50), max_iter=50, learning_rate=1e-3,
+        logging_interval=1e9, verbose=False)
+ev = vae.make_eval_fn(jit=False)
+m = {k: float(v) for k, v in jax.device_get(ev(vae.state, X[:128])).items()}
+assert -620 < m['elbo'] < -350, m
+assert 1.0 < m['kl_latents'] < 80.0, m
+print('BAND OK', m['elbo'])
+"""
+
+
 def test_elbo_trajectory_band():
   """Fixed-seed betaVAE on fixed synthetic data must land in the recorded
   ELBO band — catches silent numerics regressions in the whole stack
-  (encoder -> sampling -> KL -> optimizer)."""
-  from odin_tpu.bay.vi import BetaVAE
-  from odin_tpu.networks import get_networks
-  rng = np.random.RandomState(0)
-  X = (rng.rand(256, 28, 28, 1) < 0.3).astype("float32")
-  # batch 16: the 1-core virtual mesh serializes device programs, so the
-  # first collective's last arrival trails by (N-1) x step-time — heavy
-  # first steps trip XLA's hard 40s rendezvous kill (see CLAUDE.md)
-  vae = BetaVAE(beta=1.0, **get_networks("mnist", zdim=16)).build(seed=7)
-  r = np.random.RandomState(7)
+  (encoder -> sampling -> KL -> optimizer).
 
-  def it(n):
-    for _ in range(n):
-      yield X[r.randint(0, 256, 16)]
-
-  tr = vae.fit(it(50), max_iter=50, learning_rate=1e-3,
-               logging_interval=1e9, verbose=False)
-  ev = vae.make_eval_fn(jit=False)
-  m = {k: float(v) for k, v in
-       jax.device_get(ev(vae.state, X[:128])).items()}
-  # recorded band (2026-08-16): guards against stack-level numerics
-  # regressions (encoder -> sampling -> KL -> optimizer), not noise
-  assert -620 < m["elbo"] < -350, m
-  assert 1.0 < m["kl_latents"] < 80.0, m
+  Runs in a fresh single-device subprocess: mid-suite, the first mesh
+  collective of a fit can trip XLA's fatal ~40s CPU rendezvous watchdog
+  (observed 2026-08-17 aborting the whole session; see CLAUDE.md)."""
+  import subprocess
+  import sys
+  env = dict(os.environ, JAX_PLATFORMS="cpu",
+             XLA_FLAGS="--xla_force_host_platform_device_count=1")
+  repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+  proc = subprocess.run([sys.executable, "-c", _BAND_SCRIPT], cwd=repo,
+                        env=env, capture_output=True, text=True,
+                        timeout=1200)
+  assert proc.returncode == 0, (proc.stdout[-500:], proc.stderr[-2000:])
+  assert "BAND OK" in proc.stdout
 
 
 def test_graft_entry_single_chip():
