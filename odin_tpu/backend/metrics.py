@@ -9,6 +9,8 @@ from __future__ import annotations
 
 from typing import Optional, Sequence, Tuple
 
+import warnings
+
 import numpy as np
 
 __all__ = [
@@ -175,7 +177,9 @@ def frechet_distance(mu1, sigma1, mu2, sigma2, eps: float = 1e-6) -> float:
   mu1, mu2 = np.atleast_1d(mu1), np.atleast_1d(mu2)
   sigma1, sigma2 = np.atleast_2d(sigma1), np.atleast_2d(sigma2)
   diff = mu1 - mu2
-  covmean, _ = linalg.sqrtm(sigma1 @ sigma2, disp=False)
+  with warnings.catch_warnings():
+    warnings.simplefilter("ignore")  # sqrtm warns on ill-conditioned input
+    covmean = linalg.sqrtm(sigma1 @ sigma2)
   if not np.isfinite(covmean).all():
     offset = np.eye(sigma1.shape[0]) * eps
     covmean = linalg.sqrtm((sigma1 + offset) @ (sigma2 + offset))
