@@ -136,3 +136,24 @@ def test_scoreboard_string_unique():
     sb.write("runs", unique="name", name="a", elbo=-85.0, replace=True)
     rows = sb.select("runs")
     assert len(rows) == 1 and abs(rows[0]["elbo"] + 85.0) < 1e-6
+
+
+def test_read_tensorboard_and_callback():
+  import json
+  import tempfile
+
+  from odin_tpu.training import Callback, read_tensorboard
+
+  with tempfile.TemporaryDirectory() as d:
+    with open(os.path.join(d, "log.jsonl"), "w") as f:
+      for s in range(3):
+        f.write(json.dumps({"step": s, "loss": 10.0 - s, "time": 0.0}) + "\n")
+    tags = read_tensorboard(d)
+    assert tags["loss"] == [(0, 10.0), (1, 9.0), (2, 8.0)]
+    assert "time" not in tags
+
+  class Stop(Callback):
+    def on_valid_end(self, trainer, state, valid_metrics):
+      return {"flag": 1.0}
+
+  assert Stop()(None, None, {}) == {"flag": 1.0}
