@@ -19,7 +19,7 @@ from __future__ import annotations
 
 import math
 import pickle
-from typing import Optional, Sequence, Tuple, Union
+from typing import Dict, Optional, Sequence, Tuple, Union
 
 import jax
 import jax.numpy as jnp
@@ -75,6 +75,7 @@ class GMM:
     self.w: Optional[np.ndarray] = None       # (M,)
     self.ndim: Optional[int] = None
     self._estep_fn = None
+    self._estep_masked = None
 
   @property
   def is_fitted(self) -> bool:
@@ -288,16 +289,65 @@ class GMM:
       out.append(Fc.reshape(-1).astype(self.dtype))
     return out[0] if len(out) == 1 else tuple(out)
 
-  def transform_batch(self, utterances: Sequence[np.ndarray]):
-    """(Z, F) stats for many utterances (the reference's MPI
-    `transform_to_disk`, :769, becomes a host loop over the jitted
-    E-step)."""
-    Zs, Fs = [], []
-    for u in utterances:
-      z, f = self.transform(u)
-      Zs.append(z)
-      Fs.append(f)
-    return np.stack(Zs), np.stack(Fs)
+  def _build_estep_masked(self):
+    @jax.jit
+    def estep(x, mask, mu, sigma, logw):
+      """Per-utterance (Z, F) over a padded batch: x (B, T, D),
+      mask (B, T) float — invalid frames contribute nothing."""
+      inv = 1.0 / sigma
+      c = jnp.sum(mu * mu * inv + jnp.log(sigma), axis=1) \
+          + mu.shape[1] * jnp.log(2.0 * jnp.pi)
+      quad = (x * x) @ inv.T - 2.0 * (x @ (mu * inv).T)   # (B, T, M)
+      loglik = -0.5 * (quad + c) + logw
+      norm = jax.scipy.special.logsumexp(loglik, axis=-1, keepdims=True)
+      post = jnp.exp(loglik - norm) * mask[..., None]     # (B, T, M)
+      Z = jnp.sum(post, axis=1)                           # (B, M)
+      F = jnp.einsum("btm,btd->bmd", post, x)             # (B, M, D)
+      return Z, F
+    return estep
+
+  def transform_batch(self, utterances: Sequence[np.ndarray],
+                      batch_size: int = 64):
+    """(Z, F) stats for many utterances at once — the reference's MPI
+    `transform_to_disk` (:769) redesigned as padded, mask-aware batched
+    E-steps: utterances are bucketed to power-of-2 lengths (bounding
+    recompiles) and each bucket runs as ONE jit over (B, T, D), instead
+    of one dispatch (and one compile per distinct length) per utterance.
+    """
+    if self._estep_masked is None:
+      self._estep_masked = self._build_estep_masked()
+    mu = jnp.asarray(self.mu, jnp.float32)
+    sigma = jnp.asarray(self.sigma, jnp.float32)
+    logw = jnp.log(jnp.asarray(self.w, jnp.float32))[None, :]
+    n = len(utterances)
+    D = np.asarray(utterances[0]).shape[1]
+    M = len(self.w)
+    # bucket by padded length (next power of two)
+    buckets: Dict[int, list] = {}
+    for idx, u in enumerate(utterances):
+      u = np.asarray(u, np.float32)
+      T = max(int(2 ** np.ceil(np.log2(max(len(u), 1)))), 8)
+      buckets.setdefault(T, []).append((idx, u))
+    Zs = np.zeros((n, M), self.dtype)
+    Fs = np.zeros((n, M * D), self.dtype)
+    mu64 = self.mu.astype(np.float64)
+    for T, items in sorted(buckets.items()):
+      for s in range(0, len(items), batch_size):
+        part = items[s:s + batch_size]
+        x = np.zeros((len(part), T, D), np.float32)
+        mask = np.zeros((len(part), T), np.float32)
+        for b, (_, u) in enumerate(part):
+          x[b, :len(u)] = u
+          mask[b, :len(u)] = 1.0
+        Z, F = self._estep_masked(jnp.asarray(x), jnp.asarray(mask),
+                                  mu, sigma, logw)
+        Z = np.asarray(Z, np.float64)
+        F = np.asarray(F, np.float64)
+        Fc = F - Z[:, :, None] * mu64[None]               # center
+        for b, (idx, _) in enumerate(part):
+          Zs[idx] = Z[b].astype(self.dtype)
+          Fs[idx] = Fc[b].reshape(-1).astype(self.dtype)
+    return Zs, Fs
 
   # -- persistence ----------------------------------------------------------------
   def save(self, path: str):

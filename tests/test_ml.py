@@ -199,3 +199,20 @@ def test_stats_utilities():
   assert logVMR(np.ones(100)) < 1e-6  # constant -> VMR 0
   w = prior2weights([0.7, 0.2, 0.1, 0.0], min_value=0.1, max_value=1.0)
   assert w[0] < w[1] < w[2] and w[3] == 0.0
+
+
+def test_gmm_transform_batch_matches_per_utterance():
+  """Padded mask-aware batched (Z, F) stats must match the per-utterance
+  path exactly (padding frames contribute nothing)."""
+  from odin_tpu.ml import GMM
+
+  rng = np.random.RandomState(0)
+  utts = [rng.randn(n, 5).astype("f") for n in (33, 64, 17, 120, 64)]
+  gmm = GMM(nmix=4, niter=1)
+  gmm.initialize(np.concatenate(utts))
+  gmm.fit(np.concatenate(utts))
+  Zb, Fb = gmm.transform_batch(utts)
+  for i, u in enumerate(utts):
+    z, f = gmm.transform(u)
+    np.testing.assert_allclose(Zb[i], z, rtol=1e-4, atol=1e-4)
+    np.testing.assert_allclose(Fb[i], f, rtol=1e-3, atol=1e-3)
