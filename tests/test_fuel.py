@@ -26,7 +26,7 @@ def test_pipeline_batching_and_shuffle():
   np.testing.assert_array_equal(np.sort(e1.ravel()), x.ravel())
   # map applies per batch
   pipe4 = DataPipeline(x, batch_size=10, epochs=1).map(lambda b: b * 2)
-  assert float(np.asarray(next(iter(pipe4)))[1]) == 2.0
+  assert float(np.asarray(next(iter(pipe4))).ravel()[1]) == 2.0
 
 
 def test_image_dataset_create_dataset():
