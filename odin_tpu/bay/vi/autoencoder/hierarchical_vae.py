@@ -27,13 +27,14 @@ from odin_tpu.bay.distributions import Independent, Normal
 from odin_tpu.bay.helpers import kl_divergence
 from odin_tpu.bay.layers.dense_distribution import DistributionDense
 from odin_tpu.bay.random_variable import RVconf
+from odin_tpu.bay.vi.autoencoder.beta_vae import BetaVAE
 from odin_tpu.bay.vi.autoencoder.variational_autoencoder import (
     VariationalAutoencoder,
 )
 from odin_tpu.training.core import TrainStep
 
 __all__ = ["BiConvLatents", "LadderCore", "HierarchicalVAE", "LadderVAE",
-           "UnetVAE", "PUnetVAE", "VeryDeepVAE"]
+           "UnetCore", "UnetVAE", "PUnetCore", "PUnetVAE", "VeryDeepVAE"]
 
 
 class BiConvLatents(nn.Module):
@@ -193,6 +194,23 @@ class HierarchicalVAE(VariationalAutoencoder):
                         mutables=self.state.mutables if self.state else None)
     return qz
 
+  def reconstruct(self, x, params=None, seed: int = 0):
+    """x -> (qz, px) through the POSTERIOR path: rung latents are inferred
+    from the paired encoder states, matching the training objective.  The
+    plain `decode` (hiddens=None) is generation mode — evaluating
+    reconstructions through it discards the ladder posteriors and reports
+    catastrophically wrong llk (round-1 ladder 'ELBO -3251' diagnosis)."""
+    params = params or self._params_of()
+    if not hasattr(self, "_reconstruct_jit"):
+      def _fn(p, x, rng):
+        qz, hiddens = self._apply(p, "encode", x, rng=rng, training=False)
+        px, _ = self._apply(p, "decode", qz.mean(), hiddens, rng=rng,
+                            training=False)
+        return qz, px
+      self._reconstruct_jit = jax.jit(_fn)
+    return self._reconstruct_jit(params, jnp.asarray(x),
+                                 jax.random.PRNGKey(seed))
+
   def sample_observation(self, n: int = 1, seed: int = 0):
     """Ancestral sampling: top latent from the prior, rung latents from
     their conditional priors."""
@@ -217,20 +235,272 @@ class HierarchicalVAE(VariationalAutoencoder):
 LadderVAE = HierarchicalVAE
 
 
-class UnetVAE(HierarchicalVAE):
-  """U-Net VAE (reference ``hierarchical_vae.py:905``): ladder rungs at
-  every resolution — realized by the same LadderCore with the full
-  hierarchy spec (all entries enabled)."""
+class UnetCore(nn.Module):
+  """U-Net trunk: deterministic encoder->decoder skip additions at matched
+  resolutions (reference `UnetVAE.encode/decode`,
+  ``hierarchical_vae.py:905-984``: ``h_d = h_d + h_e`` per layers_map,
+  optional dropout/noise on the skip)."""
+
+  encoder: Any
+  decoder: Any
+  latents: DistributionDense
+  observation: DistributionDense
+  hierarchy: Tuple[Dict[str, int], ...] = ()
+  skip_dropout: float = 0.0
+  skip_noise: float = 0.0
+  labels: Optional[DistributionDense] = None
+
+  def setup(self):
+    # 1x1 conv aligns encoder channels with the decoder state where they
+    # differ (the reference requires hand-matched layer shapes instead)
+    self.skip_projs = [
+        nn.Conv(h.get("channels", 64), (1, 1), name=f"skip_{i}")
+        for i, h in enumerate(self.hierarchy)
+    ]
+
+  def encode(self, x, training: bool = False):
+    h, hiddens = self.encoder(x, training=training, return_hidden=True)
+    return self.latents(h, training=training), hiddens
+
+  def decode(self, z, hiddens=None, training: bool = False):
+    spec = {h["decoder_layer"]: (i, h) for i, h in enumerate(self.hierarchy)}
+    d = z
+    for li, layer in enumerate(self.decoder.layers):
+      d = layer(d, training=training) if isinstance(layer, nn.Module) \
+          else layer(d)
+      if li in spec and hiddens is not None:
+        ri, h = spec[li]
+        e = hiddens[h["encoder_layer"]]
+        e = self.skip_projs[ri](e)
+        # center-crop to the decoder state's spatial dims if they disagree
+        e = e[:, :d.shape[1], :d.shape[2], :]
+        if self.skip_dropout > 0 and training:
+          keep = jax.random.bernoulli(self.make_rng("dropout"),
+                                      1.0 - self.skip_dropout, e.shape)
+          e = e * keep / (1.0 - self.skip_dropout)
+        if self.skip_noise > 0 and training:
+          e = e + self.skip_noise * jax.random.normal(self.make_rng("sample"),
+                                                      e.shape)
+        d = d + e
+    return self.observation(d, training=training), ()
+
+  def predict_labels(self, h, training: bool = False):
+    return self.labels(h, training=training)
+
+  def __call__(self, x, training: bool = False):
+    qz, hiddens = self.encode(x, training=training)
+    px, _ = self.decode(qz.mean(), hiddens, training=training)
+    if self.labels is not None:
+      self.predict_labels(qz.mean(), training=training)
+    return px, qz
 
 
-class PUnetVAE(HierarchicalVAE):
-  """Probabilistic U-Net (reference ``hierarchical_vae.py:986``)."""
+class UnetVAE(BetaVAE):
+  """U-Net VAE (reference ``hierarchical_vae.py:905``): deterministic skip
+  connections from encoder to decoder states at each configured resolution;
+  a single stochastic bottleneck (NOT hierarchical — reference
+  ``is_hierarchical() -> False``), beta=10, free_bits=2 defaults."""
+
+  def __init__(self, beta: float = 10.0, free_bits: Optional[float] = 2.0,
+               skip_dropout: float = 0.0, skip_noise: float = 0.0,
+               **kwargs):
+    self.skip_dropout = float(skip_dropout)
+    self.skip_noise = float(skip_noise)
+    kwargs.setdefault("name", "unetvae")
+    super().__init__(beta=beta, free_bits=free_bits, **kwargs)
+    if not self.hierarchy:
+      raise ValueError("UnetVAE requires a `hierarchy` spec for its skip "
+                       "map (use get_networks(..., is_hierarchical=True))")
+
+  def _build_core(self) -> nn.Module:
+    return UnetCore(encoder=self.encoder_net, decoder=self.decoder_net,
+                    latents=self.latents_head,
+                    observation=self.observation_head,
+                    hierarchy=tuple(dict(h) for h in self.hierarchy),
+                    skip_dropout=self.skip_dropout,
+                    skip_noise=self.skip_noise,
+                    labels=self.labels_head)
+
+  def elbo_components(self, params, batch, rng, step, training=False,
+                      mutables=None):
+    x, y = self._split_inputs(batch)
+    k1, k2, k3 = jax.random.split(rng, 3)
+    qz, hiddens = self._apply(params, "encode", x, rng=k1, training=training,
+                              mutables=mutables)
+    z = qz.sample(k2)
+    px, _ = self._apply(params, "decode", z, hiddens, rng=k3,
+                        training=training, mutables=mutables)
+    beta = self._schedule(self.beta, step)
+    llk = {"llk_image": px.log_prob(x)}
+    kl = {"kl_latents": beta * kl_divergence(
+        qz, self.latents_prior, analytic=self.analytic, q_sample=z,
+        reverse=self.reverse, free_bits=self.free_bits)}
+    return llk, kl, dict(qz=qz, px=px, z=z, x=x, y=y)
+
+  def encode(self, x, params=None, training: bool = False, seed: int = 0):
+    params = params or self._params_of()
+    qz, _ = self._apply(params, "encode", jnp.asarray(x),
+                        rng=jax.random.PRNGKey(seed), training=training,
+                        mutables=self.state.mutables if self.state else None)
+    return qz
+
+  def decode(self, z, params=None, training: bool = False, seed: int = 0):
+    """Generation-mode decode (no skips — the skip inputs require x)."""
+    params = params or self._params_of()
+    px, _ = self._apply(params, "decode", jnp.asarray(z), None,
+                        rng=jax.random.PRNGKey(seed), training=training,
+                        mutables=self.state.mutables if self.state else None)
+    return px
+
+  def reconstruct(self, x, params=None, seed: int = 0):
+    """Posterior path: decode WITH the encoder skip states."""
+    params = params or self._params_of()
+    if not hasattr(self, "_reconstruct_jit"):
+      def _fn(p, x, rng):
+        qz, hiddens = self._apply(p, "encode", x, rng=rng, training=False)
+        px, _ = self._apply(p, "decode", qz.mean(), hiddens, rng=rng,
+                            training=False)
+        return qz, px
+      self._reconstruct_jit = jax.jit(_fn)
+    return self._reconstruct_jit(params, jnp.asarray(x),
+                                 jax.random.PRNGKey(seed))
+
+
+class PUnetCore(nn.Module):
+  """Probabilistic U-Net trunk (reference `PUnetVAE`,
+  ``hierarchical_vae.py:986-1096``): per-resolution ladder posteriors
+  q_i(z_i | encoder state) and priors p_i(z_i | decoder state), realized as
+  Dense mvndiag heads on the flattened states.  'Soft connection': the
+  ladder samples do NOT feed the decoder — they only regularize via
+  KL(q_i || p_i) (the reference's documented design choice)."""
+
+  encoder: Any
+  decoder: Any
+  latents: DistributionDense
+  observation: DistributionDense
+  hierarchy: Tuple[Dict[str, int], ...] = ()
+  ladder_units: int = 16
+  labels: Optional[DistributionDense] = None
+
+  def setup(self):
+    u = self.ladder_units
+    self.q_heads = [nn.Dense(2 * u, name=f"ladder_q{i}")
+                    for i in range(len(self.hierarchy))]
+    self.p_heads = [nn.Dense(2 * u, name=f"ladder_p{i}")
+                    for i in range(len(self.hierarchy))]
+
+  @staticmethod
+  def _mvndiag(params):
+    loc, raw = jnp.split(params, 2, axis=-1)
+    return Independent(Normal(loc, jax.nn.softplus(raw) + 1e-5), 1)
+
+  def encode(self, x, training: bool = False):
+    h, hiddens = self.encoder(x, training=training, return_hidden=True)
+    Q = []
+    for i, spec in enumerate(self.hierarchy):
+      e = hiddens[spec["encoder_layer"]]
+      Q.append(self._mvndiag(self.q_heads[i](e.reshape(e.shape[0], -1))))
+    return self.latents(h, training=training), tuple(Q)
+
+  def decode(self, z, training: bool = False):
+    spec = {h["decoder_layer"]: i for i, h in enumerate(self.hierarchy)}
+    d = z
+    P = [None] * len(self.hierarchy)
+    for li, layer in enumerate(self.decoder.layers):
+      d = layer(d, training=training) if isinstance(layer, nn.Module) \
+          else layer(d)
+      if li in spec:
+        i = spec[li]
+        P[i] = self._mvndiag(self.p_heads[i](d.reshape(d.shape[0], -1)))
+    return self.observation(d, training=training), tuple(P)
+
+  def predict_labels(self, h, training: bool = False):
+    return self.labels(h, training=training)
+
+  def __call__(self, x, training: bool = False):
+    qz, Q = self.encode(x, training=training)
+    px, P = self.decode(qz.mean(), training=training)
+    if self.labels is not None:
+      self.predict_labels(qz.mean(), training=training)
+    return px, qz
+
+
+class PUnetVAE(BetaVAE):
+  """Probabilistic U-Net VAE (reference ``hierarchical_vae.py:986``)."""
+
+  def __init__(self, beta: float = 10.0, free_bits: Optional[float] = 2.0,
+               ladder_units: int = 16, **kwargs):
+    self.ladder_units = int(ladder_units)
+    kwargs.setdefault("name", "punetvae")
+    super().__init__(beta=beta, free_bits=free_bits, **kwargs)
+    if not self.hierarchy:
+      raise ValueError("PUnetVAE requires a `hierarchy` spec for its ladder "
+                       "map (use get_networks(..., is_hierarchical=True))")
+
+  def _build_core(self) -> nn.Module:
+    return PUnetCore(encoder=self.encoder_net, decoder=self.decoder_net,
+                     latents=self.latents_head,
+                     observation=self.observation_head,
+                     hierarchy=tuple(dict(h) for h in self.hierarchy),
+                     ladder_units=self.ladder_units,
+                     labels=self.labels_head)
+
+  def elbo_components(self, params, batch, rng, step, training=False,
+                      mutables=None):
+    x, y = self._split_inputs(batch)
+    k1, k2, k3 = jax.random.split(rng, 3)
+    (qz, Q) = self._apply(params, "encode", x, rng=k1, training=training,
+                          mutables=mutables)
+    z = qz.sample(k2)
+    px, P = self._apply(params, "decode", z, rng=k3, training=training,
+                        mutables=mutables)
+    beta = self._schedule(self.beta, step)
+    llk = {"llk_image": px.log_prob(x)}
+    kl = {"kl_latents": beta * kl_divergence(
+        qz, self.latents_prior, analytic=self.analytic, q_sample=z,
+        reverse=self.reverse, free_bits=self.free_bits)}
+    for i, (qz_i, pz_i) in enumerate(zip(Q, P)):
+      kl_i = qz_i.kl_divergence(pz_i, analytic=True)
+      if self.free_bits is not None:
+        kl_i = jnp.maximum(kl_i,
+                           self.free_bits * float(np.prod(qz_i.event_shape)))
+      kl[f"kl_ladder{i}"] = beta * kl_i
+    return llk, kl, dict(qz=qz, px=px, z=z, x=x, y=y, ladder=tuple(zip(Q, P)))
+
+  def encode(self, x, params=None, training: bool = False, seed: int = 0):
+    params = params or self._params_of()
+    qz, _ = self._apply(params, "encode", jnp.asarray(x),
+                        rng=jax.random.PRNGKey(seed), training=training,
+                        mutables=self.state.mutables if self.state else None)
+    return qz
+
+  def decode(self, z, params=None, training: bool = False, seed: int = 0):
+    params = params or self._params_of()
+    px, _ = self._apply(params, "decode", jnp.asarray(z),
+                        rng=jax.random.PRNGKey(seed), training=training,
+                        mutables=self.state.mutables if self.state else None)
+    return px
 
 
 class VeryDeepVAE(HierarchicalVAE):
-  """Very deep VAE (Child 2021; reference ``hierarchical_vae.py:1098``) —
-  many rungs with small per-rung capacity; here the rung count equals the
-  hierarchy spec length, with free_bits shared."""
+  """Very deep VAE (Child 2021; reference ``hierarchical_vae.py:1098``
+  inherits AnnealingVAE — a declared-but-TODO class there).  Realized as the
+  ladder with the KL warm-up the reference's citations prescribe (Sønderby
+  2016): every KL term is scaled by a schedule annealing 1e-6 -> 1 over
+  `warmup_steps`."""
 
-  def __init__(self, free_bits: Optional[float] = 0.25, **kwargs):
+  def __init__(self, free_bits: Optional[float] = 0.25,
+               warmup_steps: int = 2000, **kwargs):
+    from odin_tpu.backend.interpolation import linear
+    self._kl_schedule = linear(vmin=1e-6, vmax=1.0, steps=int(warmup_steps))
+    kwargs.setdefault("name", "verydeepvae")
     super().__init__(free_bits=free_bits, **kwargs)
+
+  def elbo_components(self, params, batch, rng, step, training=False,
+                      mutables=None):
+    llk, kl, aux = super().elbo_components(params, batch, rng, step,
+                                           training=training,
+                                           mutables=mutables)
+    w = self._kl_schedule(step)
+    kl = {k: w * v for k, v in kl.items()}
+    return llk, kl, aux

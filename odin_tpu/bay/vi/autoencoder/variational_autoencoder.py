@@ -291,6 +291,17 @@ class VariationalAutoencoder(VariationalModel):
     px = self.decode(z, training=training, seed=seed)
     return px, qz
 
+  def reconstruct(self, x, params: Optional[Dict] = None, seed: int = 0):
+    """x -> (qz, px) through the posterior path (encode -> mean z ->
+    decode), each leg a cached jitted call.
+
+    This is the evaluation surface the DisentanglementGym batches over;
+    subclasses whose decode needs posterior-side state (hierarchical
+    ladders) override it so evaluation matches the training path."""
+    qz = self.encode(x, params=params, seed=seed)
+    px = self.decode(qz.mean(), params=params, seed=seed)
+    return qz, px
+
   def sample_prior(self, n: int = 1, seed: int = 0) -> jax.Array:
     """Sample z ~ p(z) (reference :266-275)."""
     return self.latents_prior.sample(jax.random.PRNGKey(seed), (n,))

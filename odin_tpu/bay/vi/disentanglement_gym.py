@@ -129,16 +129,24 @@ class DisentanglementGym:
       x, y = x[:n_samples], (y[:n_samples] if y is not None else None)
     self.x_true = np.asarray(x)
     self.factors = np.asarray(y) if y is not None else None
+    # Batched, jitted posterior-path inference: `reconstruct` compiles once
+    # for the fixed batch size (the tail is padded then trimmed), replacing
+    # the round-1 op-by-op host loop — and for hierarchical models it keeps
+    # the ladder posteriors (decode-with-hiddens), so gym elbo/llk match the
+    # training objective.
+    n, bs = len(x), self.batch_size
+    n_pad = (-n) % bs
+    xp = np.concatenate([x, x[:n_pad]]) if n_pad else x
     qzs, pxs = [], []
-    for i in range(0, len(x), self.batch_size):
-      xb = x[i:i + self.batch_size]
-      qz = self.model.encode(xb, seed=self.seed)
-      z = qz.mean()
-      px = self.model.decode(z, seed=self.seed)
+    for i in range(0, len(xp), bs):
+      qz, px = self.model.reconstruct(xp[i:i + bs], seed=self.seed)
       qzs.append(qz)
       pxs.append(px)
-    self.qz = concat_distributions(qzs, axis=0)
-    self.px = concat_distributions(pxs, axis=0)
+    import jax as _jax
+    trim = (lambda d: _jax.tree_util.tree_map(lambda a: a[:n], d)) \
+        if n_pad else (lambda d: d)
+    self.qz = trim(concat_distributions(qzs, axis=0))
+    self.px = trim(concat_distributions(pxs, axis=0))
     self._z_mean = np.asarray(self.qz.mean())
     self._z_discrete = discretizing(self._z_mean, n_bins=n_bins,
                                     strategy="uniform")
@@ -362,6 +370,113 @@ class DisentanglementGym:
     ax.set_xticklabels(self.groundtruth.factor_names, rotation=45)
     ax.set_ylabel("latents (aligned)")
     fig.colorbar(im)
+    if path:
+      fig.savefig(path, dpi=120)
+      plt.close(fig)
+      return path
+    return fig
+
+  def plot_histogram(self, n_bins: int = 40, path: Optional[str] = None):
+    """Marginal histogram of every latent dimension with a standard-normal
+    overlay (reference `plot_histogram`, :906-1509)."""
+    self._require_run()
+    import matplotlib
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+    z = self._z_mean
+    D = z.shape[1]
+    cols = int(np.ceil(np.sqrt(D)))
+    rows = int(np.ceil(D / cols))
+    fig, axes = plt.subplots(rows, cols, figsize=(cols * 2.2, rows * 1.8))
+    axes = np.atleast_1d(axes).ravel()
+    grid = np.linspace(-3.5, 3.5, 200)
+    normal = np.exp(-0.5 * grid ** 2) / np.sqrt(2 * np.pi)
+    for i in range(D):
+      ax = axes[i]
+      ax.hist(z[:, i], bins=n_bins, density=True, alpha=0.7)
+      ax.plot(grid, normal, lw=1.0, color="crimson")
+      ax.set_title(f"z{i}", fontsize=8)
+      ax.tick_params(labelsize=6)
+    for ax in axes[D:]:
+      ax.axis("off")
+    fig.tight_layout()
+    if path:
+      fig.savefig(path, dpi=120)
+      plt.close(fig)
+      return path
+    return fig
+
+  def plot_interpolation(self, i: int = 0, j: int = 1, n_points: int = 10,
+                         path: Optional[str] = None):
+    """Decode the latent line segment between two test inputs
+    (reference `plot_interpolation`)."""
+    self._require_run()
+    import matplotlib
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+    za, zb = self._z_mean[i], self._z_mean[j]
+    ts = np.linspace(0.0, 1.0, n_points)[:, None]
+    zs = (1 - ts) * za[None] + ts * zb[None]
+    px = self.model.decode(zs.astype("f"), seed=self.seed)
+    imgs = np.asarray(px.mean())
+    fig, axes = plt.subplots(1, n_points, figsize=(n_points * 1.3, 1.6))
+    for k in range(n_points):
+      axes[k].imshow(imgs[k].squeeze(), cmap="gray")
+      axes[k].axis("off")
+    fig.tight_layout()
+    if path:
+      fig.savefig(path, dpi=120)
+      plt.close(fig)
+      return path
+    return fig
+
+  def plot_prior_sampling(self, n: int = 16, path: Optional[str] = None):
+    """Decode prior samples z ~ p(z) (reference `plot_prior_sampling`)."""
+    import matplotlib
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+    px = self.model.sample_observation(n=n, seed=self.seed)
+    imgs = np.asarray(px.mean())
+    cols = int(np.ceil(np.sqrt(n)))
+    rows = int(np.ceil(n / cols))
+    fig, axes = plt.subplots(rows, cols, figsize=(cols * 1.4, rows * 1.4))
+    axes = np.atleast_1d(axes).ravel()
+    for k in range(n):
+      axes[k].imshow(imgs[k].squeeze(), cmap="gray")
+      axes[k].axis("off")
+    for ax in axes[n:]:
+      ax.axis("off")
+    fig.tight_layout()
+    if path:
+      fig.savefig(path, dpi=120)
+      plt.close(fig)
+      return path
+    return fig
+
+  def plot_pairwise_scatter(self, factor_index: int = 0,
+                            max_latents: int = 6,
+                            path: Optional[str] = None):
+    """Pairwise scatter matrix of the first latents, colored by a factor
+    (reference `plot_disentanglement` scatter panels)."""
+    self._require_run()
+    import matplotlib
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+    z = self._z_mean[:, :max_latents]
+    D = z.shape[1]
+    c = self.groundtruth.factors[:, factor_index] if self.groundtruth \
+        else None
+    fig, axes = plt.subplots(D, D, figsize=(D * 1.6, D * 1.6))
+    axes = np.atleast_2d(axes)
+    for a in range(D):
+      for b in range(D):
+        ax = axes[a][b]
+        if a == b:
+          ax.hist(z[:, a], bins=30, alpha=0.7)
+        else:
+          ax.scatter(z[:, b], z[:, a], s=2, c=c, cmap="tab10", alpha=0.6)
+        ax.tick_params(labelsize=5)
+    fig.tight_layout()
     if path:
       fig.savefig(path, dpi=120)
       plt.close(fig)
