@@ -363,22 +363,29 @@ class _VarAttnCell(nn.Module):
   hidden: int
   obs_event: Tuple[int, ...]
   obs_posterior: str = "gaussian"
+  attn_score: str = "dot"
+  attn_position: str = "global"
+  attn_align: str = "soft"
+  attn_window: int = 8
 
   def setup(self):
+    from odin_tpu.networks.attention import Attention
     self.query = nn.Dense(self.hidden, name="query")
     self.log_scale = nn.Dense(self.hidden, name="context_log_scale")
     self.obs = DistributionDense(event_shape=tuple(self.obs_event),
                                  posterior=self.obs_posterior,
                                  name="observation")
     self.gru = nn.GRUCell(self.hidden, name="gru")
+    self.attn = Attention(score=self.attn_score,
+                          position=self.attn_position,
+                          align=self.attn_align,
+                          window=self.attn_window, name="attn")
 
   def __call__(self, h, x_prev, states, z):
     # states: (B, T, H) broadcast; x_prev: (B, D) teacher-forced input
     q = self.query(jnp.concatenate([h, z], -1))  # (B, H)
-    scores = jnp.einsum("bh,bth->bt", q, states) / jnp.sqrt(
-        jnp.asarray(self.hidden, jnp.float32))
-    attn = jax.nn.softmax(scores, axis=-1)
-    c_mean = jnp.einsum("bt,bth->bh", attn, states)
+    ctx, _ = self.attn(q[:, None], states)       # full algebra (score x
+    c_mean = ctx[:, 0]                           # position x align modes)
     c_scale = jax.nn.softplus(self.log_scale(h)) + 1e-4
     from odin_tpu.bay.distributions.continuous import MultivariateNormalDiag
     qc = MultivariateNormalDiag(c_mean, c_scale)
@@ -396,6 +403,11 @@ class SAVAECore(nn.Module):
   obs_event: Tuple[int, ...]
   obs_posterior: str = "gaussian"
   latent_posterior: str = "mvndiag"
+  decode_steps: int = 1
+  attn_score: str = "dot"
+  attn_position: str = "global"
+  attn_align: str = "soft"
+  attn_window: int = 8
 
   def setup(self):
     enc_scan = nn.scan(nn.GRUCell, variable_broadcast="params",
@@ -409,7 +421,11 @@ class SAVAECore(nn.Module):
         split_rngs={"params": False, "sample": True, "dropout": True},
         in_axes=(1, nn.broadcast, nn.broadcast), out_axes=1)
     self.dec = dec_scan(hidden=self.hidden, obs_event=self.obs_event,
-                        obs_posterior=self.obs_posterior, name="decoder")
+                        obs_posterior=self.obs_posterior,
+                        attn_score=self.attn_score,
+                        attn_position=self.attn_position,
+                        attn_align=self.attn_align,
+                        attn_window=self.attn_window, name="decoder")
 
   def _states(self, x):
     h0 = jnp.zeros((x.shape[0], self.hidden), jnp.float32)
@@ -429,12 +445,15 @@ class SAVAECore(nn.Module):
     _, (px, qc, c) = self.dec(h0, x_prev, states, z)
     return qz, z, qc, c, px
 
-  def decode(self, z, training: bool = False):
+  def decode(self, z, training: bool = False, n_steps: Optional[int] = None):
     """Free-running decode from a global latent only: the attention memory
-    is the latent itself broadcast to one slot (no encoder states)."""
+    is the latent itself broadcast to one slot (no encoder states).  The
+    number of emitted steps is `n_steps`, defaulting to the sequence length
+    fixed at construction (`decode_steps`) — flax modules are frozen, so
+    this cannot be a mutable attribute (ADVICE r1)."""
     B = z.shape[0]
     states = jnp.zeros((B, 1, self.hidden), jnp.float32)
-    T = getattr(self, "_decode_steps", 1)
+    T = int(n_steps) if n_steps is not None else self.decode_steps
     x_prev = jnp.zeros((B, T) + tuple(self.obs_event), jnp.float32)
     h0 = jnp.zeros((B, self.hidden), jnp.float32)
     _, (px, _, _) = self.dec(h0, x_prev, states, z)
@@ -454,9 +473,15 @@ class SequentialAttentionVAE(VariationalAutoencoder):
 
   def __init__(self, rnn_units: int = 64, attn_beta: float = 0.1,
                latents: Any = None, observation: Any = None,
-               input_shape: Optional[Tuple[int, ...]] = None, **kwargs):
+               input_shape: Optional[Tuple[int, ...]] = None,
+               attn_score: str = "dot", attn_position: str = "global",
+               attn_align: str = "soft", attn_window: int = 8, **kwargs):
     self.rnn_units = int(rnn_units)
     self.attn_beta = float(attn_beta)
+    self.attn_score = str(attn_score)
+    self.attn_position = str(attn_position)
+    self.attn_align = str(attn_align)
+    self.attn_window = int(attn_window)
     if latents is None:
       latents = RVconf(16, "mvndiag", projection=True, name="latents")
     if observation is None and input_shape is not None:
@@ -471,7 +496,13 @@ class SequentialAttentionVAE(VariationalAutoencoder):
                      hidden=self.rnn_units,
                      obs_event=tuple(self.observation_head.event_shape),
                      obs_posterior=self.observation_head.posterior,
-                     latent_posterior=self.latents_head.posterior)
+                     latent_posterior=self.latents_head.posterior,
+                     decode_steps=(int(self.input_shape[0])
+                                   if self.input_shape else 1),
+                     attn_score=self.attn_score,
+                     attn_position=self.attn_position,
+                     attn_align=self.attn_align,
+                     attn_window=self.attn_window)
 
   def elbo_components(self, params, batch, rng, step, training=False,
                       mutables=None):
