@@ -112,10 +112,22 @@ def data_parallel_jit(fn, mesh: Optional[Mesh] = None, donate_state: bool = True
 
 def initialize_distributed(coordinator_address: Optional[str] = None,
                            num_processes: Optional[int] = None,
-                           process_id: Optional[int] = None) -> int:
-  """Multi-host bring-up: `jax.distributed.initialize` with the standard
-  TPU-pod auto-detection (all args None on Cloud TPU), no-op when the
-  runtime is single-process.
+                           process_id: Optional[int] = None,
+                           auto: Optional[bool] = None) -> int:
+  """Multi-host bring-up: `jax.distributed.initialize`.
+
+  With explicit args, passes them through.  With all args None the behavior
+  depends on `auto`:
+
+  * ``auto=True`` — call ``jax.distributed.initialize()`` and let JAX
+    auto-detect the cluster (Cloud TPU pods, GKE, Slurm...).
+  * ``auto=None`` (default) — auto-initialize only when pod-style cluster
+    env vars are present (``MEGASCALE_COORDINATOR_ADDRESS``,
+    ``JAX_COORDINATOR_ADDRESS``, ``CLOUD_TPU_TASK_ID``, or a Slurm job);
+    otherwise stay single-process.  This keeps laptop/single-chip runs from
+    hanging on a coordinator that will never appear.
+  * ``auto=False`` — never auto-initialize; single-process unless explicit
+    args are given.
 
   This is the odin-tpu replacement for the reference's `MPI` worker pool
   (``odin/utils/mpi.py:386``) at the cluster level: after it returns,
@@ -123,18 +135,24 @@ def initialize_distributed(coordinator_address: Optional[str] = None,
   `P('data', ...)` placements become global arrays fed per-host via
   `host_local_batch`.  Returns the process index.
   """
+  import os
+
   import jax
 
-  if jax.process_count() > 1 or coordinator_address is None:
-    # already initialized, or single-process / auto-detected TPU runtime
+  if jax.process_count() > 1:
+    return jax.process_index()  # already initialized
+  explicit = any(a is not None for a in
+                 (coordinator_address, num_processes, process_id))
+  if auto is None and not explicit:
+    auto = any(os.environ.get(k) for k in
+               ("MEGASCALE_COORDINATOR_ADDRESS", "JAX_COORDINATOR_ADDRESS",
+                "COORDINATOR_ADDRESS", "CLOUD_TPU_TASK_ID", "SLURM_JOB_ID"))
+  if explicit or auto:
     try:
-      if coordinator_address is not None or num_processes is not None:
-        jax.distributed.initialize(coordinator_address, num_processes,
-                                   process_id)
+      jax.distributed.initialize(coordinator_address, num_processes,
+                                 process_id)
     except RuntimeError:
       pass  # double-initialize: keep the existing runtime
-  else:
-    jax.distributed.initialize(coordinator_address, num_processes, process_id)
   return jax.process_index()
 
 

@@ -51,11 +51,21 @@ def shard_params_by_rules(params: Any, mesh: Mesh,
 
 def megatron_rules(axis: str = "model") -> List[Tuple[str, Tuple]]:
   """Column-parallel encoder/up projections, row-parallel decoder/down
-  projections for the framework's Dense kernels."""
+  projections, for both Dense and Conv kernels.
+
+  Dense kernels are (in, out); Conv/ConvTranspose kernels are
+  (kh, kw, in_ch, out_ch).  Encoder side shards the OUTPUT features
+  (column-parallel), decoder side the INPUT features (row-parallel), so each
+  up/down pair costs one psum — GSPMD inserts the collectives from the
+  layouts.  Correctness does not depend on the layout (tested:
+  `test_dp_tp_step_matches_replicated`); the rules only pick the
+  communication pattern."""
   return [
       # latent / head projections: shard the wide output axis
       (r"latents/projection/kernel", (None, axis)),
+      (r"encoder/.*Conv.*/kernel", (None, None, None, axis)),
       (r"encoder/.*Dense.*/kernel", (None, axis)),
-      # decoder first projection consumes the sharded latent axis
+      # decoder consumes sharded features: row-parallel input axis
+      (r"decoder/.*Conv.*/kernel", (None, None, axis, None)),
       (r"decoder/.*Dense.*/kernel", (axis, None)),
   ]

@@ -61,6 +61,110 @@ def test_gmm_sharded_expectation_matches():
   assert abs(llk1 - llk2) < 1e-2
 
 
+_TP_EQUALITY_SCRIPT = """
+import numpy as np
+import jax
+jax.config.update('jax_platforms', 'cpu')
+import jax.numpy as jnp
+
+from odin_tpu import parallel
+from odin_tpu.parallel.tensor_parallel import (megatron_rules,
+                                               shard_params_by_rules)
+from odin_tpu.bay.random_variable import RVconf
+from odin_tpu.bay.vi import BetaVAE
+from odin_tpu.networks.base import (Conv, ConvTranspose, Dense, Flatten,
+                                    Reshape, SequentialNetwork)
+from odin_tpu.networks.image_networks import PackImageParams
+
+
+def make_vae():
+  enc = SequentialNetwork((Conv(8, 3, 1, 'relu'), Conv(8, 3, 2, 'relu'),
+                           Flatten(), Dense(32, None)), name='encoder')
+  dec = SequentialNetwork((Dense(4 * 4 * 8, 'relu'), Reshape((4, 4, 8)),
+                           ConvTranspose(8, 3, 2, 'relu'), Conv(1, 1, 1, None),
+                           PackImageParams(1)), name='decoder')
+  return BetaVAE(encoder=enc, decoder=dec,
+                 latents=RVconf((4,), 'mvndiag', projection=True,
+                                name='latents'),
+                 observation=RVconf((8, 8, 1), 'bernoulli', projection=False,
+                                    name='image'),
+                 input_shape=(8, 8, 1)).build(seed=3)
+
+
+batch = (np.random.RandomState(0).rand(8, 8, 8, 1) < 0.4).astype('f')
+
+# --- run 1: pure DP over 4 devices --------------------------------------
+mesh_dp = parallel.get_mesh(devices=jax.devices()[:4])
+parallel.set_default_mesh(mesh_dp)
+v1 = make_vae()
+s1 = v1.make_step_fn(learning_rate=1e-2)
+st1 = parallel.replicate(v1.state, mesh_dp)
+b1 = parallel.shard_batch(batch, mesh_dp)
+for _ in range(2):
+  st1, m1 = s1(st1, b1)
+p1 = jax.device_get(st1.params)
+loss1 = float(m1['loss'])
+
+# --- run 2: DP x TP on a (2, 2) mesh with megatron conv+dense rules -----
+mesh_tp = parallel.get_mesh(axis_names=('data', 'model'), shape=(2, 2),
+                            devices=jax.devices()[:4])
+parallel.set_default_mesh(mesh_tp)
+v2 = make_vae()
+s2 = v2.make_step_fn(learning_rate=1e-2)
+host = jax.device_get(v2.state)
+params = dict(host.params)
+params['vae'] = shard_params_by_rules(params['vae'], mesh_tp,
+                                      megatron_rules('model'))
+st2 = host.replace(
+    params=params,
+    opt_states=shard_params_by_rules(host.opt_states, mesh_tp,
+                                     megatron_rules('model')),
+    step=jax.device_put(host.step), rng=jax.device_put(host.rng))
+b2 = parallel.shard_batch(batch, mesh_tp)
+for _ in range(2):
+  st2, m2 = s2(st2, b2)
+p2 = jax.device_get(st2.params)
+loss2 = float(m2['loss'])
+
+# at least one 4-D conv kernel actually sharded on the model axis?
+conv_specs = [
+    (jax.tree_util.keystr(p), l.sharding.spec)
+    for p, l in jax.tree_util.tree_flatten_with_path(st2.params['vae'])[0]
+    if l.ndim == 4]
+assert conv_specs and any('model' in str(s) for _, s in conv_specs), \
+    conv_specs
+
+assert np.isfinite(loss1) and np.isfinite(loss2)
+assert abs(loss1 - loss2) < 1e-3 * max(1.0, abs(loss1)), (loss1, loss2)
+flat1 = jax.tree_util.tree_leaves(p1)
+flat2 = jax.tree_util.tree_leaves(p2)
+for a, b in zip(flat1, flat2):
+  np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=2e-4,
+                             atol=2e-5)
+print('TP EQUALITY OK', loss1, loss2)
+"""
+
+
+def test_dp_tp_step_matches_replicated():
+  """A DP x TP (megatron conv+dense rules) train step must produce the SAME
+  params and loss as the DP-replicated step — same seed, same batch
+  (VERDICT r1 #4: TP was layout-only, never checked for correctness).
+
+  Subprocess: two mesh programs in one live pytest process risk the fatal
+  ~40s CPU-collective rendezvous watchdog (CLAUDE.md)."""
+  import os
+  import subprocess
+  import sys
+  env = dict(os.environ, JAX_PLATFORMS="cpu",
+             XLA_FLAGS="--xla_force_host_platform_device_count=4")
+  repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+  proc = subprocess.run([sys.executable, "-c", _TP_EQUALITY_SCRIPT],
+                        cwd=repo, env=env, capture_output=True, text=True,
+                        timeout=1200)
+  assert proc.returncode == 0, (proc.stdout[-500:], proc.stderr[-2000:])
+  assert "TP EQUALITY OK" in proc.stdout
+
+
 def test_device_dataset_training():
   from odin_tpu.bay.vi import BetaVAE
   from odin_tpu.networks import get_networks
