@@ -21,9 +21,11 @@ __all__ = ["MmapDict", "SQLiteDict", "MmapArray", "MmapArrayWriter"]
 
 
 class MmapDict(MutableMapping):
-  """Append-friendly on-disk dict: values pickled into a data file, key ->
-  (offset, length) index saved alongside (reference ``databases.py:232``
-  semantics with a simpler two-file layout)."""
+  """On-disk dict with MEMORY-MAPPED reads: values pickled into a data
+  file, key -> (offset, length) index saved alongside (reference
+  ``databases.py:232``).  Lookups slice an `mmap` of the data file — no
+  seek/read syscalls, and hot values ride the page cache across
+  processes."""
 
   def __init__(self, path: str, read_only: bool = False):
     self.path = path
@@ -35,11 +37,25 @@ class MmapDict(MutableMapping):
         self._index = pickle.load(f)
     mode = "rb" if read_only else ("r+b" if os.path.exists(path) else "w+b")
     self._file = open(path, mode)
+    self._mmap = None
+    self._mmap_size = 0
+
+  def _view(self, off: int, length: int) -> memoryview:
+    import mmap as _mmap
+    end = off + length
+    if self._mmap is None or end > self._mmap_size:
+      if self._mmap is not None:
+        self._mmap.close()
+      self._file.flush()
+      size = os.fstat(self._file.fileno()).st_size
+      self._mmap = _mmap.mmap(self._file.fileno(), size,
+                              access=_mmap.ACCESS_READ)
+      self._mmap_size = size
+    return memoryview(self._mmap)[off:end]
 
   def __getitem__(self, key):
     off, length = self._index[key]
-    self._file.seek(off)
-    return pickle.loads(self._file.read(length))
+    return pickle.loads(self._view(off, length))
 
   def __setitem__(self, key, value):
     if self.read_only:
@@ -67,6 +83,9 @@ class MmapDict(MutableMapping):
 
   def close(self):
     self.flush()
+    if self._mmap is not None:
+      self._mmap.close()
+      self._mmap = None
     self._file.close()
 
   def __enter__(self):

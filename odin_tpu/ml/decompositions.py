@@ -209,7 +209,9 @@ class RandomizedPCA:
     X = np.asarray(X, np.float32) - self.mean_
     out = X @ self.components_.T
     if self.whiten:
-      out = out * np.sqrt(self.n_samples_) / np.maximum(
+      # sklearn parity: whitened = U * sqrt(n-1) (explained_variance_ uses
+      # ddof=1), not sqrt(n) (ADVICE r1)
+      out = out * np.sqrt(max(self.n_samples_ - 1, 1)) / np.maximum(
           self.singular_values_, 1e-12)
     return out
 
@@ -219,5 +221,5 @@ class RandomizedPCA:
   def inverse_transform(self, X):
     X = np.asarray(X, np.float32)
     if self.whiten:
-      X = X * self.singular_values_ / np.sqrt(self.n_samples_)
+      X = X * self.singular_values_ / np.sqrt(max(self.n_samples_ - 1, 1))
     return X @ self.components_ + self.mean_

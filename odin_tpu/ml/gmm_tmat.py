@@ -32,6 +32,12 @@ __all__ = ["GMM", "Tmatrix"]
 EPS = 1e-6
 
 
+# max in-flight E-step chunks on the host-chunked path: deep enough that
+# transfers overlap compute, shallow enough that pending device buffers
+# cannot grow to the corpus size (ADVICE r1)
+_PIPELINE_DEPTH = 8
+
+
 def _chunk(n, size):
   for i in range(0, n, size):
     yield i, min(i + size, n)
@@ -118,22 +124,33 @@ class GMM:
     F = np.zeros((M, D), np.float64)
     S = np.zeros((M, D), np.float64)
     llk = 0.0
-    # dispatch ALL chunks before pulling any result: each host sync costs a
-    # full round trip on a remote-attached chip (measured: 10 chunks synced
-    # eagerly ran at 69k frames/s; deferred, the transfers pipeline with
-    # compute).  Host accumulation stays float64 (T-matrix precision).
+    # Dispatch chunks ahead of the host sync so transfers pipeline with
+    # compute (measured: 10 chunks synced eagerly ran at 69k frames/s;
+    # deferred, 156k), but bound the in-flight depth: on the host-chunked
+    # path (large corpora that fit() does NOT park in HBM) every pending
+    # chunk holds a device buffer, and an unbounded queue can accumulate the
+    # whole corpus in HBM.  Host accumulation stays float64 (T-matrix
+    # precision).
     on_device = isinstance(X, jax.Array)
     pending = []
+
+    def _drain_oldest():
+      nonlocal Z, F, S, llk
+      z, f, s, l = pending.pop(0)
+      Z += np.asarray(z, np.float64)
+      F += np.asarray(f, np.float64)
+      S += np.asarray(s, np.float64)
+      llk += float(l)
+
     for i, j in _chunk(len(X), self.batch_size):
       # device-resident corpora slice in HBM — no host round trip per chunk
       x = X[i:j].astype(jnp.float32) if on_device else \
           jnp.asarray(np.asarray(X[i:j]), jnp.float32)
       pending.append(self._estep_fn(x, mu, sigma, logw))
-    for z, f, s, l in pending:
-      Z += np.asarray(z, np.float64)
-      F += np.asarray(f, np.float64)
-      S += np.asarray(s, np.float64)
-      llk += float(l)
+      if not on_device and len(pending) >= _PIPELINE_DEPTH:
+        _drain_oldest()
+    while pending:
+      _drain_oldest()
     return Z, F, S, llk
 
   def expectation_sharded(self, X: np.ndarray,
@@ -449,16 +466,25 @@ class Tmatrix:
     LU = np.zeros((M, self.tv_dim, self.tv_dim), np.float64)
     RU = np.zeros((self.tv_dim, MD), np.float64)
     llk = 0.0
-    # async-dispatch all chunks before any host pull (see GMM.expectation)
+    # async-dispatch chunks ahead of the host pull, bounded in-flight depth
+    # (see GMM.expectation)
     pending = []
+
+    def _drain_oldest():
+      nonlocal LU, RU, llk
+      lu, ru, l, _ = pending.pop(0)
+      LU += np.asarray(lu, np.float64)
+      RU += np.asarray(ru, np.float64)
+      llk += float(l)
+
     for i, j in _chunk(len(Z), self.batch_size):
       pending.append(self._fns["estep"](
           jnp.asarray(Z[i:j], jnp.float32), jnp.asarray(F[i:j], jnp.float32),
           T, sigma_inv))
-    for lu, ru, l, _ in pending:
-      LU += np.asarray(lu, np.float64)
-      RU += np.asarray(ru, np.float64)
-      llk += float(l)
+      if len(pending) >= _PIPELINE_DEPTH:
+        _drain_oldest()
+    while pending:
+      _drain_oldest()
     return LU, RU, llk
 
   def maximization(self, LU: np.ndarray, RU: np.ndarray,
