@@ -1,13 +1,21 @@
 """Benchmark: beta-VAE train steps/sec/chip on the dSprites conv architecture.
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", "mfu", ...}.
 
 Baseline (recorded 2026-08-16, see BASELINE.md): the same jitted training
 step on the host CPU of this machine (1 core) runs at 0.135 steps/sec with
 batch 64 — the stand-in for the reference's CPU throughput since the
 reference publishes no numbers (SURVEY.md §6).
+
+MFU is estimated from XLA's compiled cost analysis (model flops per fused
+call / wall time) against the TPU v5e bf16 peak (197 TFLOP/s/chip,
+jax-ml.github.io/scaling-book).  The batch-64 headline config is
+dispatch/VPU-bound by design (tiny model); set ODIN_BENCH_MXU=1 to also run
+the MXU-bound config (batch 256, device-resident corpus, bf16 matmul
+precision) whose numbers are recorded in BASELINE.md.
 """
 import json
+import os
 import time
 
 import numpy as np
@@ -19,44 +27,113 @@ SCAN_STEPS = 500  # optimizer updates fused per device call (lax.scan);
 # nearly all the fusion gain at half the compile time of 1000
 WARMUP = 1
 CALLS = 3
+PEAK_FLOPS_PER_CHIP = 1.97e14  # TPU v5e bf16 peak
 
 
-def main():
+def _cost_flops(compiled) -> float:
+  try:
+    cost = compiled.cost_analysis()
+    if isinstance(cost, (list, tuple)):
+      cost = cost[0]
+    return float(cost.get("flops", 0.0))
+  except Exception:
+    return 0.0
+
+
+def run_scan_config(vae_factory, batch: int, scan_steps: int, calls: int):
+  """Throughput of `scan_steps`-fused updates on host-provided batches."""
+  import jax
+  from jax.sharding import NamedSharding, PartitionSpec as P
+
+  from odin_tpu import parallel
+  from odin_tpu.training.core import scan_steps as make_scan
+
+  vae = vae_factory()
+  step = vae.make_step_fn(learning_rate=1e-3, jit=False)
+  fused = jax.jit(make_scan(step, scan_steps), donate_argnums=(0,))
+  state = parallel.replicate(vae.state)
+  X = (np.random.RandomState(0).rand(scan_steps, batch, 64, 64, 1)
+       < 0.5).astype("f")
+  mesh = parallel.default_mesh()
+  batches = jax.device_put(
+      X, NamedSharding(mesh, P(None, "data", None, None, None)))
+  lowered = fused.lower(state, batches)
+  compiled = lowered.compile()
+  flops_per_call = _cost_flops(compiled)
+  for _ in range(WARMUP):
+    state, m = compiled(state, batches)
+  jax.block_until_ready(m)
+  t0 = time.time()
+  for _ in range(calls):
+    state, m = compiled(state, batches)
+  jax.block_until_ready(m)
+  dt = time.time() - t0
+  steps_per_sec = calls * scan_steps / dt
+  n_chips = len(jax.devices())
+  mfu = (flops_per_call * calls / dt) / (n_chips * PEAK_FLOPS_PER_CHIP) \
+      if flops_per_call else None
+  return steps_per_sec / max(n_chips, 1), mfu
+
+
+def run_mxu_config(vae_factory, batch: int = 256, n_images: int = 16384,
+                   scan_steps: int = 200, calls: int = 3):
+  """MXU-bound config: device-resident corpus, on-device batch sampling,
+  bf16 matmul precision (the fit_device_dataset path)."""
   import jax
 
   from odin_tpu import parallel
+  from odin_tpu.training.core import device_dataset_steps
+
+  with jax.default_matmul_precision("bfloat16"):
+    vae = vae_factory()
+    raw = vae.make_step_fn(learning_rate=1e-3, jit=False)
+    data = jax.device_put(
+        (np.random.RandomState(1).rand(n_images, 64, 64, 1) < 0.5)
+        .astype("f"))
+    state = parallel.replicate(vae.state)
+    fused = jax.jit(device_dataset_steps(raw, batch, scan_steps, seed=0),
+                    donate_argnums=(0,))
+    lowered = fused.lower(state, data)
+    compiled = lowered.compile()
+    flops_per_call = _cost_flops(compiled)
+    state, m = compiled(state, data)
+    jax.block_until_ready(m)
+    t0 = time.time()
+    for _ in range(calls):
+      state, m = compiled(state, data)
+    jax.block_until_ready(m)
+    dt = time.time() - t0
+  steps_per_sec = calls * scan_steps / dt
+  n_chips = len(jax.devices())
+  mfu = (flops_per_call * calls / dt) / (n_chips * PEAK_FLOPS_PER_CHIP) \
+      if flops_per_call else None
+  return steps_per_sec / max(n_chips, 1), mfu
+
+
+def main():
   from odin_tpu.bay.vi import BetaVAE
   from odin_tpu.networks import get_networks
-  from odin_tpu.training.core import scan_steps
 
-  vae = BetaVAE(beta=1.0, **get_networks("dsprites", zdim=10)).build(seed=1)
-  step = vae.make_step_fn(learning_rate=1e-3, jit=False)
-  fused = jax.jit(scan_steps(step, SCAN_STEPS), donate_argnums=(0,))
-  state = parallel.replicate(vae.state)
-  from jax.sharding import NamedSharding, PartitionSpec as P
-  X = (np.random.RandomState(0).rand(SCAN_STEPS, BATCH, 64, 64, 1)
-       < 0.5).astype("f")
-  mesh = parallel.default_mesh()
-  # scan axis replicated, batch axis sharded over 'data'
-  batches = jax.device_put(
-      X, NamedSharding(mesh, P(None, "data", None, None, None)))
-  for _ in range(WARMUP):
-    state, m = fused(state, batches)
-  jax.block_until_ready(m)
-  t0 = time.time()
-  for _ in range(CALLS):
-    state, m = fused(state, batches)
-  jax.block_until_ready(m)
-  dt = time.time() - t0
-  value = CALLS * SCAN_STEPS / dt
-  n_chips = len(jax.devices())
-  per_chip = value / max(n_chips, 1)
-  print(json.dumps({
+  def factory():
+    return BetaVAE(beta=1.0,
+                   **get_networks("dsprites", zdim=10)).build(seed=1)
+
+  per_chip, mfu = run_scan_config(factory, BATCH, SCAN_STEPS, CALLS)
+  out = {
       "metric": "betavae_dsprites_train_steps_per_sec_per_chip",
       "value": round(per_chip, 3),
       "unit": "steps/sec/chip (batch 64)",
       "vs_baseline": round(per_chip / CPU_BASELINE_STEPS_PER_SEC, 2),
-  }))
+  }
+  if mfu is not None:
+    out["mfu_bf16_peak"] = round(mfu, 4)
+  if os.environ.get("ODIN_BENCH_MXU"):
+    mxu_steps, mxu_mfu = run_mxu_config(factory)
+    out["mxu_config"] = {
+        "batch": 256, "steps_per_sec_per_chip": round(mxu_steps, 2),
+        "mfu_bf16_peak": round(mxu_mfu, 4) if mxu_mfu else None,
+    }
+  print(json.dumps(out))
 
 
 if __name__ == "__main__":

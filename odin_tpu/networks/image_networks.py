@@ -160,41 +160,66 @@ def cifar_networks(
     is_hierarchical: bool = False,
     centerize_image: bool = True,
     skip_generator: bool = False,
+    resnet: bool = False,
     **kwargs,
 ) -> Dict[str, Any]:
-  """Networks for 32x32x3 images (reference ``image_networks.py:303-416``)."""
+  """Networks for 32x32x3 images (reference ``image_networks.py:303-416``).
+
+  ``resnet=True`` swaps the plain conv stacks for squeeze-excitation
+  residual blocks (down-sampling encoder / up-sampling decoder — reference
+  ``resnets.py:36-718`` used on CIFAR)."""
   n_channels = int(kwargs.get("n_channels", 3))
   input_shape = (32, 32, n_channels)
   zdim = 256 if zdim is None else int(zdim)
   proj_dim = 8 * 8 * 8
   n_params, observation = _obs_distribution(
       input_shape, kwargs.get("distribution", "qlogistic"))
-  encoder = SequentialNetwork((
-      CenterAt0(enable=centerize_image),
-      Conv(32, 4, 1, activation),   # 32, 32, 32
-      Conv(32, 4, 2, activation),   # 16, 16, 32
-      Conv(64, 4, 1, activation),   # 16, 16, 64
-      Conv(64, 4, 2, activation),   # 8, 8, 64
-      Flatten(),
-      Dense(proj_dim, activation=None),
-  ), name="encoder")
-  decoder = _decoder_network((
-      Dense(proj_dim, activation=None),
-      Reshape((8, 8, proj_dim // 64)),
-      ConvTranspose(64, 4, 2, activation),  # 16, 16, 64
-      Conv(64, 4, 1, activation),           # 16, 16, 64
-      ConvTranspose(32, 4, 2, activation),  # 32, 32, 32
-      Conv(32, 4, 1, activation),           # 32, 32, 32
-      Conv(n_channels * n_params, 1, 1, None),
-      PackImageParams(n_params),
-  ), skip_generator)
+  if resnet:
+    from odin_tpu.networks.resnets import ResidualSequential
+    encoder = SequentialNetwork((
+        CenterAt0(enable=centerize_image),
+        ResidualSequential(filters=(32, 32, 64, 64), strides=(1, 2, 1, 2),
+                           activation=activation, use_se=True),  # 8, 8, 64
+        Flatten(),
+        Dense(proj_dim, activation=None),
+    ), name="encoder")
+    decoder = _decoder_network((
+        Dense(proj_dim, activation=None),
+        Reshape((8, 8, proj_dim // 64)),
+        ResidualSequential(filters=(64, 64, 32, 32), strides=(-2, 1, -2, 1),
+                           activation=activation, use_se=True),  # 32, 32, 32
+        Conv(n_channels * n_params, 1, 1, None),
+        PackImageParams(n_params),
+    ), skip_generator)
+  else:
+    encoder = SequentialNetwork((
+        CenterAt0(enable=centerize_image),
+        Conv(32, 4, 1, activation),   # 32, 32, 32
+        Conv(32, 4, 2, activation),   # 16, 16, 32
+        Conv(64, 4, 1, activation),   # 16, 16, 64
+        Conv(64, 4, 2, activation),   # 8, 8, 64
+        Flatten(),
+        Dense(proj_dim, activation=None),
+    ), name="encoder")
+    decoder = _decoder_network((
+        Dense(proj_dim, activation=None),
+        Reshape((8, 8, proj_dim // 64)),
+        ConvTranspose(64, 4, 2, activation),  # 16, 16, 64
+        Conv(64, 4, 1, activation),           # 16, 16, 64
+        ConvTranspose(32, 4, 2, activation),  # 32, 32, 32
+        Conv(32, 4, 1, activation),           # 32, 32, 32
+        Conv(n_channels * n_params, 1, 1, None),
+        PackImageParams(n_params),
+    ), skip_generator)
   networks = dict(
       encoder=encoder,
       decoder=decoder,
       latents=RVconf((zdim,), qz, projection=True, name="latents"),
       observation=observation,
       input_shape=input_shape,
-      hierarchy=(
+      # ladder hook indices match the plain conv stack; the resnet stack has
+      # no per-resolution layer boundaries to hook
+      hierarchy=() if resnet else (
           dict(decoder_layer=3, encoder_layer=3, channels=64, filters=32,
                kernel_size=8, strides=4),
           dict(decoder_layer=5, encoder_layer=1, channels=32, filters=16,

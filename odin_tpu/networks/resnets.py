@@ -14,8 +14,9 @@ import numpy as np
 
 from odin_tpu.networks.base import get_activation
 
-__all__ = ["SqueezeExcitation", "ResidualBlock", "ResidualSequential",
-           "MaskedConv2D", "DownSample", "UpSample", "PixelCNNDecoder"]
+__all__ = ["SqueezeExcitation", "ResidualBlock", "ResidualUpBlock",
+           "ResidualSequential", "MaskedConv2D", "DownSample", "UpSample",
+           "PixelCNNDecoder"]
 
 
 class SqueezeExcitation(nn.Module):
@@ -62,8 +63,41 @@ class ResidualBlock(nn.Module):
     return act(x + h)
 
 
+class ResidualUpBlock(nn.Module):
+  """Up-sampling residual block (reference resnets.py up-sampling
+  variants): transposed-conv main path + transposed 1x1 shortcut, optional
+  SE gating."""
+
+  filters: int
+  kernel_size: int = 3
+  strides: int = 2
+  activation: str = "relu"
+  use_se: bool = False
+  batchnorm: bool = False
+
+  @nn.compact
+  def __call__(self, x, training: bool = False):
+    act = get_activation(self.activation)
+    k = (self.kernel_size, self.kernel_size)
+    s = (self.strides, self.strides)
+    h = nn.ConvTranspose(self.filters, k, strides=s, padding="SAME")(x)
+    if self.batchnorm:
+      h = nn.BatchNorm(use_running_average=not training)(h)
+    h = act(h)
+    h = nn.Conv(self.filters, k, padding="SAME")(h)
+    if self.batchnorm:
+      h = nn.BatchNorm(use_running_average=not training)(h)
+    if self.use_se:
+      h = SqueezeExcitation()(h, training=training)
+    if x.shape[-1] != self.filters or self.strides != 1:
+      x = nn.ConvTranspose(self.filters, (1, 1), strides=s,
+                           padding="SAME")(x)
+    return act(x + h)
+
+
 class ResidualSequential(nn.Module):
-  """Stack of residual blocks (reference `ResidualSequential`)."""
+  """Stack of residual blocks (reference `ResidualSequential`); negative
+  strides select up-sampling blocks (-2 -> ResidualUpBlock(strides=2))."""
 
   filters: Sequence[int] = (64, 64)
   kernel_size: int = 3
@@ -75,8 +109,13 @@ class ResidualSequential(nn.Module):
   def __call__(self, x, training: bool = False):
     strides = self.strides or [1] * len(self.filters)
     for f, s in zip(self.filters, strides):
-      x = ResidualBlock(int(f), self.kernel_size, int(s), self.activation,
-                        self.use_se)(x, training=training)
+      if int(s) < 0:
+        x = ResidualUpBlock(int(f), self.kernel_size, -int(s),
+                            self.activation, self.use_se)(x,
+                                                          training=training)
+      else:
+        x = ResidualBlock(int(f), self.kernel_size, int(s), self.activation,
+                          self.use_se)(x, training=training)
     return x
 
 

@@ -22,7 +22,8 @@ from odin_tpu.preprocessing.base import Extractor, ExtractorSignal
 from odin_tpu.utils import as_tuple
 
 __all__ = [
-    "read_wave", "AudioReader", "Dithering", "PreEmphasis", "Framing",
+    "read_wave", "read_sphere", "read_pcm", "read",
+    "AudioReader", "Dithering", "PreEmphasis", "Framing",
     "CalculateEnergy", "STFTExtractor", "PowerSpecExtractor",
     "MelsSpecExtractor", "MFCCsExtractor", "SpectraExtractor", "Power2Db",
     "SADthreshold", "SADgmm", "RASTAfilter", "AcousticNorm", "Read3ColSAD",
@@ -55,9 +56,104 @@ def read_wave(path_or_bytes) -> Tuple[np.ndarray, int]:
   return y, sr
 
 
+def _ulaw_expand(u: np.ndarray) -> np.ndarray:
+  """ITU-T G.711 mu-law expansion (uint8 codewords -> float in [-1, 1))."""
+  u = (~u.astype(np.uint8)).astype(np.int32)
+  sign = u & 0x80
+  exponent = (u >> 4) & 0x07
+  mantissa = u & 0x0F
+  magnitude = ((mantissa << 3) + 0x84) << exponent
+  magnitude -= 0x84
+  pcm = np.where(sign, -magnitude, magnitude).astype(np.int16)
+  return pcm.astype(np.float32) / 32768.0
+
+
+def read_pcm(path_or_bytes, encode: Optional[str] = None
+             ) -> Tuple[np.ndarray, Optional[int]]:
+  """Headerless PCM (reference `_read_pcm`, ``speech.py:113-124``):
+  int16 by default; `encode` 'ulaw' -> 8-bit mu-law at 8 kHz, 'vast' ->
+  int16 at 44 kHz."""
+  raw = (np.frombuffer(path_or_bytes, np.uint8)
+         if isinstance(path_or_bytes, bytes)
+         else np.fromfile(path_or_bytes, np.uint8))
+  sr = None
+  if encode is not None and "ulaw" in encode.lower():
+    return _ulaw_expand(raw), 8000
+  if encode is not None and "vast" in encode.lower():
+    sr = 44000
+  y = raw[: len(raw) // 2 * 2].view(np.int16).astype(np.float32) / 32768.0
+  return y, sr
+
+
+def read_sphere(path_or_bytes) -> Tuple[np.ndarray, int]:
+  """NIST SPHERE (.sph) reader: parses the 1024-byte ASCII header
+  (sample_rate / channel_count / sample_n_bytes / sample_byte_format /
+  sample_coding) and decodes pcm or mu-law payloads.  The reference memmaps
+  sphere files headers-and-all through `_read_pcm` (``speech.py:148-160``);
+  this is the corrected, self-contained decode (shorten-compressed payloads
+  are rejected explicitly)."""
+  data = (path_or_bytes if isinstance(path_or_bytes, bytes)
+          else open(path_or_bytes, "rb").read())
+  if not data.startswith(b"NIST_1A"):
+    raise ValueError("not a NIST SPHERE file")
+  header_size = int(data[8:16].split()[0])
+  header = data[:header_size].decode("ascii", errors="replace")
+  fields = {}
+  for line in header.splitlines()[2:]:
+    line = line.strip()
+    if line == "end_head" or not line:
+      break
+    parts = line.split(None, 2)
+    if len(parts) == 3:
+      name, ftype, value = parts
+      fields[name] = int(value) if ftype.startswith("-i") else value
+  sr = int(fields.get("sample_rate", 8000))
+  channels = int(fields.get("channel_count", 1))
+  n_bytes = int(fields.get("sample_n_bytes", 2))
+  coding = str(fields.get("sample_coding", "pcm")).lower()
+  byte_format = str(fields.get("sample_byte_format", "01"))
+  if "shorten" in coding or "embedded" in coding:
+    raise ValueError(f"shorten-compressed sphere not supported: {coding}")
+  payload = np.frombuffer(data, np.uint8, offset=header_size)
+  if "ulaw" in coding or n_bytes == 1:
+    y = _ulaw_expand(payload)
+  else:
+    y = payload[: len(payload) // 2 * 2].view(np.int16)
+    if byte_format == "10":  # big-endian payload
+      y = y.byteswap()
+    y = y.astype(np.float32) / 32768.0
+  if channels > 1:
+    y = y[: len(y) // channels * channels].reshape(-1, channels)
+  return y, sr
+
+
+def read(path_or_file, encode: Optional[str] = None
+         ) -> Tuple[np.ndarray, Optional[int]]:
+  """Format-dispatching audio read (reference `read`,
+  ``speech.py:127-170``): .wav -> RIFF, .sph -> NIST SPHERE,
+  .pcm/.raw -> headerless PCM."""
+  path = path_or_file if isinstance(path_or_file, str) else \
+      getattr(path_or_file, "name", "")
+  low = path.lower()
+  if low.endswith(".pcm") or low.endswith(".raw"):
+    return read_pcm(path_or_file, encode=encode)
+  if low.endswith(".sph"):
+    return read_sphere(path_or_file)
+  if low.endswith(".wav") or not low:
+    return read_wave(path_or_file)
+  # sniff the magic bytes as a fallback
+  with open(path, "rb") as f:
+    magic = f.read(8)
+  if magic.startswith(b"NIST_1A"):
+    return read_sphere(path)
+  if magic.startswith(b"RIFF"):
+    return read_wave(path)
+  return read_pcm(path, encode=encode)
+
+
 class AudioReader(Extractor):
-  """Load audio: wav path / (array, sr) tuple / dict; resample + remove DC
-  (reference :345)."""
+  """Load audio: wav/sph/pcm path / (array, sr) tuple / dict; resample +
+  remove DC (reference :345)."""
 
   def __init__(self, sr: Optional[int] = None, sr_new: Optional[int] = None,
                remove_dc: bool = True, dtype="float32"):
@@ -77,7 +173,12 @@ class AudioReader(Extractor):
       X = X.get("path", X.get("raw"))
     if isinstance(X, str):
       name = name or os.path.basename(X)
-      y, sr = read_wave(X)
+      y, sr_file = read(X)
+      sr = sr_file if sr_file is not None else sr
+      if sr is None:
+        raise ExtractorSignal(
+            f"sample rate unknown for headerless file {X}", action="error",
+            extractor=self)
     elif isinstance(X, (tuple, list)) and len(X) == 2:
       y, sr = np.asarray(X[0]), int(X[1])
     else:

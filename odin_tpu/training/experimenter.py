@@ -90,6 +90,19 @@ def _parse_cli(argv: Sequence[str]):
   return overrides, flags
 
 
+def _run_one(task_fn: Callable, base: Dict[str, Any], output_dir: str,
+             reset: bool, ov: Dict[str, Any]):
+  """Execute one sweep point in its own hashed output dir."""
+  cfg = copy.deepcopy(base)
+  cfg.update(ov)
+  out_dir = get_output_dir(output_dir, ov)
+  if reset and os.path.exists(out_dir):
+    shutil.rmtree(out_dir)
+  os.makedirs(out_dir, exist_ok=True)
+  cfg["output_dir"] = out_dir
+  return task_fn(_Namespace(cfg))
+
+
 def run_hydra(output_dir: str = "./results",
               config: Union[str, dict, None] = None,
               exclude_keys: Sequence[str] = ()):
@@ -117,17 +130,21 @@ def run_hydra(output_dir: str = "./results",
           d = dict(overrides)
           d.update(dict(zip(sweep_keys, combo)))
           combos.append(d)
-      results = []
-      for ov in combos:
-        cfg = copy.deepcopy(base)
-        cfg.update(ov)
-        out_dir = get_output_dir(output_dir, ov)
-        if flags["reset"] and os.path.exists(out_dir):
-          shutil.rmtree(out_dir)
-        os.makedirs(out_dir, exist_ok=True)
-        cfg["output_dir"] = out_dir
-        ns = _Namespace(cfg)
-        results.append(task_fn(ns))
+      n_jobs = max(1, int(flags["jobs"]))
+      if n_jobs > 1 and len(combos) > 1:
+        # reference `-j N` multirun (``experimenter.py:245-446``): run the
+        # sweep in a process pool.  Forked workers inherit the interpreter
+        # state — initialize JAX inside task_fn, not before the sweep.
+        import functools
+        import multiprocessing as mp
+        ctx = mp.get_context("fork")
+        with ctx.Pool(min(n_jobs, len(combos))) as pool:
+          results = pool.map(
+              functools.partial(_run_one, task_fn, base, output_dir,
+                                flags["reset"]), combos)
+      else:
+        results = [_run_one(task_fn, base, output_dir, flags["reset"], ov)
+                   for ov in combos]
       return results[0] if len(results) == 1 else results
 
     wrapped.__name__ = task_fn.__name__

@@ -16,6 +16,8 @@ __all__ = [
     "plot_images", "plot_spectrogram", "plot_heatmap", "plot_det_curve",
     "plot_scatter", "plot_histogram", "plot_save", "print_dist",
     "print_confusion", "print_hist", "Visualizer", "to_axis",
+    "plot_series", "plot_confusion_matrix", "plot_comparison_series",
+    "plot_animation",
 ]
 
 _FIGURES: List = []
@@ -96,6 +98,123 @@ def plot_heatmap(mat: np.ndarray, row_labels=None, col_labels=None, ax=None,
     ax.set_title(title)
   _FIGURES.append(ax.figure)
   return ax
+
+
+def plot_series(series: Union[np.ndarray, Dict[str, np.ndarray]],
+                ax=None, smooth: float = 0.0, show_band: bool = True,
+                title: Optional[str] = None, xlabel: Optional[str] = None,
+                ylabel: Optional[str] = None):
+  """Statistical line plot (reference `plot_series`, ``figures.py``).
+
+  Accepts a 1-D series, a (T, K) matrix (mean line + min/max band over K
+  runs), or a dict name -> series.  `smooth` in (0, 1) applies EMA
+  smoothing with the raw trace ghosted behind (the reference's
+  learning-curve style, ``trainer.py:766-844``)."""
+  ax = to_axis(ax)
+
+  def _ema(x, a):
+    out = np.empty_like(x, dtype=np.float64)
+    acc = x[0]
+    for i, v in enumerate(x):
+      acc = a * acc + (1 - a) * v
+      out[i] = acc
+    return out
+
+  items = series.items() if isinstance(series, dict) else [(None, series)]
+  for name, y in items:
+    y = np.asarray(y, np.float64)
+    t = np.arange(y.shape[0])
+    if y.ndim == 2:
+      mean = y.mean(axis=1)
+      if show_band:
+        ax.fill_between(t, y.min(axis=1), y.max(axis=1), alpha=0.2)
+      y = mean
+    if smooth > 0:
+      (line,) = ax.plot(t, y, alpha=0.25)
+      ax.plot(t, _ema(y, smooth), color=line.get_color(), label=name)
+    else:
+      ax.plot(t, y, label=name)
+  if isinstance(series, dict):
+    ax.legend(fontsize=8)
+  if title:
+    ax.set_title(title)
+  if xlabel:
+    ax.set_xlabel(xlabel)
+  if ylabel:
+    ax.set_ylabel(ylabel)
+  _FIGURES.append(ax.figure)
+  return ax
+
+
+def plot_comparison_series(runs: Dict[str, Sequence[float]], ax=None,
+                           baseline: Optional[str] = None, **kwargs):
+  """Multiple named series with an optional dashed baseline run
+  (reference multi-run comparison panels)."""
+  ax = to_axis(ax)
+  for name, y in runs.items():
+    style = "--" if name == baseline else "-"
+    ax.plot(np.arange(len(y)), np.asarray(y, np.float64), style, label=name)
+  ax.legend(fontsize=8)
+  for k, v in kwargs.items():
+    getattr(ax, f"set_{k}")(v)
+  _FIGURES.append(ax.figure)
+  return ax
+
+
+def plot_confusion_matrix(cm: np.ndarray, labels: Optional[Sequence] = None,
+                          ax=None, normalize: bool = True,
+                          title: Optional[str] = None):
+  """Graphical annotated confusion matrix (reference
+  `plot_confusion_matrix`, ``figures.py``)."""
+  ax = to_axis(ax)
+  cm = np.asarray(cm, np.float64)
+  shown = cm / np.maximum(cm.sum(axis=1, keepdims=True), 1e-12) \
+      if normalize else cm
+  im = ax.imshow(shown, cmap="Blues", vmin=0.0,
+                 vmax=shown.max() if not normalize else 1.0)
+  n = cm.shape[0]
+  labels = labels if labels is not None else [str(i) for i in range(n)]
+  ax.set_xticks(range(n))
+  ax.set_xticklabels(labels, rotation=45, ha="right")
+  ax.set_yticks(range(n))
+  ax.set_yticklabels(labels)
+  thresh = shown.max() / 2.0
+  for i in range(n):
+    for j in range(cm.shape[1]):
+      txt = f"{shown[i, j]:.2f}" if normalize else f"{cm[i, j]:.0f}"
+      ax.text(j, i, txt, ha="center", va="center", fontsize=7,
+              color="white" if shown[i, j] > thresh else "black")
+  ax.set_ylabel("true")
+  ax.set_xlabel("predicted")
+  ax.figure.colorbar(im, ax=ax)
+  if title:
+    ax.set_title(title)
+  _FIGURES.append(ax.figure)
+  return ax
+
+
+def plot_animation(frames: np.ndarray, path: str, fps: int = 8):
+  """Save an image sequence (N, H, W[, C]) as an animated GIF (reference
+  animation helpers, ``figures.py``).  Uses matplotlib's Pillow writer —
+  no ffmpeg dependency."""
+  plt = _plt()
+  from matplotlib import animation as _anim
+  frames = np.asarray(frames)
+  if frames.ndim == 3:
+    frames = frames[..., None]
+  fig, ax = plt.subplots(figsize=(3, 3))
+  ax.axis("off")
+  im = ax.imshow(frames[0].squeeze(),
+                 cmap="gray" if frames.shape[-1] == 1 else None)
+
+  def _update(i):
+    im.set_data(frames[i].squeeze())
+    return (im,)
+
+  ani = _anim.FuncAnimation(fig, _update, frames=len(frames), blit=True)
+  ani.save(path, writer=_anim.PillowWriter(fps=fps))
+  plt.close(fig)
+  return path
 
 
 def plot_det_curve(Pfa: np.ndarray, Pmiss: np.ndarray, ax=None, label=None):
