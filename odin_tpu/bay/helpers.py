@@ -35,8 +35,9 @@ def kl_divergence(q: Distribution,
       MC samples to draw (requires `seed`).
     reverse: if True computes KL(q||p) (the standard ELBO direction, matching
       the reference default); if False computes KL(p||q).
-    free_bits: clamp each KL element to at least this value
-      (``max(kl, free_bits)``, reference ``helpers.py:238-260``).
+    free_bits: clamp the KL to at least ``free_bits * n_event_units``
+      (reference ``helpers.py:279-281``: ``maximum(kl, free_bits *
+      prod(q.event_shape))`` — the Kingma et al. 2016 per-unit budget).
   """
   a, b = (q, p) if reverse else (p, q)
   kl = None
@@ -57,7 +58,10 @@ def kl_divergence(q: Distribution,
         if samples.ndim > len(a.batch_shape) + len(a.event_shape) \
         else a.log_prob(samples) - b.log_prob(samples)
   if free_bits is not None:
-    kl = jnp.maximum(kl, jnp.asarray(free_bits, kl.dtype))
+    units = 1.0
+    for d in a.event_shape:
+      units *= float(d)
+    kl = jnp.maximum(kl, jnp.asarray(free_bits * units, kl.dtype))
   return kl
 
 

