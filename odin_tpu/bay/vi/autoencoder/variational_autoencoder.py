@@ -250,33 +250,35 @@ class VariationalAutoencoder(VariationalModel):
     distributions are pytrees, so they cross the jit boundary intact; on a
     remote-attached chip the op-by-op path costs one round trip per op."""
     params = params or self._params_of()
+    mut = self.state.mutables if self.state else {}
     if jit and not training:
       if not hasattr(self, "_encode_jit"):
         self._encode_jit = jax.jit(
-            lambda p, x, rng: self._apply(p, "encode", x, rng=rng,
-                                          training=False))
-      return self._encode_jit(params, jnp.asarray(x), jax.random.PRNGKey(seed))
+            lambda p, x, rng, m: self._apply(p, "encode", x, rng=rng,
+                                             training=False, mutables=m))
+      return self._encode_jit(params, jnp.asarray(x),
+                              jax.random.PRNGKey(seed), mut)
     return self._apply(params, "encode", jnp.asarray(x),
                        rng=jax.random.PRNGKey(seed), training=training,
-                       mutables=self.state.mutables if self.state else None)
+                       mutables=mut)
 
   def decode(self, z, params: Optional[Dict] = None, training: bool = False,
              seed: int = 0, jit: bool = True) -> Distribution:
     """z -> px (reference :316-360); flattens MCMC sample dims."""
     params = params or self._params_of()
     z = jnp.asarray(z)
+    mut = self.state.mutables if self.state else {}
     if jit and not training:
       if not hasattr(self, "_decode_jit"):
         self._decode_jit = jax.jit(
-            lambda p, z, rng: self._apply(p, "decode", z, rng=rng,
-                                          training=False))
+            lambda p, z, rng, m: self._apply(p, "decode", z, rng=rng,
+                                             training=False, mutables=m))
       decode_fn = lambda zz: self._decode_jit(params, zz,
-                                              jax.random.PRNGKey(seed))
+                                              jax.random.PRNGKey(seed), mut)
     else:
       decode_fn = lambda zz: self._apply(
           params, "decode", zz, rng=jax.random.PRNGKey(seed),
-          training=training,
-          mutables=self.state.mutables if self.state else None)
+          training=training, mutables=mut)
     extra_dims = z.ndim - 2
     if extra_dims > 0:  # (S..., B, zdim) -> (S*B, zdim)
       lead = z.shape[:-1]
@@ -388,12 +390,24 @@ class VariationalAutoencoder(VariationalModel):
                    clipnorm: Optional[float] = None,
                    global_clipnorm: Optional[float] = None,
                    nan_policy: str = "skip",
+                   train_params: Optional[Sequence[str]] = None,
                    jit: bool = True, **opt_kwargs):
     """Build (and jit) the fused multi-TrainStep update function; also
-    initializes optimizer states on self.state."""
+    initializes optimizer states on self.state.
+
+    `train_params` restricts optimization to the given param paths
+    ('/'-separated into the nested tree, e.g. ``('vae/decoder',)`` trains
+    the decoder with everything else frozen — reference
+    `encoder.trainable = False`, ``betavae_encoder_info_bound.py:130``).
+    Only valid for single-TrainStep models."""
     assert self.state is not None, "call build() first"
     specs = self.optimizer_specs()
     steps = self.train_steps()
+    if train_params is not None:
+      assert len(steps) == 1, \
+          "train_params override requires a single-TrainStep model"
+      import dataclasses as _dc
+      steps = [_dc.replace(steps[0], partitions=tuple(train_params))]
     optimizers = {}
     for ts in steps:
       opt_name = ts.optimizer or ts.partitions[0]
@@ -408,7 +422,8 @@ class VariationalAutoencoder(VariationalModel):
     for ts in steps:
       opt_name = ts.optimizer or ts.partitions[0]
       if opt_name not in opt_states:
-        sub = {k: self.state.params[k] for k in ts.partitions}
+        from odin_tpu.training.core import extract_partitions
+        sub = extract_partitions(self.state.params, ts.partitions)
         opt_states[opt_name] = optimizers[opt_name].init(sub)
     self.state = self.state.replace(opt_states=opt_states)
     fn = build_train_step_fn(steps, optimizers, nan_policy=nan_policy)

@@ -114,6 +114,8 @@ class DisentanglementGym:
     self.groundtruth: Optional[GroundTruth] = None
     self._z_mean = None
     self._z_discrete = None
+    self._llk_total = None
+    self._kl_total = None
 
   # -- data collection --------------------------------------------------------
   def run_model(self, n_samples: int = 1000, partition: str = "test",
@@ -137,16 +139,56 @@ class DisentanglementGym:
     n, bs = len(x), self.batch_size
     n_pad = (-n) % bs
     xp = np.concatenate([x, x[:n_pad]]) if n_pad else x
-    qzs, pxs = [], []
+    import jax as _jax
+    import jax.numpy as _jnp
+    # Per-sample llk/kl totals straight from `elbo_components` — the SAME
+    # objective the model trains on, so gym elbo/llk/kl include every KL
+    # term (ladder rungs, VQ commitment, ...), not just the top latents.
+    # Round-1 bug class: the z-mean MC estimate below silently dropped
+    # hierarchical rung KLs (ladder gym kl 6.2 vs training kl ~70).
+    state = self.model.state
+
+    def _elbo_parts(batch):
+      llk, kl, _ = self.model.elbo_components(
+          state.params, batch, _jax.random.PRNGKey(self.seed), state.step,
+          False, state.mutables)
+
+      def tot(d):
+        out = _jnp.zeros((bs,), _jnp.float32)
+        for v in d.values():
+          v = _jnp.asarray(v, _jnp.float32)
+          if v.ndim > 1:  # average sample dims, keep the trailing batch axis
+            v = v.mean(axis=tuple(range(v.ndim - 1)))
+          out = out + v
+        return out
+
+      return tot(llk), tot(kl)
+
+    elbo_fn = _jax.jit(_elbo_parts)
+    qzs, pxs, llks, kls = [], [], [], []
     for i in range(0, len(xp), bs):
-      qz, px = self.model.reconstruct(xp[i:i + bs], seed=self.seed)
+      batch = xp[i:i + bs]
+      qz, px = self.model.reconstruct(batch, seed=self.seed)
       qzs.append(qz)
       pxs.append(px)
-    import jax as _jax
+      if elbo_fn is not None:
+        try:
+          llk_b, kl_b = elbo_fn(batch)
+          llks.append(np.asarray(llk_b))
+          kls.append(np.asarray(kl_b))
+        except Exception:  # e.g. semi-supervised objective needing labels
+          elbo_fn = None
     trim = (lambda d: _jax.tree_util.tree_map(lambda a: a[:n], d)) \
         if n_pad else (lambda d: d)
-    self.qz = trim(concat_distributions(qzs, axis=0))
-    self.px = trim(concat_distributions(pxs, axis=0))
+    self._llk_total = np.concatenate(llks)[:n] if elbo_fn is not None \
+        and llks else None
+    self._kl_total = np.concatenate(kls)[:n] if elbo_fn is not None \
+        and kls else None
+    # pull to host: metric kernels are NumPy/sklearn, and leaving 10k-sample
+    # distribution pytrees (hierarchical rungs!) device-resident exhausts
+    # HBM before the plotting passes run their own jitted programs
+    self.qz = _jax.device_get(trim(concat_distributions(qzs, axis=0)))
+    self.px = _jax.device_get(trim(concat_distributions(pxs, axis=0)))
     self._z_mean = np.asarray(self.qz.mean())
     self._z_discrete = discretizing(self._z_mean, n_bins=n_bins,
                                     strategy="uniform")
@@ -227,13 +269,21 @@ class DisentanglementGym:
 
   def log_likelihood_values(self) -> np.ndarray:
     self._require_run()
+    if getattr(self, "_llk_total", None) is not None:
+      return self._llk_total
     return np.asarray(self.px.log_prob(self.x_true))
 
   def log_likelihood(self) -> float:
     return float(np.mean(self.log_likelihood_values()))
 
   def kl_divergence_values(self) -> np.ndarray:
+    """Per-sample total KL.  Primary source: the model's own
+    `elbo_components` sums collected in `run_model` (includes ladder-rung /
+    auxiliary terms).  Fallback (objective needs labels): single-point MC
+    estimate log q(z̄) − log p(z̄) on the top latents."""
     self._require_run()
+    if getattr(self, "_kl_total", None) is not None:
+      return self._kl_total
     prior = self.model.latents_prior
     if prior is None:
       return np.zeros(len(self._z_mean))

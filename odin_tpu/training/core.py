@@ -24,7 +24,8 @@ import jax.numpy as jnp
 import optax
 
 __all__ = ["TrainState", "TrainStep", "make_optimizer", "build_train_step_fn",
-           "scan_steps", "device_dataset_steps"]
+           "scan_steps", "device_dataset_steps", "get_param_subtree",
+           "set_param_subtree", "extract_partitions", "merge_partitions"]
 
 
 @flax.struct.dataclass
@@ -51,7 +52,12 @@ class TrainStep:
       mutables))`` pure function; `params` is the FULL params dict (so a
       stage can read frozen partitions), gradients are taken only w.r.t.
       `partitions`.
-    partitions: top-level params keys this step optimizes.
+    partitions: params keys this step optimizes.  Each entry is either a
+      top-level key (``'vae'``) or a '/'-separated path into the nested
+      param tree (``'vae/decoder'``) — the latter freezes every sibling
+      subtree, e.g. a decoder-only finetune with the encoder held fixed
+      (reference `encoder.trainable = False`,
+      ``examples/vae/betavae_encoder_info_bound.py:130-134``).
     optimizer: name of the optimizer (key into the optimizers dict);
       defaults to the first partition name.
   """
@@ -60,6 +66,41 @@ class TrainStep:
   partitions: Tuple[str, ...] = ("params",)
   optimizer: Optional[str] = None
   name: str = "step"
+
+
+def get_param_subtree(params, path: str):
+  """Walk a '/'-separated path into a nested params dict."""
+  node = params
+  for k in str(path).split("/"):
+    node = node[k]
+  return node
+
+
+def set_param_subtree(params, path: str, value):
+  """Functionally replace the subtree at `path`, re-building only the
+  dicts along the way (no mutation of the input tree)."""
+  keys = str(path).split("/")
+
+  def rec(node, i):
+    if i == len(keys):
+      return value
+    out = dict(node)
+    out[keys[i]] = rec(node[keys[i]], i + 1)
+    return out
+
+  return rec(params, 0)
+
+
+def extract_partitions(params, partitions: Sequence[str]) -> Dict[str, Any]:
+  """{path: subtree} for each partition path (the grad-bearing leaves)."""
+  return {p: get_param_subtree(params, p) for p in partitions}
+
+
+def merge_partitions(params, sub: Dict[str, Any]):
+  """Write each {path: subtree} back into the full params tree."""
+  for p, v in sub.items():
+    params = set_param_subtree(params, p, v)
+  return params
 
 
 _OPT_ALIASES = {
@@ -127,12 +168,11 @@ def build_train_step_fn(
     any_nan = jnp.zeros((), jnp.bool_)
     for i, ts in enumerate(train_steps):
       rng, step_rng = jax.random.split(rng)
-      sub = {k: params[k] for k in ts.partitions}
-      frozen = {k: v for k, v in params.items() if k not in ts.partitions}
+      sub = extract_partitions(params, ts.partitions)
 
-      def loss_of(sub_params, frozen=frozen, ts=ts, step_rng=step_rng,
+      def loss_of(sub_params, params=params, ts=ts, step_rng=step_rng,
                   mutables=mutables):
-        full = {**frozen, **sub_params}
+        full = merge_partitions(params, sub_params)
         return ts.loss_fn(full, batch, step_rng, state.step, mutables)
 
       (loss, (step_metrics, mutables)), grads = jax.value_and_grad(
@@ -151,7 +191,7 @@ def build_train_step_fn(
       new_opt = jax.tree_util.tree_map(
           lambda new, old: jnp.where(finite, new, old), new_opt,
           opt_states[opt_name])
-      params.update(new_sub)
+      params = merge_partitions(params, new_sub)
       opt_states[opt_name] = new_opt
       prefix = f"{ts.name}/" if len(train_steps) > 1 else ""
       metrics[f"{prefix}loss"] = loss

@@ -96,3 +96,56 @@ def test_get_vae_registry():
   assert len(get_vae()) >= 2
   with pytest.raises(ValueError):
     get_vae("definitely_missing")
+
+
+def test_train_params_nested_partition_freeze():
+  """`fit(train_params=('vae/decoder', ...))` must update exactly the named
+  subtrees and freeze every sibling (reference `encoder.trainable = False`
+  two-phase finetune, ``betavae_encoder_info_bound.py:125-134``)."""
+  from odin_tpu.bay.vi import BetaVAE
+
+  vae = BetaVAE(beta=1.0, **get_networks("halfmoons", zdim=2)).build(seed=0)
+  p0 = jax.device_get(vae.state.params)
+  X = RNG.rand(256, 2).astype("float32")
+  vae.fit_device_dataset(X, n_steps=20, batch_size=64, learning_rate=1e-2,
+                         steps_per_call=10, seed=0, verbose=False,
+                         train_params=("vae/decoder", "vae/observation"))
+  p1 = jax.device_get(vae.state.params)
+
+  def maxdiff(a, b):
+    return max(float(jnp.max(jnp.abs(x - y))) for x, y in
+               zip(jax.tree_util.tree_leaves(a), jax.tree_util.tree_leaves(b)))
+
+  assert maxdiff(p0["vae"]["encoder"], p1["vae"]["encoder"]) == 0.0
+  assert maxdiff(p0["vae"]["latents"], p1["vae"]["latents"]) == 0.0
+  assert maxdiff(p0["vae"]["decoder"], p1["vae"]["decoder"]) > 0.0
+  assert maxdiff(p0["vae"]["observation"], p1["vae"]["observation"]) > 0.0
+
+
+def test_vqvae_ema_codebook_updates():
+  """EMA VQ-VAE (van den Oord 2017 app. A.1): the codebook is a mutable
+  collection updated in-graph by cluster-count/mean EMAs, not a gradient
+  param — training must move it, keep counts positive, and the loss must
+  stay finite (reference `vq_vae.py:153-186`)."""
+  from odin_tpu.bay.vi import get_vae
+
+  vae = get_vae("vqvae")(n_codes=16, ema=True,
+                         **get_networks("halfmoons", zdim=4)).build(seed=0)
+  cb0 = np.asarray(vae.state.mutables["vq_stats"]["latents"]["codebook"])
+  X = RNG.rand(256, 2).astype("float32")
+  vae.fit_device_dataset(X, n_steps=30, batch_size=64, learning_rate=1e-3,
+                         steps_per_call=10, seed=0, verbose=False)
+  llk, kl, _ = vae.elbo_components(vae.state.params, X[:64],
+                                   jax.random.PRNGKey(0), 0, False,
+                                   vae.state.mutables)
+  assert all(np.all(np.isfinite(np.asarray(v)))
+             for v in {**llk, **kl}.values())
+  cb1 = np.asarray(vae.state.mutables["vq_stats"]["latents"]["codebook"])
+  counts = np.asarray(vae.state.mutables["vq_stats"]["latents"]["counts"])
+  assert float(np.max(np.abs(cb1 - cb0))) > 1e-5
+  assert np.all(np.isfinite(cb1)) and np.all(counts > 0)
+  # discrete surface: x -> indices -> px round trip
+  idx = vae.encode_codes(X[:8])
+  assert idx.shape == (8,) or idx.shape[0] == 8
+  px = vae.decode_codes(np.asarray(idx))
+  assert np.all(np.isfinite(np.asarray(px.mean())))
