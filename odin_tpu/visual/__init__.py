@@ -17,7 +17,8 @@ __all__ = [
     "plot_scatter", "plot_histogram", "plot_save", "print_dist",
     "print_confusion", "print_hist", "Visualizer", "to_axis",
     "plot_series", "plot_confusion_matrix", "plot_comparison_series",
-    "plot_animation",
+    "plot_animation", "plot_gaussian_mixture", "plot_ellipses",
+    "plot_hinton", "plot_multiple_features", "fig2data",
 ]
 
 _FIGURES: List = []
@@ -259,6 +260,139 @@ def plot_histogram(x, bins: int = 40, ax=None, title=None):
     ax.set_title(title)
   _FIGURES.append(ax.figure)
   return ax
+
+
+def plot_ellipses(mean, sigma, color="b", alpha=0.5, ax=None, n_std=2.0):
+  """Covariance ellipse(s) for 2-D Gaussian components
+  (reference ``figures.py:556``)."""
+  from matplotlib.patches import Ellipse
+  ax = to_axis(ax)
+  mean = np.atleast_2d(np.asarray(mean, np.float64))
+  k = len(mean)
+  sigma = np.asarray(sigma, np.float64)
+  # normalize to one (d, d) covariance per mean row: accepts a diag vector
+  # (d,), a batch of diag vectors (k, d), a full cov (d, d) shared across
+  # components, or a batch of full covs (k, d, d); when k == d the (k, d)
+  # diag-batch reading wins (the GMM overlay use case)
+  if sigma.ndim == 1:
+    covs = [np.diag(sigma)] * k
+  elif sigma.ndim == 2:
+    covs = [np.diag(s) for s in sigma] if sigma.shape[0] == k \
+        else [sigma] * k
+  else:
+    covs = list(sigma)
+  for mu, cov in zip(mean, covs):
+    vals, vecs = np.linalg.eigh(cov[:2, :2])
+    angle = math.degrees(math.atan2(vecs[1, -1], vecs[0, -1]))
+    w, h = 2.0 * n_std * np.sqrt(np.maximum(vals, 1e-12))
+    ax.add_patch(Ellipse(mu[:2], width=w, height=h, angle=angle,
+                         facecolor=color, alpha=alpha, edgecolor="k"))
+  _FIGURES.append(ax.figure)
+  return ax
+
+
+def plot_gaussian_mixture(x, means, sigmas, weights=None, ax=None,
+                          bins: int = 60, title: Optional[str] = None):
+  """Data histogram with the mixture density overlaid (1-D) or a scatter
+  with component covariance ellipses (2-D) — reference ``figures.py:438``.
+
+  Accepts raw arrays so it works with `odin_tpu.ml.GMM` (pass
+  ``gmm.means_, gmm.covariances_, gmm.weights_``) or any other fit."""
+  ax = to_axis(ax)
+  x = np.asarray(x, np.float64)
+  means = np.atleast_2d(np.asarray(means, np.float64).T).T \
+      if np.asarray(means).ndim == 1 else np.asarray(means, np.float64)
+  k = len(means)
+  weights = np.full(k, 1.0 / k) if weights is None \
+      else np.asarray(weights, np.float64)
+  sigmas = np.asarray(sigmas, np.float64)
+  if x.ndim == 1 or x.shape[1] == 1:
+    xf = x.ravel()
+    ax.hist(xf, bins=bins, density=True, alpha=0.4, color="gray")
+    grid = np.linspace(xf.min(), xf.max(), 400)
+    total = np.zeros_like(grid)
+    for i in range(k):
+      mu = float(np.ravel(means[i])[0])
+      var = float(np.ravel(sigmas[i])[0])
+      pdf = np.exp(-0.5 * (grid - mu) ** 2 / var) / math.sqrt(
+          2 * math.pi * var)
+      total += weights[i] * pdf
+      ax.plot(grid, weights[i] * pdf, lw=1, alpha=0.8)
+    ax.plot(grid, total, "k-", lw=2)
+  else:
+    ax.scatter(x[:, 0], x[:, 1], s=4, alpha=0.3, color="gray")
+    cmap = _plt().get_cmap("tab10")
+    for i in range(k):
+      plot_ellipses(means[i], sigmas[i], color=cmap(i % 10),
+                    alpha=min(0.75, 0.25 + weights[i]), ax=ax)
+  if title:
+    ax.set_title(title)
+  _FIGURES.append(ax.figure)
+  return ax
+
+
+def plot_hinton(matrix: np.ndarray, max_weight: Optional[float] = None,
+                ax=None, title: Optional[str] = None):
+  """Hinton diagram: square area = |weight|, color = sign
+  (reference ``figures.py:897``)."""
+  ax = to_axis(ax)
+  matrix = np.asarray(matrix, np.float64)
+  if max_weight is None:
+    max_weight = 2.0 ** np.ceil(np.log2(np.abs(matrix).max() or 1.0))
+  ax.patch.set_facecolor("lightgray")
+  ax.set_aspect("equal", "box")
+  for (y, x_), w in np.ndenumerate(matrix):
+    color = "white" if w > 0 else "black"
+    size = min(1.0, np.sqrt(abs(w) / max_weight))
+    ax.add_patch(_plt().Rectangle(
+        (x_ - size / 2, y - size / 2), size, size,
+        facecolor=color, edgecolor=color))
+  ax.set_xlim(-1, matrix.shape[1])
+  ax.set_ylim(-1, matrix.shape[0])
+  ax.invert_yaxis()
+  ax.set_xticks([])
+  ax.set_yticks([])
+  if title:
+    ax.set_title(title)
+  _FIGURES.append(ax.figure)
+  return ax
+
+
+def plot_multiple_features(features: Dict[str, np.ndarray],
+                           fig=None, title: Optional[str] = None,
+                           sr: int = 16000, hop: int = 160):
+  """Stacked panels of (T, D) feature matrices sharing the time axis —
+  the reference's speech-feature inspection figure (``figures.py:589``,
+  used by `FeatureProcessor` validation)."""
+  plt = _plt()
+  names = [k for k, v in features.items()
+           if np.asarray(v).ndim in (1, 2)]
+  fig = fig or plt.figure(figsize=(8, 1.8 * len(names)))
+  for i, name in enumerate(names):
+    ax = fig.add_subplot(len(names), 1, i + 1)
+    v = np.asarray(features[name])
+    if v.ndim == 1:
+      ax.plot(np.arange(len(v)) * hop / sr, v, lw=0.8)
+      ax.set_xlim(0, len(v) * hop / sr)
+    else:
+      ax.imshow(v.T, origin="lower", aspect="auto", cmap="magma",
+                extent=[0, len(v) * hop / sr, 0, v.shape[1]])
+    ax.set_ylabel(name, fontsize=8)
+    if i < len(names) - 1:
+      ax.set_xticks([])
+  if title:
+    fig.suptitle(title)
+  _FIGURES.append(fig)
+  return fig
+
+
+def fig2data(fig, dpi: int = 120) -> np.ndarray:
+  """Render a figure to an (H, W, 4) uint8 RGBA array (reference
+  ``figures.py:238``; feeds TB image logging)."""
+  fig.set_dpi(dpi)
+  fig.canvas.draw()
+  buf = np.asarray(fig.canvas.buffer_rgba())
+  return buf.copy()
 
 
 def plot_save(path: str = "figures.pdf", figs: Optional[Sequence] = None,

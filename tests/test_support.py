@@ -113,6 +113,20 @@ def test_visual(tmp_path):
   assert ax is not None
   gif = plot_animation(np.random.rand(4, 8, 8), str(tmp_path / "a.gif"))
   assert os.path.getsize(gif) > 100
+  # GMM overlays / hinton / stacked feature panels / fig2data
+  from odin_tpu.visual import (fig2data, plot_gaussian_mixture, plot_hinton,
+                               plot_multiple_features)
+  plot_gaussian_mixture(np.random.randn(200), means=[-1.0, 1.0],
+                        sigmas=[0.5, 0.5], weights=[0.5, 0.5])
+  ax = plot_gaussian_mixture(np.random.randn(200, 2),
+                             means=np.zeros((2, 2)),
+                             sigmas=np.stack([np.eye(2)] * 2))
+  h = plot_hinton(np.random.randn(4, 5))
+  fig = plot_multiple_features({"mel": np.random.rand(40, 24),
+                                "energy": np.random.rand(40)})
+  arr = fig2data(h.figure)
+  assert arr.ndim == 3 and arr.shape[-1] == 4 and arr.dtype == np.uint8
+  assert ax is not None and fig is not None
 
 
 def test_explain():
