@@ -104,9 +104,9 @@ smoother = fade
 class power(Interpolation):
   """Symmetric ease-in-out of a power curve."""
 
-  def __init__(self, vmin=0., vmax=1., length=1, cyclical=False,
+  def __init__(self, vmin=0., vmax=1., steps=1, cyclical=False,
                delay_in=0, delay_out=0, power=2., inverse=False):
-    super().__init__(vmin, vmax, length, delay_in, delay_out, cyclical)
+    super().__init__(vmin, vmax, steps, delay_in, delay_out, cyclical)
     self.power = float(power)
     self.inverse = bool(inverse)
 
@@ -174,9 +174,9 @@ class circleOut(Interpolation):
 class swing(Interpolation):
   """Back ease-in-out with overshoot `scale`."""
 
-  def __init__(self, scale=3, vmin=0., vmax=1., length=1, cyclical=False,
+  def __init__(self, scale=3, vmin=0., vmax=1., steps=1, cyclical=False,
                delay_in=0, delay_out=0):
-    super().__init__(vmin, vmax, length, delay_in, delay_out, cyclical)
+    super().__init__(vmin, vmax, steps, delay_in, delay_out, cyclical)
     self.scale = float(scale)
 
   def _alpha(self, a):
@@ -208,9 +208,9 @@ class swingOut(swingIn):
 class exp(Interpolation):
   """Exponential ease-in-out on base^power."""
 
-  def __init__(self, vmin=0., vmax=1., length=1, cyclical=False,
+  def __init__(self, vmin=0., vmax=1., steps=1, cyclical=False,
                delay_in=0, delay_out=0, base=2., power=5.):
-    super().__init__(vmin, vmax, length, delay_in, delay_out, cyclical)
+    super().__init__(vmin, vmax, steps, delay_in, delay_out, cyclical)
     self.base = float(base)
     self.power = float(power)
     self.min_val = self.base ** (-self.power)
@@ -237,9 +237,9 @@ class expOut(exp):
 
 class elastic(Interpolation):
 
-  def __init__(self, vmin=0., vmax=1., length=1, cyclical=False,
+  def __init__(self, vmin=0., vmax=1., steps=1, cyclical=False,
                delay_in=0, delay_out=0, base=2., power=10., scale=1., bounces=7.):
-    super().__init__(vmin, vmax, length, delay_in, delay_out, cyclical)
+    super().__init__(vmin, vmax, steps, delay_in, delay_out, cyclical)
     self.base = float(base)
     self.power = float(power)
     self.scale = float(scale)

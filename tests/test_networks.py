@@ -126,6 +126,7 @@ def test_sequential_attention_vae_switches_modes():
     assert np.all(np.isfinite(np.asarray(kl["kl_attention"])))
 
 
+@pytest.mark.slow  # 130s+ of conv-resnet compile on the 1-core box
 def test_cifar_resnet_path_smoke_trains():
   """get_networks('cifar10', resnet=True): SE-residual encoder /
   up-sampling residual decoder builds and trains (VERDICT r1 #10)."""

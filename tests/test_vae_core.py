@@ -34,6 +34,8 @@ def test_get_networks_all():
     get_networks("not_a_dataset")
 
 
+@pytest.mark.slow  # real mnist conv arch: ~120s of compile; the default
+# set keeps per-class learning assertions via test_zoo_execution (tiny nets)
 def test_vae_fit_improves_elbo(tmp_path):
   nets = get_networks("mnist", zdim=16)
   vae = VariationalAutoencoder(**nets).build()

@@ -101,6 +101,8 @@ def test_discretizing():
 # surface; every other zoo class executes in tests/test_zoo_execution.py on
 # tiny family-matched nets (the big factorvae/m2vae/vqvae compiles moved
 # there — suite budget, VERDICT r1 weak #7)
+@pytest.mark.slow  # mnist conv arch compiles (60-90s each); default-set
+# training coverage for these classes lives in test_zoo_execution
 @pytest.mark.parametrize("name", ["betavae", "hierarchicalvae"])
 def test_smoke_training(name):
   X = (RNG.rand(64, 28, 28, 1) < 0.3).astype("float32")
