@@ -18,7 +18,9 @@ __all__ = [
     "print_confusion", "print_hist", "Visualizer", "to_axis",
     "plot_series", "plot_confusion_matrix", "plot_comparison_series",
     "plot_animation", "plot_gaussian_mixture", "plot_ellipses",
-    "plot_hinton", "plot_multiple_features", "fig2data",
+    "plot_hinton", "plot_multiple_features", "fig2data", "data2fig",
+    "plot_figure", "plot_vline", "plot_indices", "plot_colorbar",
+    "plot_frame", "plot_close",
 ]
 
 _FIGURES: List = []
@@ -384,6 +386,85 @@ def plot_multiple_features(features: Dict[str, np.ndarray],
     fig.suptitle(title)
   _FIGURES.append(fig)
   return fig
+
+
+def plot_figure(nrows: int = 8, ncols: int = 8, dpi: int = 120):
+  """Open (and register) a new figure sized in reference row/col units
+  (reference ``figures.py:254``): height=nrows, width=ncols inches."""
+  fig = _plt().figure(figsize=(ncols, nrows), dpi=dpi)
+  _FIGURES.append(fig)
+  return fig
+
+
+def plot_vline(x, ymin: float = 0.0, ymax: float = 1.0, color: str = "r",
+               ax=None, **kwargs):
+  """Vertical marker line(s) in axis coordinates (reference
+  ``figures.py:347``)."""
+  ax = to_axis(ax)
+  for xi in np.atleast_1d(np.asarray(x, np.float64)):
+    ax.axvline(x=xi, ymin=ymin, ymax=ymax, color=color, lw=1,
+               alpha=kwargs.pop("alpha", 0.8), **kwargs)
+  return ax
+
+
+def plot_indices(idx, x=None, ax=None, alpha: float = 0.3,
+                 ymin: float = 0.0, ymax: float = 1.0):
+  """Highlight selected frame indices (e.g. SAD=speech frames) as vertical
+  spans over a signal plot (reference ``figures.py:580``)."""
+  ax = to_axis(ax)
+  idx = np.asarray(idx)
+  if idx.dtype == bool:
+    idx = np.nonzero(idx)[0]
+  if x is not None:
+    ax.plot(np.asarray(x), lw=0.8, color="k")
+  for i in idx:
+    ax.axvspan(i - 0.5, i + 0.5, ymin=ymin, ymax=ymax, color="orange",
+               alpha=alpha, lw=0)
+  _FIGURES.append(ax.figure)
+  return ax
+
+
+def plot_colorbar(colormap: str = "viridis", vmin: float = 0.0,
+                  vmax: float = 1.0, ax=None, label: Optional[str] = None,
+                  orientation: str = "vertical"):
+  """Standalone colorbar attached to an axis (reference
+  ``figures.py:1196``)."""
+  plt = _plt()
+  import matplotlib as mpl
+  ax = to_axis(ax)
+  norm = mpl.colors.Normalize(vmin=vmin, vmax=vmax)
+  sm = mpl.cm.ScalarMappable(norm=norm, cmap=plt.get_cmap(colormap))
+  cbar = ax.figure.colorbar(sm, ax=ax, orientation=orientation)
+  if label:
+    cbar.set_label(label)
+  return cbar
+
+
+def plot_frame(ax=None, left=None, right=None, top=None, bottom=None):
+  """Toggle axis spines (reference ``figures.py:270``); None = unchanged."""
+  ax = to_axis(ax)
+  for name, val in (("left", left), ("right", right), ("top", top),
+                    ("bottom", bottom)):
+    if val is not None:
+      ax.spines[name].set_visible(bool(val))
+  return ax
+
+
+def plot_close():
+  """Close all figures and clear the pending-save registry (reference
+  ``figures.py:1263``)."""
+  _plt().close("all")
+  _FIGURES.clear()
+
+
+def data2fig(data: np.ndarray, ax=None):
+  """Show an (H, W, 3|4) uint8 array as an image axis — inverse of
+  `fig2data` (reference ``figures.py:248``)."""
+  ax = to_axis(ax)
+  ax.imshow(np.asarray(data))
+  ax.axis("off")
+  _FIGURES.append(ax.figure)
+  return ax
 
 
 def fig2data(fig, dpi: int = 120) -> np.ndarray:

@@ -127,6 +127,21 @@ def test_visual(tmp_path):
   arr = fig2data(h.figure)
   assert arr.ndim == 3 and arr.shape[-1] == 4 and arr.dtype == np.uint8
   assert ax is not None and fig is not None
+  # small figure helpers
+  from odin_tpu.visual import (data2fig, plot_close, plot_colorbar,
+                               plot_figure, plot_frame, plot_indices,
+                               plot_vline)
+  f = plot_figure(4, 6)
+  assert tuple(f.get_size_inches()) == (6.0, 4.0)
+  ax2 = plot_vline([2.0, 5.0])
+  plot_indices(np.array([1, 3, 4]), x=np.random.randn(8), ax=ax2)
+  plot_colorbar("magma", vmin=-1, vmax=1, ax=ax2, label="z")
+  plot_frame(ax2, top=False, right=False)
+  assert not ax2.spines["top"].get_visible()
+  data2fig(arr)
+  plot_close()
+  from odin_tpu.visual import _FIGURES
+  assert len(_FIGURES) == 0
 
 
 def test_explain():
