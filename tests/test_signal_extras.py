@@ -39,6 +39,21 @@ def test_stack_resample_split():
   np.testing.assert_array_equal(s[0], np.arange(10))
   y = np.sin(np.arange(16000) / 10).astype("f")
   assert resample(y, 16000, 8000).shape == (8000,)
+  # spectral fidelity: a 440 Hz tone survives 16k->8k resampling with the
+  # same dominant frequency and amplitude (the reference delegates to
+  # resampy's kaiser filters, unavailable offline; scipy polyphase is the
+  # replacement, so we assert signal quality instead of bit-exactness)
+  t = np.arange(16000) / 16000.0
+  tone = np.sin(2 * np.pi * 440 * t).astype("f")
+  down = resample(tone, 16000, 8000)
+  spec = np.abs(np.fft.rfft(down))
+  assert abs(np.argmax(spec) * 8000 / len(down) - 440) < 2
+  assert abs(down[200:-200].std() - tone.std()) < 0.01
+  # anti-aliasing: a 5 kHz tone (above the 4 kHz Nyquist of 8 kHz) must be
+  # attenuated, not folded back
+  hi = np.sin(2 * np.pi * 5000 * t).astype("f")
+  hid = resample(hi, 16000, 8000)
+  assert hid.std() < 0.05 * hi.std()
   long = np.concatenate([y, np.zeros(8000, "f"), y])
   chunks = vad_split_audio(long, 16000, maximum_duration=1.5)
   assert all(len(c) <= 1.5 * 16000 for c in chunks)
