@@ -70,8 +70,11 @@ def run_scan_config(vae_factory, batch: int, scan_steps: int, calls: int):
   dt = time.time() - t0
   steps_per_sec = calls * scan_steps / dt
   n_chips = len(jax.devices())
-  mfu = (flops_per_call * calls / dt) / (n_chips * PEAK_FLOPS_PER_CHIP) \
-      if flops_per_call else None
+  # XLA cost_analysis counts a lax.scan/while body ONCE regardless of trip
+  # count (verified empirically: scan(matmul, 10) reports 1x matmul flops),
+  # so the per-call model flops are body-flops * scan_steps
+  mfu = (flops_per_call * scan_steps * calls / dt) \
+      / (n_chips * PEAK_FLOPS_PER_CHIP) if flops_per_call else None
   return steps_per_sec / max(n_chips, 1), mfu
 
 
@@ -105,8 +108,9 @@ def run_mxu_config(vae_factory, batch: int = 256, n_images: int = 16384,
     dt = time.time() - t0
   steps_per_sec = calls * scan_steps / dt
   n_chips = len(jax.devices())
-  mfu = (flops_per_call * calls / dt) / (n_chips * PEAK_FLOPS_PER_CHIP) \
-      if flops_per_call else None
+  # scan-body flops counted once by cost_analysis — see run_scan_config
+  mfu = (flops_per_call * scan_steps * calls / dt) \
+      / (n_chips * PEAK_FLOPS_PER_CHIP) if flops_per_call else None
   return steps_per_sec / max(n_chips, 1), mfu
 
 
