@@ -137,6 +137,20 @@ def main():
         "batch": 256, "steps_per_sec_per_chip": round(mxu_steps, 2),
         "mfu_bf16_peak": round(mxu_mfu, 4) if mxu_mfu else None,
     }
+  if os.environ.get("ODIN_BENCH_WIDE"):
+    # 4x-width trunk (128-128-256-256): contraction dims that actually
+    # fill the 128-wide MXU — demonstrates MFU scaling with model width
+    def wide_factory():
+      return BetaVAE(beta=1.0,
+                     **get_networks("dsprites", zdim=10,
+                                    width=4)).build(seed=1)
+    wide_steps, wide_mfu = run_mxu_config(wide_factory, batch=256,
+                                          scan_steps=100)
+    out["wide_config"] = {
+        "batch": 256, "width": 4,
+        "steps_per_sec_per_chip": round(wide_steps, 2),
+        "mfu_bf16_peak": round(wide_mfu, 4) if wide_mfu else None,
+    }
   print(json.dumps(out))
 
 

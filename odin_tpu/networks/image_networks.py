@@ -253,25 +253,30 @@ def dsprites_networks(
   n_channels = int(kwargs.get("n_channels", 1))
   input_shape = (64, 64, n_channels)
   zdim = 10 if zdim is None else int(zdim)
-  proj_dim = int(kwargs.get("proj_dim") or (128 if n_channels == 1 else 256))
+  # width=1 is the reference 32-32-64-64 trunk; larger multipliers widen
+  # every channel count — a TPU scaling knob (the 128-wide MXU is
+  # under-contracted by the reference widths; see BASELINE.md MFU table)
+  w = int(kwargs.get("width", 1))
+  proj_dim = int(kwargs.get("proj_dim") or
+                 (128 if n_channels == 1 else 256) * w)
   n_params, observation = _obs_distribution(
       input_shape, kwargs.get("distribution", "bernoulli"))
   encoder = SequentialNetwork((
       CenterAt0(enable=centerize_image),
-      Conv(32, 4, 2, activation),   # 32, 32, 32
-      Conv(32, 4, 2, activation),   # 16, 16, 32
-      Conv(64, 4, 2, activation),   # 8, 8, 64
-      Conv(64, 4, 2, activation),   # 4, 4, 64
+      Conv(32 * w, 4, 2, activation),   # 32, 32, 32w
+      Conv(32 * w, 4, 2, activation),   # 16, 16, 32w
+      Conv(64 * w, 4, 2, activation),   # 8, 8, 64w
+      Conv(64 * w, 4, 2, activation),   # 4, 4, 64w
       Flatten(),
       Dense(proj_dim, activation=None),
   ), name="encoder")
   decoder = _decoder_network((
       Dense(proj_dim, activation=None),
       Reshape((4, 4, proj_dim // 16)),
-      ConvTranspose(64, 4, 2, activation),  # 8, 8, 64
-      ConvTranspose(64, 4, 2, activation),  # 16, 16, 64
-      ConvTranspose(32, 4, 2, activation),  # 32, 32, 32
-      ConvTranspose(32, 4, 2, activation),  # 64, 64, 32
+      ConvTranspose(64 * w, 4, 2, activation),  # 8, 8, 64w
+      ConvTranspose(64 * w, 4, 2, activation),  # 16, 16, 64w
+      ConvTranspose(32 * w, 4, 2, activation),  # 32, 32, 32w
+      ConvTranspose(32 * w, 4, 2, activation),  # 64, 64, 32w
       Conv(n_channels * n_params, 1, 1, None),
       PackImageParams(n_params),
   ), skip_generator)

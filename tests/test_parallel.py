@@ -193,3 +193,45 @@ def test_multihost_helpers_single_process():
   s = parallel.shard_batch(x, mesh)
   np.testing.assert_allclose(np.asarray(g), np.asarray(s))
   assert g.sharding.spec == s.sharding.spec
+
+
+def test_pipeline_parallel_matches_sequential():
+  """GPipe pipeline over a 'stage' mesh axis: forward outputs AND parameter
+  gradients must equal the sequential single-device reference (new
+  capability — the reference has no in-graph multi-device execution)."""
+  from odin_tpu.parallel.pipeline import (merge_microbatches, pipeline_apply,
+                                          split_microbatches,
+                                          stack_stage_params)
+  S = 4
+  if len(jax.devices()) < S:
+    pytest.skip("needs 4 devices")
+  mesh = parallel.get_mesh(("stage",), (S,),
+                           devices=jax.devices()[:S])
+  d, B, M = 8, 16, 4
+  rng = np.random.RandomState(0)
+  params_list = [{"w": rng.randn(d, d).astype("f") * 0.4,
+                  "b": rng.randn(d).astype("f") * 0.1} for _ in range(S)]
+  stacked = stack_stage_params([jax.tree.map(jnp.asarray, p)
+                                for p in params_list])
+  x = rng.randn(B, d).astype("f")
+
+  def stage_fn(p, h):
+    return jnp.tanh(h @ p["w"] + p["b"])
+
+  def pipelined_loss(stacked, x):
+    mb = split_microbatches(x, M)
+    out = pipeline_apply(stage_fn, stacked, mb, mesh)
+    return 0.5 * jnp.sum(merge_microbatches(out) ** 2)
+
+  def sequential_loss(stacked, x):
+    h = x
+    for i in range(S):
+      h = stage_fn(jax.tree.map(lambda a: a[i], stacked), h)
+    return 0.5 * jnp.sum(h ** 2)
+
+  lp, gp = jax.jit(jax.value_and_grad(pipelined_loss))(stacked, x)
+  ls, gs = jax.jit(jax.value_and_grad(sequential_loss))(stacked, x)
+  np.testing.assert_allclose(float(lp), float(ls), rtol=1e-5)
+  for k in ("w", "b"):
+    np.testing.assert_allclose(np.asarray(gp[k]), np.asarray(gs[k]),
+                               rtol=1e-4, atol=1e-5)
