@@ -235,3 +235,49 @@ def test_pipeline_parallel_matches_sequential():
   for k in ("w", "b"):
     np.testing.assert_allclose(np.asarray(gp[k]), np.asarray(gs[k]),
                                rtol=1e-4, atol=1e-5)
+
+
+def test_expert_parallel_matches_unsharded():
+  """Dense-gated MoE with experts sharded on an 'expert' axis: outputs and
+  gradients (expert params AND gate kernel) equal the single-device
+  mixture."""
+  from odin_tpu.parallel.expert import (moe_apply, softmax_gates,
+                                        stack_expert_params)
+  E = 4
+  if len(jax.devices()) < E:
+    pytest.skip("needs 4 devices")
+  mesh = parallel.get_mesh(("expert",), (E,), devices=jax.devices()[:E])
+  d, B = 6, 10
+  rng = np.random.RandomState(1)
+  stacked = stack_expert_params(
+      [{"w": jnp.asarray(rng.randn(d, d).astype("f") * 0.5),
+        "b": jnp.asarray(rng.randn(d).astype("f") * 0.1)}
+       for _ in range(E)])
+  gate_k = jnp.asarray(rng.randn(d, E).astype("f"))
+  x = rng.randn(B, d).astype("f")
+
+  def expert_fn(p, h):
+    return jnp.tanh(h @ p["w"] + p["b"])
+
+  def ep_loss(stacked, gate_k, x):
+    g = softmax_gates(x, gate_k)
+    out = moe_apply(expert_fn, stacked, g, x, mesh)
+    return jnp.sum(out ** 2)
+
+  def ref_loss(stacked, gate_k, x):
+    g = softmax_gates(x, gate_k)
+    y = jnp.stack([expert_fn(jax.tree.map(lambda a: a[e], stacked), x)
+                   for e in range(E)])          # (E, B, d)
+    out = jnp.einsum("ebd,be->bd", y, g)
+    return jnp.sum(out ** 2)
+
+  lp, (gp, gk) = jax.jit(jax.value_and_grad(ep_loss, argnums=(0, 1)))(
+      stacked, gate_k, x)
+  ls, (gs, gks) = jax.jit(jax.value_and_grad(ref_loss, argnums=(0, 1)))(
+      stacked, gate_k, x)
+  np.testing.assert_allclose(float(lp), float(ls), rtol=1e-5)
+  for k in ("w", "b"):
+    np.testing.assert_allclose(np.asarray(gp[k]), np.asarray(gs[k]),
+                               rtol=1e-4, atol=1e-5)
+  np.testing.assert_allclose(np.asarray(gk), np.asarray(gks),
+                             rtol=1e-4, atol=1e-5)
