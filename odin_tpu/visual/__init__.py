@@ -21,6 +21,17 @@ __all__ = [
     "plot_hinton", "plot_multiple_features", "fig2data", "data2fig",
     "plot_figure", "plot_vline", "plot_indices", "plot_colorbar",
     "plot_frame", "plot_close",
+    # extended surface (visual/extended.py)
+    "plot_series_statistics", "plot_relative_series", "plot_Cnorm",
+    "plot_weights", "plot_weights3D", "plot_weights4D",
+    "plot_distance_heatmap", "plot_scatter_text", "plot_scatter_layers",
+    "plot_histogram_layers", "plot_gridSpec", "plot_gridSubplot",
+    "merge_figures", "plot_title", "plot_aspect", "plot_show",
+    "plot_save_show", "plot_to_image", "time_ticks", "tile_raster_images",
+    "resize_images", "generate_random_colors", "generate_random_colormaps",
+    "generate_palette_colors", "generate_random_marker", "check_arg_length",
+    "ctext", "print_bar", "print_scatter", "print_hinton", "Animation",
+    "plot_comparison_track",
 ]
 
 _FIGURES: List = []
@@ -534,6 +545,22 @@ def print_confusion(cm: np.ndarray, labels: Optional[Sequence[str]] = None) -> s
   out = "\n".join(lines)
   print(out)
   return out
+
+
+# extended surface — stats/heatmap/scatter/histogram/raster/terminal helpers
+# (imported after the core definitions it reuses: _FIGURES, fig2data, ...)
+from odin_tpu.visual.extended import (  # noqa: E402
+    Animation, check_arg_length, ctext, generate_palette_colors,
+    generate_random_colormaps, generate_random_colors,
+    generate_random_marker, merge_figures, plot_Cnorm, plot_aspect,
+    plot_distance_heatmap, plot_gridSpec, plot_gridSubplot,
+    plot_comparison_track, plot_histogram_layers, plot_relative_series,
+    plot_save_show,
+    plot_scatter_layers, plot_scatter_text, plot_series_statistics,
+    plot_show, plot_title, plot_to_image, plot_weights, plot_weights3D,
+    plot_weights4D, print_bar, print_hinton, print_scatter, resize_images,
+    tile_raster_images, time_ticks,
+)
 
 
 class Visualizer:

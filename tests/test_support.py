@@ -144,6 +144,91 @@ def test_visual(tmp_path):
   assert len(_FIGURES) == 0
 
 
+def test_visual_extended(tmp_path):
+  """Long-tail plotting surface (reference stats/heatmap/scatter/histogram
+  plot modules + bashplot + animation)."""
+  from odin_tpu.visual import (
+      Animation, check_arg_length, ctext, generate_palette_colors,
+      generate_random_colormaps, generate_random_colors,
+      generate_random_marker, merge_figures, plot_Cnorm, plot_aspect,
+      plot_close, plot_distance_heatmap, plot_gridSpec, plot_gridSubplot,
+      plot_histogram_layers, plot_relative_series, plot_scatter_layers,
+      plot_scatter_text, plot_series_statistics, plot_title, plot_to_image,
+      plot_weights, plot_weights3D, plot_weights4D, print_bar, print_hinton,
+      print_scatter, resize_images, tile_raster_images, time_ticks)
+  rng = np.random.RandomState(0)
+  # palettes / args
+  cols = generate_random_colors(5)
+  assert len(cols) == 5 and all(c.startswith("#") for c in cols)
+  assert len(generate_random_colormaps(3)) == 3
+  assert len(generate_palette_colors(25)) == 25
+  assert len(set(generate_random_marker(6))) == 6
+  assert check_arg_length("x", 3) == ["x", "x", "x"]
+  # rasters
+  tile = tile_raster_images(rng.rand(5, 8, 8))
+  assert tile.ndim == 2 and tile.shape[0] > 8
+  ctile = tile_raster_images(rng.rand(4, 8, 8, 3), images_per_row=2)
+  assert ctile.shape == (17, 17, 3)
+  rz = resize_images(rng.rand(6, 8, 8, 1), (16, 16))
+  assert rz.shape == (6, 16, 16, 1)
+  # statistical series
+  obs, exp = rng.randn(200), rng.randn(200)
+  ax, handles, idx = plot_series_statistics(
+      observed=obs, expected=exp, total_stdev=1.0, explained_stdev=0.5,
+      return_handles=True, return_indices=True, title="ppc")
+  assert len(handles) >= 2 and len(idx) == 200
+  assert np.all(np.diff(exp[idx]) >= 0)  # sorted by expected
+  plot_relative_series(rng.rand(3, 5), row_name=["base", "a", "b"],
+                       col_name=list("vwxyz"))
+  from odin_tpu.visual import plot_comparison_track
+  plot_comparison_track([[1, 2, 3], [2, 1, 0]], legends=["s1", "s2"],
+                        tick_labels=["t1", "t2", "t3"])
+  # heatmap family
+  plot_Cnorm(rng.rand(2, 4), labels=list("abcd"), Ptrue=[0.1, 0.5])
+  plot_weights(rng.randn(6, 6), cbar=True)
+  plot_weights3D(rng.randn(5, 5, 7))
+  plot_weights4D(rng.randn(3, 3, 2, 4))
+  X = np.concatenate([rng.randn(10, 4), rng.randn(10, 4) + 5])
+  y = np.r_[np.zeros(10), np.ones(10)]
+  plot_distance_heatmap(X, labels=y, metric="cosine")
+  # scatter / histogram layers
+  plot_scatter_text(rng.randn(20, 2), marker=list("ab") * 10,
+                    val=rng.rand(20))
+  plot_scatter_layers([(rng.randn(30), rng.randn(30), rng.rand(30))] * 2,
+                      layer_name=["p", "q"])
+  plot_histogram_layers([rng.randn(100), rng.randn(100) + 2],
+                        layer_name=["a", "b"], range_0_1=True)
+  # figure management
+  fig, gs = plot_gridSpec(2, 2)
+  sub = plot_gridSubplot((2, 2), (0, 1))
+  assert sub is not None
+  plot_title("t", ax=sub)
+  plot_aspect("equal", ax=sub)
+  img = plot_to_image(fig)
+  assert img.ndim == 4 and img.shape[0] == 1 and img.dtype == np.uint8
+  m = merge_figures([plot_weights(rng.randn(3, 3)).figure,
+                     plot_weights(rng.randn(3, 3)).figure])
+  assert m is not None
+  ax = plot_title("ticks")
+  time_ticks(np.linspace(0, 120, 50), n_ticks=4, time_fmt="m", ax=ax)
+  assert len(ax.get_xticklabels()) == 4
+  # terminal plots
+  assert "\x1b[31m" in ctext("hot", "red")
+  out = print_bar(rng.randn(500), height=6)
+  assert "o" in out
+  out = print_scatter(rng.rand(40), rng.rand(40), size=8)
+  assert "o" in out and "+" in out
+  out = print_hinton(rng.randn(4, 6))
+  assert len(out.splitlines()) == 4
+  # animation builder
+  anim = Animation().plot_images(rng.rand(4, 8, 8))
+  anim.plot_spectrogram(rng.rand(4, 20, 12))
+  assert len(anim) == 2
+  gif = anim.save(str(tmp_path / "anim.gif"), fps=2)
+  assert os.path.getsize(gif) > 100
+  plot_close()
+
+
 def test_explain():
   from odin_tpu.networks import get_networks
   from odin_tpu.bay.vi import BetaVAE
