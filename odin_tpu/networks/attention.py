@@ -228,15 +228,24 @@ class LocalPredictiveAttention(nn.Module):
 
 class MultiHeadAttention(nn.Module):
   """Standard multi-head attention (thin wrapper over flax for
-  completeness)."""
+  completeness).  With ``flash=True`` the unmasked soft path runs the
+  Pallas tiled online-softmax kernel (`ops/pallas_attention.py`) instead of
+  materializing the (Tq, Tk) score matrix — the TPU-native replacement for
+  the reference's explicit einsum attention at long sequence lengths."""
 
   num_heads: int = 4
   qkv_features: Optional[int] = None
+  flash: bool = False
 
   @nn.compact
   def __call__(self, q, k=None, v=None, mask=None, training: bool = False):
     k = q if k is None else k
     v = k if v is None else v
+    attention_fn = None
+    if self.flash:
+      from odin_tpu.ops.pallas_attention import flash_attention_fn
+      attention_fn = flash_attention_fn
+    kwargs = {} if attention_fn is None else {"attention_fn": attention_fn}
     return nn.MultiHeadDotProductAttention(
         num_heads=self.num_heads, qkv_features=self.qkv_features,
-        deterministic=not training)(q, k, v, mask=mask)
+        deterministic=not training, **kwargs)(q, k, v, mask=mask)
