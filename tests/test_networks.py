@@ -109,6 +109,7 @@ def test_sampling_attention_modes(align, estimator):
   assert gnorm > 0, f"no gradient flow for {align}/{estimator}"
 
 
+@pytest.mark.slow
 def test_sequential_attention_vae_switches_modes():
   """SequentialAttentionVAE accepts the full mode algebra (VERDICT r1 #6)."""
   from odin_tpu.bay.vi import SequentialAttentionVAE

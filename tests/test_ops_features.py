@@ -39,6 +39,7 @@ def test_fused_path_matches_numpy():
                                atol=0.05)
 
 
+@pytest.mark.slow
 def test_padded_batch_masking():
   """A short utterance zero-padded into the batch must produce the same
   features on its valid frames as the standalone computation."""
@@ -56,6 +57,7 @@ def test_padded_batch_masking():
                              atol=0.01)
 
 
+@pytest.mark.slow
 def test_cmvn_masked():
   y = (RNG.randn(1, 16000) * 0.1).astype("f")
   out = speech_features(jnp.asarray(y), CFG)
@@ -76,6 +78,7 @@ def test_pallas_kernel_interpreter():
                              np.asarray(ref["mspec"]), atol=0.01)
 
 
+@pytest.mark.slow
 def test_int16_ingestion_matches_float32():
   """int16 PCM transfer path: device rescale must match the float32 path
   exactly when the audio is 16-bit quantized."""

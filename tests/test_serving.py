@@ -44,6 +44,7 @@ def test_export_vae_bundle(tmp_path):
   np.testing.assert_allclose(np.asarray(z), z_live, atol=1e-5)
 
 
+@pytest.mark.slow
 def test_fit_device_dataset_pytree_batch():
   from odin_tpu.bay.vi import MultitaskVAE
   from odin_tpu.bay.random_variable import RVconf

@@ -229,6 +229,7 @@ def test_visual_extended(tmp_path):
   plot_close()
 
 
+@pytest.mark.slow
 def test_explain():
   from odin_tpu.networks import get_networks
   from odin_tpu.bay.vi import BetaVAE
