@@ -32,3 +32,12 @@ from odin_tpu.backend.metrics import (
     roc_curve_,
     LER,
 )
+from odin_tpu.backend.losses import (
+    bayes_binary_crossentropy,
+    bayes_crossentropy,
+    contrastive_loss,
+    correntropy_regularize,
+    cosine_similarity,
+    jacobian_regularize,
+    triplet_loss,
+)

@@ -6,3 +6,10 @@ from odin_tpu.bay.layers.dense_distribution import (
     MVNDiagLatents,
     NormalLatents,
 )
+from odin_tpu.bay.layers.util_layers import (
+    ConditionalTensorLayer,
+    DistributionAttr,
+    Moments,
+    Sampling,
+    Stddev,
+)

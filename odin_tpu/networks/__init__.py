@@ -61,3 +61,4 @@ from odin_tpu.networks.util_layers import (
     SkipConnection,
     get_embedding,
 )
+from odin_tpu.networks.dropout import DiscreteDropout, DropBlock

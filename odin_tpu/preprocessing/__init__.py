@@ -1,5 +1,11 @@
 """Speech/feature preprocessing (reference: ``odin/preprocessing``)."""
-from odin_tpu.preprocessing import kaldi, signal, text, textgrid, video
+from odin_tpu.preprocessing import audio, kaldi, signal, text, textgrid, video
+from odin_tpu.preprocessing.audio import (
+    augment_audio,
+    logscale_spec,
+    pitch_shift,
+    time_stretch,
+)
 from odin_tpu.preprocessing.opensmile import (
     openSMILEf0,
     openSMILEloudness,

@@ -284,3 +284,19 @@ class MD5object:
 
 __all__ += ["MPI", "SharedCounter", "async_process", "async_thread",
             "flatten_list", "ctext", "eprint", "MD5object"]
+from odin_tpu.utils.np_utils import (  # noqa: E402
+    array2bytes,
+    bytes2array,
+    label_splitter,
+    one_hot,
+    unique_labels,
+)
+from odin_tpu.utils.ordered_flag import OrderedFlag  # noqa: E402
+from odin_tpu.utils.decorators import (  # noqa: E402
+    abstractstatic,
+    autoattr,
+    functionable,
+    schedule,
+    singleton,
+    typecheck,
+)

@@ -1,0 +1,392 @@
+"""Round-2 breadth components: backend losses, structured dropout,
+distribution util layers, GradeMembershipModel, audio augmentation, and the
+utils additions (np_utils / OrderedFlag / decorators).
+
+Reference files: ``odin/backend/losses.py``, ``odin/networks/dropout.py``,
+``odin/bay/layers/distribution_util_layers.py``,
+``odin/bay/mixed_membership/grade_membership_model.py``,
+``odin/preprocessing/audio/audio.py``, ``odin/utils/{np_utils,ordered_flag,
+decorators}.py``.
+"""
+import pickle
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+KEY = jax.random.PRNGKey(0)
+
+
+# ---------------------------------------------------------------------------
+# backend.losses
+# ---------------------------------------------------------------------------
+def test_contrastive_loss_semantics():
+  from odin_tpu.backend import contrastive_loss
+  # similar pairs at zero distance, dissimilar beyond the margin: zero loss
+  y = np.array([1.0, 1.0, 0.0, 0.0])
+  d = np.array([0.0, 0.0, 2.0, 1.5])
+  assert float(contrastive_loss(y, d, margin=1.0)) == pytest.approx(0.0)
+  # similar pair far apart is penalized quadratically
+  assert float(contrastive_loss([1.0], [2.0])) == pytest.approx(4.0)
+  # dissimilar pair inside the margin
+  assert float(contrastive_loss([0.0], [0.25], margin=1.0)) == \
+      pytest.approx(0.75 ** 2)
+
+
+def test_triplet_loss_semantics():
+  from odin_tpu.backend import triplet_loss
+  a = np.zeros((4, 3), "f")
+  pos = a + 0.1
+  neg = a + 10.0
+  assert float(triplet_loss(a, pos, neg, margin=1.0)) == pytest.approx(0.0)
+  # negative closer than positive: loss > margin
+  assert float(triplet_loss(a, neg, pos, margin=1.0)) > 1.0
+
+
+def test_cosine_similarity_matrix():
+  from odin_tpu.backend import cosine_similarity
+  t = np.array([[1.0, 0.0], [0.0, 2.0]], "f")
+  p = np.array([[3.0, 0.0], [0.0, 0.5], [1.0, 1.0]], "f")
+  scores = np.asarray(cosine_similarity(t, p))
+  assert scores.shape == (2, 3)
+  assert scores[0, 0] == pytest.approx(1.0, abs=1e-6)
+  assert scores[1, 1] == pytest.approx(1.0, abs=1e-6)
+  assert scores[0, 2] == pytest.approx(1 / np.sqrt(2), abs=1e-5)
+  pair = np.asarray(cosine_similarity(t, t, one_vs_all=False))
+  assert pair.shape == (2, 1)
+  np.testing.assert_allclose(pair, 0.0, atol=1e-6)
+
+
+def test_bayes_crossentropy_balanced_equals_plain_ce():
+  from odin_tpu.backend import bayes_crossentropy
+  rng = np.random.RandomState(0)
+  # balanced batch: prior = 1/C and the 1/C scaling cancels -> plain CE
+  y = np.eye(4, dtype="f")[np.array([0, 1, 2, 3, 0, 1, 2, 3])]
+  logits = rng.randn(8, 4).astype("f")
+  p = np.asarray(jax.nn.softmax(logits))
+  plain = -np.mean(np.sum(y * np.log(p), -1))
+  assert float(bayes_crossentropy(y, p)) == pytest.approx(plain, rel=1e-5)
+
+
+def test_bayes_crossentropy_imbalance_invariant():
+  from odin_tpu.backend import bayes_crossentropy
+  # the whole point of the prior weighting: with an identical prediction
+  # everywhere, the loss is INVARIANT to class imbalance (each class
+  # contributes its own log-prob once), while plain CE drifts toward the
+  # majority class's term
+  p = np.tile(np.array([[0.7, 0.3]], "f"), (8, 1))
+  imbalanced = np.eye(2, dtype="f")[np.array([0] * 7 + [1])]
+  balanced = np.eye(2, dtype="f")[np.array([0] * 4 + [1] * 4)]
+  b1 = float(bayes_crossentropy(imbalanced, p))
+  b2 = float(bayes_crossentropy(balanced, p))
+  assert b1 == pytest.approx(b2, rel=1e-5)
+  assert b1 == pytest.approx(-(np.log(0.7) + np.log(0.3)) / 2, rel=1e-4)
+  plain = lambda y: -np.mean(np.sum(y * np.log(p), -1))
+  assert plain(imbalanced) != pytest.approx(plain(balanced), rel=1e-3)
+
+
+def test_regularizers_finite():
+  from odin_tpu.backend import (correntropy_regularize, jacobian_regularize,
+                                bayes_binary_crossentropy)
+  rng = np.random.RandomState(1)
+  h = 1 / (1 + np.exp(-rng.randn(8, 5)))  # sigmoid activations
+  w = rng.randn(3, 5)
+  jac = float(jacobian_regularize(h, w))
+  assert np.isfinite(jac) and jac > 0
+  corr = float(correntropy_regularize(rng.randn(8, 5)))
+  assert np.isfinite(corr) and corr < 0
+  bce = float(bayes_binary_crossentropy(np.array([0, 1, 1, 0]),
+                                        np.array([0.1, 0.9, 0.8, 0.2], "f")))
+  assert np.isfinite(bce) and bce > 0
+
+
+# ---------------------------------------------------------------------------
+# networks.dropout
+# ---------------------------------------------------------------------------
+def test_discrete_dropout_thins_counts():
+  from odin_tpu.networks import DiscreteDropout
+  x = jnp.full((2000,), 10.0)
+  layer = DiscreteDropout(dropout_rate=0.5, corrupt_rate=0.3)
+  y = layer.apply({}, x, training=True, rngs={"dropout": KEY})
+  y = np.asarray(y)
+  assert y.shape == x.shape
+  # corrupted entries are Binomial(10, 0.7) draws: integers <= original
+  assert np.all(y <= 10.0) and np.all(y >= 0.0)
+  changed = np.mean(y < 10.0)
+  assert 0.3 < changed < 0.7  # ~dropout_rate of entries thinned
+  # expected value: 0.5*10 + 0.5*7 = 8.5
+  assert 7.5 < y.mean() < 9.5
+  # eval: identity
+  y_eval = layer.apply({}, x, training=False)
+  np.testing.assert_array_equal(np.asarray(y_eval), np.asarray(x))
+
+
+def test_dropblock_structure():
+  from odin_tpu.networks import DropBlock
+  x = jnp.ones((2, 16, 16, 4))
+  layer = DropBlock(rate=0.2, blocksize=4)
+  y = np.asarray(layer.apply({}, x, training=True, rngs={"dropout": KEY}))
+  assert y.shape == x.shape
+  dropped = np.mean(y == 0.0)
+  assert 0.02 < dropped < 0.6
+  # survivors are rescaled above 1 so the expected activation is preserved
+  survivors = y[y > 0]
+  assert np.all(survivors > 1.0)
+  assert np.mean(y) == pytest.approx(1.0, rel=0.25)
+  np.testing.assert_array_equal(
+      np.asarray(layer.apply({}, x, training=False)), np.asarray(x))
+
+
+# ---------------------------------------------------------------------------
+# bay.layers util layers
+# ---------------------------------------------------------------------------
+def test_distribution_util_layers():
+  from odin_tpu.bay.distributions import (ConditionalTensor, Independent,
+                                          Normal)
+  from odin_tpu.bay.layers import (ConditionalTensorLayer, DistributionAttr,
+                                   Moments, Sampling, Stddev)
+  dist = Normal(jnp.arange(6.0).reshape(2, 3), jnp.full((2, 3), 0.5))
+
+  s = Sampling(sample_shape=(4,)).apply({}, dist, rngs={"sample": KEY})
+  assert s.shape == (4, 2, 3)
+  # plain tensors pass through with prepended sample dims
+  t = Sampling(sample_shape=(4,)).apply({}, jnp.zeros((2, 3)),
+                                        rngs={"sample": KEY})
+  assert t.shape == (1, 2, 3)
+
+  m, v = Moments().apply({}, dist)
+  np.testing.assert_allclose(np.asarray(m), np.asarray(dist.mean()))
+  np.testing.assert_allclose(np.asarray(v), 0.25, rtol=1e-6)
+  assert Moments(variance=False).apply({}, dist).shape == (2, 3)
+
+  sd = Stddev().apply({}, dist)
+  np.testing.assert_allclose(np.asarray(sd), 0.5, rtol=1e-6)
+  # identity on tensors
+  assert Stddev().apply({}, jnp.ones((2,))).shape == (2,)
+
+  attr = DistributionAttr(attr_name="mean").apply({}, dist)
+  np.testing.assert_allclose(np.asarray(attr), np.asarray(dist.mean()))
+
+  # event-shaped base: statistics (2, 3) + condition (2, 2) -> (2, 5)
+  ev = Independent(dist, 1)
+  cond = ConditionalTensorLayer().apply({}, (ev, jnp.ones((2, 2))))
+  assert isinstance(cond, ConditionalTensor)
+  assert cond.mean().shape == (2, 5)
+
+
+# ---------------------------------------------------------------------------
+# GradeMembershipModel
+# ---------------------------------------------------------------------------
+def _gom_data():
+  rng = np.random.RandomState(0)
+  Q, A, K = 6, 4, 3
+  # planted profiles: profile k answers question q with (k + q) % A
+  profiles = (np.arange(K)[:, None] + np.arange(Q)[None, :]) % A
+  members = rng.randint(0, K, size=256)
+  answers = profiles[members]
+  noise = rng.rand(256, Q) < 0.1
+  answers = np.where(noise, rng.randint(0, A, size=(256, Q)), answers)
+  return Q, A, K, answers
+
+
+def test_grade_membership_model_executes():
+  from odin_tpu.bay.mixed_membership import GradeMembershipModel
+  Q, A, K, answers = _gom_data()
+  model = GradeMembershipModel(n_questions=Q, n_answers=A, n_components=K,
+                               encoder_layers=(16,)).build(seed=0)
+  llk, kl, aux = model.elbo_components(
+      model.state.params, jnp.asarray(answers[:32]), KEY, 0)
+  assert llk["llk_answers"].shape == (32,)
+  assert kl["kl_profiles"].shape == (32,)
+  assert np.all(np.isfinite(np.asarray(llk["llk_answers"])))
+  assert np.all(np.isfinite(np.asarray(kl["kl_profiles"])))
+  assert model.transform(answers[:4], per_question=True).shape == (4, Q, K)
+  assert model.get_profiles().shape == (Q, K, A)
+
+
+@pytest.mark.slow
+def test_grade_membership_model_learns():
+  from odin_tpu.bay.mixed_membership import GradeMembershipModel
+  Q, A, K, answers = _gom_data()
+  model = GradeMembershipModel(n_questions=Q, n_answers=A, n_components=K,
+                               encoder_layers=(16,),
+                               warmup_steps=150).build(seed=0)
+  step = model.make_step_fn(learning_rate=3e-2)
+  state = model.state
+  batch = jnp.asarray(answers)
+  losses = []
+  for _ in range(300):
+    state, m = step(state, batch)
+    losses.append(float(m["loss"]))
+  assert np.all(np.isfinite(losses))
+  assert losses[-1] < losses[0] - 0.1, losses[::50]
+  model.state = jax.device_get(state)
+
+  # reconstruction of the planted answers beats chance by a wide margin
+  # (without the KL warm-up, training stalls in the collapsed optimum that
+  # predicts each question's marginal: acc ~0.34, see the model docstring)
+  pred = model.predict(answers[:128])
+  acc = float(np.mean(pred == answers[:128]))
+  assert acc > 0.7, acc  # chance = 0.25
+
+  theta = model.transform(answers[:16])
+  assert theta.shape == (16, K)
+  np.testing.assert_allclose(theta.sum(-1), 1.0, rtol=1e-5)
+
+
+# ---------------------------------------------------------------------------
+# preprocessing.audio
+# ---------------------------------------------------------------------------
+def test_time_stretch_changes_duration():
+  from odin_tpu.preprocessing.audio import time_stretch
+  sr = 8000
+  t = np.arange(8192) / sr
+  y = np.sin(2 * np.pi * 440 * t).astype("f")
+  fast = time_stretch(y, 2.0, frame_length=1024)
+  slow = time_stretch(y, 0.5, frame_length=1024)
+  assert abs(len(fast) - len(y) / 2) < 1024
+  assert abs(len(slow) - len(y) * 2) < 1024
+  # tempo change must not move the pitch
+  f_peak = np.abs(np.fft.rfft(fast * np.hanning(len(fast))))
+  freq = np.fft.rfftfreq(len(fast), 1 / sr)[np.argmax(f_peak)]
+  assert abs(freq - 440) < 30, freq
+
+
+def test_pitch_shift_moves_frequency():
+  from odin_tpu.preprocessing.audio import pitch_shift
+  sr = 8000
+  t = np.arange(8192) / sr
+  y = np.sin(2 * np.pi * 440 * t).astype("f")
+  up = pitch_shift(y, sr, n_steps=12, bins_per_octave=12,
+                   frame_length=1024)
+  assert len(up) == len(y)
+  spec = np.abs(np.fft.rfft(up * np.hanning(len(up))))
+  freq = np.fft.rfftfreq(len(up), 1 / sr)[np.argmax(spec)]
+  assert abs(freq - 880) < 60, freq
+
+
+def test_augment_audio_deterministic():
+  from odin_tpu.preprocessing.audio import augment_audio
+  rng = np.random.RandomState(2)
+  y = rng.randn(4096).astype("f")
+  mods = augment_audio(y, 8000, n_augment=2, seed=7)
+  assert len(mods) == 3
+  np.testing.assert_array_equal(mods[0], y)
+  for m in mods[1:]:
+    assert m.shape == y.shape and np.isfinite(m).all()
+    assert not np.array_equal(m, y)
+  mods2 = augment_audio(y, 8000, n_augment=2, seed=7)
+  for a, b in zip(mods, mods2):
+    np.testing.assert_array_equal(a, b)
+
+
+def test_logscale_spec():
+  from odin_tpu.preprocessing.audio import logscale_spec
+  rng = np.random.RandomState(3)
+  spec = rng.rand(10, 64)
+  warped, freqs = logscale_spec(spec, sr=8000)
+  assert warped.shape == (10, 64)
+  assert len(freqs) == 64
+  # total energy is conserved by the two-bin scatter
+  assert np.abs(warped.sum() - spec.sum()) < 1e-6 * spec.sum() + 1e-8
+
+
+# ---------------------------------------------------------------------------
+# utils: np_utils / OrderedFlag / decorators
+# ---------------------------------------------------------------------------
+def test_array_bytes_roundtrip():
+  from odin_tpu.utils import array2bytes, bytes2array
+  for arr in (np.arange(12, dtype="int64").reshape(3, 4),
+              np.random.RandomState(0).randn(2, 3, 5).astype("f"),
+              np.array(["ab", "cd"], dtype="<U2").view(np.uint32).reshape(2, 2)):
+    out = bytes2array(array2bytes(arr))
+    np.testing.assert_array_equal(out, arr)
+    assert out.dtype == arr.dtype
+
+
+def test_one_hot_and_labels():
+  from odin_tpu.utils import label_splitter, one_hot, unique_labels
+  y = np.array([0, 2, -1, 1])
+  oh = one_hot(y, nb_classes=3)
+  np.testing.assert_array_equal(oh[2], 0.0)  # negative index -> zero row
+  np.testing.assert_array_equal(oh[:2].argmax(-1), [0, 2])
+
+  idx, labels = unique_labels(["b", "a", "b", "c"], return_labels=True)
+  assert labels == ("a", "b", "c")
+  assert [idx(i) for i in ["a", "b", "c"]] == [0, 1, 2]
+  with pytest.raises(ValueError):
+    idx("zz")
+
+  split = label_splitter(0, "/")
+  assert split("spk1/utt3") == "spk1"
+  assert pickle.loads(pickle.dumps(split))("spk9/x") == "spk9"
+
+
+def test_ordered_flag_algebra():
+  from odin_tpu.utils import OrderedFlag
+
+  class Mode(OrderedFlag):
+    a = "a"
+    b = "b"
+    c = "c"
+
+  ab = Mode.a | Mode.b
+  ba = Mode.b | Mode.a
+  assert ab == ba                      # order-insensitive equality
+  assert ab.value == "a_b" and ba.value == "b_a"  # order preserved in value
+  assert Mode.a in ab and Mode.c not in ab
+  assert (ab & Mode.b) == Mode.b
+  assert (ab ^ Mode.b) == Mode.a
+  assert (~Mode.c) == ab
+  assert list(ba) == [Mode.b, Mode.a]
+  assert ba[0] == Mode.b and ba.index(Mode.a) == 1
+
+
+def test_decorators():
+  from odin_tpu.utils import (autoattr, functionable, schedule, singleton,
+                              typecheck)
+
+  calls = []
+
+  @schedule(interval=10.0)
+  def tick(v):
+    calls.append(v)
+    return v
+
+  assert tick(1) is None  # inside the interval since decoration time
+  assert calls == []
+
+  @typecheck
+  def add(a: int, b: int) -> int:
+    return a + b
+
+  assert add(1, 2) == 3
+  with pytest.raises(TypeError):
+    add(1, "x")
+
+  class Model:
+    fitted = False
+
+    @autoattr(fitted=True)
+    def fit(self):
+      return self
+
+  m = Model()
+  m.fit()
+  assert m.fitted is True
+
+  scale = 3
+  f = functionable(lambda x: scale * x + offset)
+  globals()["offset"] = 10
+  restored = pickle.loads(pickle.dumps(f))
+  assert restored(2) == 16
+
+  @singleton
+  class Config:
+    def __init__(self, name):
+      self.name = name
+
+  assert Config("x") is Config("x")
+  assert Config("x") is not Config("y")
