@@ -9,6 +9,7 @@ from odin_tpu.fuel.bio_data import (
     Forebrain,
     GeneDataset,
     HumanEmbryos,
+    HumanGenome,
     Insilico,
     Leukemia,
     Melanoma,

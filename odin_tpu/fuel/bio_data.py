@@ -216,3 +216,163 @@ class SyntheticATAC(GeneDataset):
                        valid=slice(int(0.8 * n), int(0.9 * n)),
                        test=slice(int(0.9 * n), n))
     return self._x[sl], self._y[sl]
+
+
+# ---------------------------------------------------------------------------
+# HGNC human-genome annotation table
+# ---------------------------------------------------------------------------
+_HGNC_HEADER = [
+    "hgnc_id", "symbol", "name", "locus_group", "locus_type", "status",
+    "location", "location_sortable", "alias_symbol", "alias_name",
+    "prev_symbol", "prev_name", "gene_family", "gene_family_id",
+    "date_approved_reserved", "date_symbol_changed", "date_name_changed",
+    "date_modified", "entrez_id", "ensembl_gene_id", "vega_id", "ucsc_id",
+    "ena", "refseq_accession", "ccds_id", "uniprot_ids", "pubmed_id",
+    "mgd_id", "rgd_id", "lsdb", "cosmic", "omim_id", "mirbase", "homeodb",
+    "snornabase", "bioparadigms_slc", "orphanet", "pseudogene.org",
+    "horde_id", "merops", "imgt", "iuphar", "kznf_gene_catalog",
+    "mamit-trnadb", "cd", "lncrnadb", "enzyme_id",
+    "intermediate_filament_db", "rna_central_ids", "lncipedia", "gtrnadb",
+    "agr",
+]
+_HGNC_FILTERED = ["ensembl_gene_id", "name", "symbol", "alias_symbol",
+                  "alias_name", "locus_type", "location", "cd",
+                  "uniprot_ids", "enzyme_id"]
+_HGNC_CHROMOSOMES = [str(i) for i in range(1, 23)] + ["X", "Y", "Mitochondria"]
+
+
+class HumanGenome:
+  """HGNC gene-annotation table (reference
+  ``odin/fuel/bio_data/human_genome.py:95`` `HumanGenome`): lookup of gene
+  symbol/ensembl-id/CD-marker/locus metadata, e.g. for labeling scRNA-seq
+  features.
+
+  The reference downloads per-chromosome TSVs from the HGNC FTP on first
+  use; this environment has no egress, so `path` must already contain those
+  files (``protein-coding_gene_chr_<c>.txt`` / ``non-coding_RNA_chr_<c>.txt``
+  — the exact names the reference caches) or a prebuilt table can be passed
+  via `table` (a DataFrame or a TSV path with the 52-column HGNC header).
+  """
+
+  def __init__(self, path: str = "~/human_genome", table=None):
+    import pandas as pd
+    frames = []
+    if table is not None:
+      if isinstance(table, str):
+        table = self._read_tsv(table)
+      frames.append(self._filter(table, chromosome=None))
+    else:
+      path = os.path.abspath(os.path.expanduser(path))
+      if not os.path.isdir(path):
+        raise FileNotFoundError(
+            f"{path} does not exist and this environment has no network "
+            "egress: place the HGNC per-chromosome TSVs there (see "
+            "genenames.org statistics-and-files) or pass `table=`")
+      for chro in _HGNC_CHROMOSOMES:
+        for kind in ("protein-coding_gene", "non-coding_RNA"):
+          fpath = os.path.join(path, f"{kind}_chr_{chro}.txt")
+          if os.path.exists(fpath):
+            frames.append(self._filter(self._read_tsv(fpath),
+                                       chromosome=str(chro).capitalize()))
+      if not frames:
+        raise FileNotFoundError(f"no HGNC TSV files found under {path}")
+    self.db = pd.concat(frames, ignore_index=True)
+    self.unique_index = {
+        col: {v for v in self.db[col].unique() if len(str(v)) > 0}
+        for col in self.header
+    }
+
+  @staticmethod
+  def _read_tsv(fpath):
+    import pandas as pd
+    rows = []
+    with open(fpath, "r") as f:
+      for line in f:
+        rows.append([c.replace('"', "") for c in line.rstrip("\n").split("\t")])
+    data = np.asarray(rows, dtype=object)
+    assert data.shape[1] == len(_HGNC_HEADER), \
+        f"expected {len(_HGNC_HEADER)} HGNC columns, got {data.shape[1]}"
+    assert list(data[0]) == _HGNC_HEADER, f"unknown header: {data[0][:5]}..."
+    return pd.DataFrame(data[1:], columns=data[0])
+
+  @staticmethod
+  def _filter(df, chromosome):
+    df = df[_HGNC_FILTERED].copy()
+    if chromosome is not None:
+      df["chromosome"] = chromosome
+    elif "chromosome" not in df.columns:
+      df["chromosome"] = ""
+    return df
+
+  @property
+  def header(self):
+    return self.db.columns.to_numpy()
+
+  def unique(self, column_name):
+    return sorted(self.unique_index[column_name])
+
+  def __contains__(self, key) -> bool:
+    try:
+      self[key]
+      return True
+    except KeyError:
+      return False
+
+  def __getitem__(self, key):
+    """Rows matching a value in ANY column (string key) or the conjunction
+    of column=value constraints (dict / list-of-pairs key)."""
+    if isinstance(key, (tuple, list, np.ndarray)):
+      if not isinstance(key[0], (tuple, list, np.ndarray)):
+        key = [key]
+      key = dict(key)
+    if isinstance(key, str):
+      for col, values in self.unique_index.items():
+        if key in values:
+          return self.db[self.db[col] == key]
+      raise KeyError(f"Cannot find gene with key info: {key}")
+    if isinstance(key, dict):
+      db = self.db
+      for col, val in key.items():
+        db = db[db[str(col)] == str(val)]
+      if db.shape[0] == 0:
+        raise KeyError(f"No gene matches {key}")
+      return db
+    raise KeyError(f"key can be dict or string, given: {type(key)}")
+
+  def _get(self, key, column) -> str:
+    df = self[key]
+    assert df.shape[0] == 1, f"Found multiple entries for key='{key}'"
+    return str(df[str(column)].to_numpy()[0])
+
+  def get_chromosome(self, key) -> str:
+    return self._get(key, "chromosome")
+
+  def get_locus_type(self, key) -> str:
+    return self._get(key, "locus_type")
+
+  def get_protein_cd(self, key) -> str:
+    return self._get(key, "cd")
+
+  def get_protein_id(self, key) -> str:
+    return self._get(key, "uniprot_ids")
+
+  def get_gene_symbol(self, key) -> str:
+    return self._get(key, "symbol")
+
+  def get_gene_id(self, key) -> str:
+    return self._get(key, "ensembl_gene_id")
+
+  def get_gene_name(self, key) -> str:
+    return self._get(key, "name")
+
+  def is_cd_gene(self, key) -> bool:
+    if key not in self:
+      return False
+    return len(self.get_protein_cd(key)) > 0
+
+  def __repr__(self):
+    return (f"HumanGenome(genes={self.db.shape[0]}, "
+            f"columns={list(self.header)})")
+
+
+__all__.append("HumanGenome")

@@ -300,3 +300,9 @@ from odin_tpu.utils.decorators import (  # noqa: E402
     singleton,
     typecheck,
 )
+from odin_tpu.utils.pdf_utils import (  # noqa: E402
+    get_pdf_text,
+    get_pdf_titles,
+    rename_pdf,
+    sanitize_title,
+)

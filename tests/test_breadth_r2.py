@@ -390,3 +390,56 @@ def test_decorators():
 
   assert Config("x") is Config("x")
   assert Config("x") is not Config("y")
+
+
+# ---------------------------------------------------------------------------
+# HumanGenome + pdf utils (local-gated surfaces)
+# ---------------------------------------------------------------------------
+def test_human_genome_table(tmp_path):
+  from odin_tpu.fuel import HumanGenome
+  from odin_tpu.fuel.bio_data import _HGNC_HEADER
+  # synthesize one chromosome file in the exact HGNC cache format
+  rows = [
+      dict(symbol="PTPRC", name="protein tyrosine phosphatase receptor C",
+           ensembl_gene_id="ENSG00000081237", locus_type="gene with protein "
+           "product", cd="CD45", uniprot_ids="P08575", location="1q31.3"),
+      dict(symbol="CD4", name="CD4 molecule", ensembl_gene_id=
+           "ENSG00000010610", locus_type="gene with protein product",
+           cd="CD4", uniprot_ids="P01730", location="12p13.31"),
+      dict(symbol="MIR1-1", name="microRNA 1-1", ensembl_gene_id=
+           "ENSG00000199017", locus_type="RNA, micro", cd="",
+           uniprot_ids="", location="20q13.33"),
+  ]
+  lines = ["\t".join(_HGNC_HEADER)]
+  for r in rows:
+    lines.append("\t".join(r.get(c, "") for c in _HGNC_HEADER))
+  (tmp_path / "protein-coding_gene_chr_1.txt").write_text("\n".join(lines))
+  hg = HumanGenome(path=str(tmp_path))
+  assert hg.db.shape[0] == 3
+  assert hg.get_gene_symbol("CD45") == "PTPRC"
+  assert hg.get_gene_id("CD4") == "ENSG00000010610"
+  assert hg.get_chromosome("PTPRC") == "1"
+  assert hg.is_cd_gene("PTPRC") and not hg.is_cd_gene("MIR1-1")
+  assert "PTPRC" in hg and "NOPE" not in hg
+  sub = hg[{"locus_type": "RNA, micro"}]
+  assert sub.shape[0] == 1 and sub["symbol"].iloc[0] == "MIR1-1"
+  assert "symbol" in hg.unique_index and "PTPRC" in hg.unique("symbol")
+
+
+def test_pdf_title_and_rename(tmp_path):
+  from odin_tpu.utils import get_pdf_titles, rename_pdf, sanitize_title
+  assert sanitize_title("A\nTitle / With\\Slashes  ") == \
+      "A Title . With.Slashes"
+  assert sanitize_title("untitled") is None and sanitize_title("") is None
+  # minimal uncompressed PDF with an info /Title
+  pdf = (b"%PDF-1.4\n1 0 obj\n<< /Title (Deep Latent Models) >>\nendobj\n"
+         b"trailer\n<< /Info 1 0 R >>\n%%EOF")
+  f = tmp_path / "paper1.pdf"
+  f.write_bytes(pdf)
+  (tmp_path / "noinfo.pdf").write_bytes(b"%PDF-1.4\n%%EOF")
+  titles = get_pdf_titles(str(tmp_path))
+  assert titles[str(f)] == "Deep Latent Models"
+  assert titles[str(tmp_path / "noinfo.pdf")] is None
+  stats = rename_pdf(str(tmp_path), verbose=False)
+  assert stats == {"ignored": 1, "renamed": 1}
+  assert (tmp_path / "Deep Latent Models.pdf").exists()
