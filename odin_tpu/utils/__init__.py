@@ -306,3 +306,21 @@ from odin_tpu.utils.pdf_utils import (  # noqa: E402
     rename_pdf,
     sanitize_title,
 )
+from odin_tpu.utils.python_utils import (  # noqa: E402
+    IndexedList,
+    bidict,
+    defaultdictkey,
+    fifodict,
+    get_formatted_datetime,
+    get_function_arguments,
+    is_bool,
+    is_lambda,
+    is_number,
+    is_path,
+    is_pickleable,
+    is_primitive,
+    is_string,
+    multikeysdict,
+    partialclass,
+    struct,
+)

@@ -443,3 +443,46 @@ def test_pdf_title_and_rename(tmp_path):
   stats = rename_pdf(str(tmp_path), verbose=False)
   assert stats == {"ignored": 1, "renamed": 1}
   assert (tmp_path / "Deep Latent Models.pdf").exists()
+
+
+def test_python_utils_containers():
+  from odin_tpu.utils import (IndexedList, bidict, defaultdictkey, fifodict,
+                              is_number, is_primitive, multikeysdict,
+                              partialclass, struct)
+  s = struct(a=1)
+  s.b = 2
+  s["c"] = 3
+  assert (s.a, s["b"], s.c) == (1, 2, 3)
+  with pytest.raises(AttributeError):
+    _ = s.nope
+
+  b = bidict(x=1)
+  b["y"] = 2
+  assert b[1] == "x" and b["y"] == 2 and b.inv[2] == "y"
+  del b["x"]
+  assert 1 not in b.inv
+
+  d = defaultdictkey(lambda k: k * 2)
+  assert d["ab"] == "abab" and "ab" in d
+
+  f = fifodict(maxlen=2)
+  f["a"], f["b"], f["c"] = 1, 2, 3
+  assert "a" not in f and list(f) == ["b", "c"]
+
+  m = multikeysdict({("p", "q"): 7, "r": 8})
+  assert m["p"] == m["q"] == 7 and m["r"] == 8
+
+  class Point:
+    def __init__(self, x, y=0):
+      self.x, self.y = x, y
+
+  P1 = partialclass(Point, y=5)
+  assert P1(1).y == 5 and isinstance(P1(1), Point)
+
+  lst = IndexedList()
+  lst.append(10, name="ten")
+  lst.append(20, name="twenty")
+  assert lst["twenty"] == 20 and lst[0] == 10
+
+  assert is_number(3.5) and not is_number(True)
+  assert is_primitive((1, "a", None)) and not is_primitive(object())
