@@ -486,3 +486,44 @@ def test_python_utils_containers():
 
   assert is_number(3.5) and not is_number(True)
   assert is_primitive((1, "a", None)) and not is_primitive(object())
+
+
+def test_checkpoint_resume_is_deterministic(tmp_path):
+  """Mid-run checkpoint -> restore -> continue must reproduce the
+  uninterrupted run EXACTLY (params bit-equal), including the on-device
+  batch stream keyed by the global step (SURVEY §5 checkpoint/resume:
+  deterministic resume is the failure-recovery story)."""
+  from odin_tpu.bay.vi import BetaVAE
+  from odin_tpu.networks import get_networks
+  from odin_tpu.training.core import device_dataset_steps
+  from odin_tpu.training.trainer import Trainer
+
+  rng = np.random.RandomState(0)
+  data = jnp.asarray(rng.randn(256, 2).astype("f"))
+
+  def fresh():
+    vae = BetaVAE(beta=1.0, **get_networks("halfmoons", zdim=2)).build(seed=3)
+    raw = vae.make_step_fn(learning_rate=1e-3, jit=False)
+    return vae, jax.jit(device_dataset_steps(raw, 32, 5, seed=7))
+
+  # uninterrupted: 2 fused calls of 5 steps
+  vae, fused = fresh()
+  state = vae.state
+  state, _ = fused(state, data)
+  state, _ = fused(state, data)
+  params_a = jax.device_get(state.params)
+
+  # interrupted: 1 call, checkpoint, restore into a FRESH process-like
+  # context (new model object + new compiled fn), 1 more call
+  vae2, fused2 = fresh()
+  state2, _ = fused2(vae2.state, data)
+  tr = Trainer(logdir=str(tmp_path))
+  ckpt = tr.save_checkpoint(state2)
+  vae3, fused3 = fresh()
+  restored = Trainer(logdir=str(tmp_path)).restore_checkpoint(ckpt)
+  assert int(restored.step) == 5
+  state3, _ = fused3(restored, data)
+  params_b = jax.device_get(state3.params)
+
+  for pa, pb in zip(jax.tree.leaves(params_a), jax.tree.leaves(params_b)):
+    np.testing.assert_array_equal(np.asarray(pa), np.asarray(pb))
