@@ -560,6 +560,7 @@ from odin_tpu.visual.extended import (  # noqa: E402
     plot_show, plot_title, plot_to_image, plot_weights, plot_weights3D,
     plot_weights4D, print_bar, print_hinton, print_scatter, resize_images,
     tile_raster_images, time_ticks,
+    get_all_named_colors, plot_detection_curve,
 )
 
 

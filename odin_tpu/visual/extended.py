@@ -822,3 +822,40 @@ class Animation:
     w = max(f.shape[1] for f in self.frames)
     frames = np.stack([resize_images(f, (h, w)) for f in self.frames])
     return plot_animation(frames, path, fps=fps)
+
+
+def get_all_named_colors(to_hsv: bool = False):
+  """All matplotlib named colors (reference ``plot_utils.py:20``)."""
+  from matplotlib import colors as mcolors
+  named = dict(mcolors.BASE_COLORS)
+  named.update(mcolors.CSS4_COLORS)
+  if to_hsv:
+    named = {k: mcolors.rgb_to_hsv(mcolors.to_rgb(v))
+             for k, v in named.items()}
+  return named
+
+
+def plot_detection_curve(x, y, curve: str = "det", ax=None, label=None,
+                         **kwargs):
+  """Reference ``figures.py:1008`` dispatcher: ``curve`` selects DET
+  (normal-deviate Pfa/Pmiss), ROC (fpr/tpr), or PRC (recall/precision)
+  axes over the same two input arrays."""
+  from odin_tpu.visual import plot_det_curve
+  curve = str(curve).lower()
+  if curve == "det":
+    return plot_det_curve(x, y, ax=ax, label=label)
+  import matplotlib.pyplot as plt
+  ax = ax or plt.gca()
+  ax.plot(x, y, label=label, **kwargs)
+  if curve == "roc":
+    ax.plot([0, 1], [0, 1], "k--", lw=0.8)
+    ax.set_xlabel("False positive rate")
+    ax.set_ylabel("True positive rate")
+  elif curve == "prc":
+    ax.set_xlabel("Recall")
+    ax.set_ylabel("Precision")
+  else:
+    raise ValueError(f"unknown curve type: {curve}")
+  if label:
+    ax.legend()
+  return ax
