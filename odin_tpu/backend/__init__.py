@@ -11,7 +11,12 @@ from odin_tpu.backend.interpolation import Interpolation
 from odin_tpu.backend.maths import (
     length_norm,
     log_norm,
+    poincare_normalize,
+    renorm_rms,
     softplus_inverse,
+    to_llh,
+    to_llr,
+    to_sample_weights,
     whitening,
 )
 from odin_tpu.backend.metrics import (

@@ -62,3 +62,60 @@ def logsumexp_mean(x, axis: int = 0):
   x = jnp.asarray(x)
   n = x.shape[axis]
   return jax.scipy.special.logsumexp(x, axis=axis) - jnp.log(float(n))
+
+
+def to_llh(x):
+  """Probabilities -> log-likelihoods ``log p(x|class)`` with row
+  normalization and clipping (reference ``maths.py:519``)."""
+  x = jnp.asarray(x, jnp.float32)
+  x = x / jnp.sum(x, axis=-1, keepdims=True)
+  return jnp.log(jnp.clip(x, 1e-8, 1.0 - 1e-8))
+
+
+def to_llr(x):
+  """Probabilities/scores -> log-likelihood ratios
+  ``log p(x|target) - log p(x|non-target)`` per class, the standard
+  verification-score calibration surface (reference ``maths.py:529``; its
+  hard-coded ``log(13)`` NIST-SRE class constant is dropped — the LLR is
+  shift-normalized by the true non-target count instead)."""
+  x = jnp.asarray(x, jnp.float32)
+  n = x.shape[-1]
+  llr = []
+  for j in range(n):
+    rest = jnp.concatenate([x[:, :j], x[:, j + 1:]], axis=-1)
+    rest = rest - x[:, j:j + 1]
+    llr.append(-jax.scipy.special.logsumexp(rest, axis=1))
+  return jnp.stack(llr, axis=-1) + jnp.log(float(max(n - 1, 1)))
+
+
+def to_sample_weights(indices, weights):
+  """Class indices (or one-hot rows) + per-class weights -> per-sample
+  weights (reference ``maths.py:544``)."""
+  indices = jnp.asarray(indices)
+  if indices.ndim > 1:
+    indices = jnp.argmax(indices, axis=-1)
+  return jnp.asarray(weights, jnp.float32)[indices.astype(jnp.int32)]
+
+
+def renorm_rms(x, axis: int = 1, target_rms: float = 1.0):
+  """Scale so the RMS along `axis` is `target_rms` (reference
+  ``maths.py:340``)."""
+  x = jnp.asarray(x, jnp.float32)
+  d = jnp.sqrt(float(x.shape[axis]))
+  rms = jnp.sqrt(jnp.sum(x ** 2, axis=axis, keepdims=True)) / d
+  rms = jnp.where(rms == 0.0, jnp.ones_like(rms), rms)
+  return target_rms * x / rms
+
+
+def poincare_normalize(x, axis: int = -1, epsilon: float = 1e-6):
+  """Project onto the Poincare ball (norm < 1) for hyperbolic embeddings
+  (reference ``maths.py:565`` `poincare_normalize`; the capability behind
+  the reference's empty ``ml/poincare_embedding.py`` stub)."""
+  x = jnp.asarray(x, jnp.float32)
+  norm = jnp.linalg.norm(x, axis=axis, keepdims=True)
+  max_norm = 1.0 - epsilon
+  return jnp.where(norm > max_norm, x / norm * max_norm, x)
+
+
+__all__ += ["to_llh", "to_llr", "to_sample_weights", "renorm_rms",
+            "poincare_normalize"]

@@ -3,7 +3,8 @@ from typing import Optional
 
 import numpy as np
 
-from odin_tpu.ml.cluster import KMeansJax, fast_dbscan, fast_kmeans, fast_knn
+from odin_tpu.ml.cluster import (KMeansJax, dbscan_predict, fast_dbscan,
+                                 fast_kmeans, fast_knn, fast_naive_bayes)
 from odin_tpu.ml.decompositions import (
     MiniBatchPCA,
     PPCA,

@@ -110,3 +110,39 @@ def _kmeans_transform(self, X):
 
 
 KMeansJax.transform = _kmeans_transform
+
+
+def dbscan_predict(db, X=None) -> np.ndarray:
+  """Labels for a fitted DBSCAN (reference ``cluster.py:129`` returns the
+  training labels and warns on new data; here new points are additionally
+  assigned to the cluster of the nearest core sample within ``eps``, else
+  noise (-1) — the standard out-of-sample DBSCAN rule)."""
+  if X is None:
+    return np.asarray(db.labels_)
+  X = np.asarray(X)
+  core = db.components_                       # (n_core, d)
+  if len(core) == 0:
+    return np.full(len(X), -1, dtype=np.int64)
+  d2 = ((X[:, None, :] - core[None, :, :]) ** 2).sum(-1)
+  nearest = np.argmin(d2, axis=1)
+  within = np.sqrt(d2[np.arange(len(X)), nearest]) <= db.eps
+  labels = db.labels_[db.core_sample_indices_][nearest]
+  return np.where(within, labels, -1).astype(np.int64)
+
+
+def fast_naive_bayes(X, y, distribution: str = "bernoulli", alpha: float = 1.0,
+                     fit_prior: bool = True, class_prior=None):
+  """Fitted sklearn naive-Bayes dispatcher (reference
+  ``fast_lda_topics.py:12``; its distribution branches all collapsed to
+  BernoulliNB — fixed here to the documented families)."""
+  from sklearn.naive_bayes import BernoulliNB, CategoricalNB, MultinomialNB
+  nb_cls = {"bernoulli": BernoulliNB, "categorical": CategoricalNB,
+            "multinomial": MultinomialNB}
+  if distribution not in nb_cls:
+    raise ValueError(f"unknown NB distribution: {distribution}")
+  model = nb_cls[distribution](alpha=alpha, fit_prior=fit_prior,
+                               class_prior=class_prior)
+  return model.fit(np.asarray(X), np.asarray(y))
+
+
+__all__ += ["dbscan_predict", "fast_naive_bayes"]

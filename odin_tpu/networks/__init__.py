@@ -58,6 +58,7 @@ from odin_tpu.networks.util_layers import (
     ParallelNetwork,
     PositionalEncoder,
     Reduce,
+    SimpleRNN,
     SkipConnection,
     get_embedding,
 )

@@ -42,6 +42,11 @@ _ACTIVATIONS: Dict[str, Callable] = {
     "softmax": jax.nn.softmax,
     "leaky_relu": jax.nn.leaky_relu,
     "relu6": jax.nn.relu6,
+    "mish": jax.nn.mish,
+    "softsign": jax.nn.soft_sign,
+    # reference `softplus1`: softplus shifted to pass through 1 at 0
+    # (``backend/alias.py`` — used for strictly-positive scale heads)
+    "softplus1": lambda x: jax.nn.softplus(x + np.log(np.e - 1.0)),
 }
 
 

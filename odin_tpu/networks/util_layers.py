@@ -22,7 +22,7 @@ __all__ = ["Identity", "ExpandDims", "Reduce", "Conv1DTranspose",
            "BatchRenormalization", "ParallelNetwork", "PositionalEncoder",
            "SkipConnection", "ConditionalEmbedding", "ConditionalProjection",
            "get_embedding",
-           "LSTM", "GRU"]
+           "LSTM", "GRU", "SimpleRNN"]
 
 
 class Identity(nn.Module):
@@ -213,6 +213,23 @@ class GRU(nn.Module):
     cell = nn.GRUCell(self.units)
     carry = cell.initialize_carry(jax.random.PRNGKey(0), x[:, 0].shape)
     scan = nn.scan(nn.GRUCell, variable_broadcast="params",
+                   split_rngs={"params": False}, in_axes=1, out_axes=1)
+    carry, ys = scan(self.units, name="cell")(carry, x)
+    return ys if self.return_sequences else ys[:, -1]
+
+
+class SimpleRNN(nn.Module):
+  """Elman tanh RNN over (B, T, F) via nn.scan (reference
+  ``cudnn_rnn.py`` 'rnn_tanh' mode)."""
+
+  units: int
+  return_sequences: bool = True
+
+  @nn.compact
+  def __call__(self, x, training: bool = False):
+    cell = nn.SimpleCell(self.units)
+    carry = cell.initialize_carry(jax.random.PRNGKey(0), x[:, 0].shape)
+    scan = nn.scan(nn.SimpleCell, variable_broadcast="params",
                    split_rngs={"params": False}, in_axes=1, out_axes=1)
     carry, ys = scan(self.units, name="cell")(carry, x)
     return ys if self.return_sequences else ys[:, -1]

@@ -37,6 +37,7 @@ from odin_tpu.preprocessing.processor import (
 from odin_tpu.preprocessing.speech import (
     AcousticNorm,
     ApplyingSAD,
+    AudioAugmentor,
     AudioReader,
     BNFExtractor,
     CalculateEnergy,

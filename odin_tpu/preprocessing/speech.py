@@ -645,3 +645,30 @@ class BNFExtractor(Extractor):
         chunk = np.pad(chunk, ((0, bs - n), (0, 0)))
       out.append(np.asarray(self._forward(chunk))[:n])
     return np.concatenate(out, axis=0).astype("float32")
+
+
+class AudioAugmentor(Extractor):
+  """Waveform-augmentation stage (the reference's `AudioAugmentor` over
+  ``preprocessing/audio/audio.py:8``): replaces the raw waveform with ONE
+  randomly corrupted version per utterance (speed/pitch/gain/noise/shift
+  via :func:`odin_tpu.preprocessing.audio.augment_audio`).  Deterministic
+  per utterance: the seed folds in the waveform checksum."""
+
+  def __init__(self, allow_speedandpitch: bool = True,
+               allow_pitch: bool = True, allow_speed: bool = True,
+               allow_dyn: bool = True, allow_noise: bool = True,
+               allow_timeshift: bool = True, seed: int = 8):
+    super().__init__(input_name=("raw", "sr"), output_name=("raw",))
+    self.kwargs = dict(allow_speedandpitch=allow_speedandpitch,
+                       allow_pitch=allow_pitch, allow_speed=allow_speed,
+                       allow_dyn=allow_dyn, allow_noise=allow_noise,
+                       allow_timeshift=allow_timeshift)
+    self.seed = int(seed)
+
+  def _transform(self, X):
+    from odin_tpu.preprocessing.audio import augment_audio
+    y, sr = X
+    local = (self.seed + int(np.abs(np.asarray(y, np.float64)).sum() * 1e3)
+             ) % (2 ** 31)
+    return augment_audio(y, int(sr), n_augment=1, seed=local,
+                         **self.kwargs)[1].astype(y.dtype)

@@ -55,3 +55,65 @@ def diagonal_beam_search(matrix: np.ndarray, beam_size: int = 8) -> np.ndarray:
   best = list(beams[0][0])
   leftover = [i for i in range(n_rows) if i not in set(best)]
   return np.asarray(best + leftover, dtype=np.int64)
+
+
+def diagonal_bruteforce_search(matrix: np.ndarray) -> np.ndarray:
+  """Exact diagonal maximization by enumerating all row permutations with
+  Heap's algorithm (reference ``diag_search.py:37``; same row-ordering
+  convention as the other functions here — the reference permutes columns,
+  which is this on the transpose).  O(n!): use for n <= 9."""
+  m = np.asarray(matrix, dtype=np.float64)
+  n_rows, n_cols = m.shape
+  n = n_rows
+  assert n <= 10, f"bruteforce over {n}! permutations is infeasible"
+  min_dim = min(n_rows, n_cols)
+  A = list(range(n))
+  best_perm = list(A)
+  best_diag = sum(m[r, c] for c, r in enumerate(A[:min_dim]))
+  c_state = [0] * n
+  i = 0
+  while i < n:
+    if c_state[i] < i:
+      if i % 2 == 0:
+        A[0], A[i] = A[i], A[0]
+      else:
+        A[c_state[i]], A[i] = A[i], A[c_state[i]]
+      diag = sum(m[r, c] for c, r in enumerate(A[:min_dim]))
+      if diag > best_diag:
+        best_diag = diag
+        best_perm = list(A)
+      c_state[i] += 1
+      i = 0
+    else:
+      c_state[i] = 0
+      i += 1
+  return np.asarray(best_perm, dtype=np.int64)
+
+
+def diagonal_greedy_search(matrix: np.ndarray) -> np.ndarray:
+  """Greedy diagonal maximization: repeatedly take the global maximum
+  (row, col) pair and pin that row to that column (reference
+  ``diag_search.py:152``)."""
+  m = np.asarray(matrix, dtype=np.float64).copy()
+  n_rows, n_cols = m.shape
+  order = np.arange(n_rows)
+  # only the first min_dim columns lie on the diagonal
+  m[:, min(n_rows, n_cols):] = -np.inf
+  for _ in range(min(n_rows, n_cols)):
+    r, c = np.unravel_index(np.argmax(m), m.shape)
+    order[c] = r
+    m[r, :] = -np.inf
+    m[:, c] = -np.inf
+  placed = set(order[:min(n_rows, n_cols)])
+  leftover = [i for i in range(n_rows) if i not in placed]
+  return np.asarray(list(order[:min(n_rows, n_cols)]) + leftover,
+                    dtype=np.int64)
+
+
+def diagonal_hillclimb_search(matrix: np.ndarray) -> np.ndarray:
+  """Beam search with beam size 1 (reference ``diag_search.py:157``)."""
+  return diagonal_beam_search(matrix, beam_size=1)
+
+
+__all__ += ["diagonal_bruteforce_search", "diagonal_greedy_search",
+            "diagonal_hillclimb_search"]

@@ -158,3 +158,68 @@ def prior2weights(prior, exponential: bool = False, min_value: float = 0.1,
 
 __all__ += ["is_discrete", "is_binary", "sparsity_percentage", "logVMR",
             "prior2weights"]
+
+
+def KL_divergence(P, Q) -> float:
+  """Discrete KL(P||Q) between two count/probability vectors or mappings
+  (reference ``stats.py:240``)."""
+  from collections.abc import Mapping
+  if isinstance(P, Mapping) and isinstance(Q, Mapping):
+    keys = sorted(set(P) | set(Q))
+    P = [P.get(k, 0) for k in keys]
+    Q = [Q.get(k, 0) for k in keys]
+  P = np.asarray(P, np.float64)
+  Q = np.asarray(Q, np.float64)
+  P = P / P.sum()
+  Q = Q / Q.sum()
+  mask = P > 0
+  return float(np.sum(P[mask] * np.log(P[mask] / np.maximum(Q[mask], 1e-12))))
+
+
+def classification_report(y_pred, y_true, labels) -> str:
+  """Accuracy + sklearn report + confusion matrix as one string
+  (reference ``stats.py:446``)."""
+  from sklearn import metrics
+  labels = list(labels)
+  names = [str(i) for i in labels]
+  idx = list(range(len(labels)))
+  y_pred = np.asarray(y_pred)
+  y_true = np.asarray(y_true)
+  if y_pred.ndim == 2:
+    y_pred = y_pred.argmax(-1)
+  if y_true.ndim == 2:
+    y_true = y_true.argmax(-1)
+  acc = metrics.accuracy_score(y_true, y_pred)
+  report = metrics.classification_report(y_true, y_pred, labels=idx,
+                                         target_names=names, zero_division=0)
+  cm = metrics.confusion_matrix(y_true, y_pred, labels=idx)
+  return (f"Accuracy: {acc:.4f}\n{report}\nConfusion matrix:\n{cm}")
+
+
+def classification_diagnose(X, y_true, y_pred, num_samples: int = 8,
+                            seed: int = 1234):
+  """Most-frequent confusion pairs -> example samples (reference
+  ``stats.py:397``): OrderedDict (true, pred) -> [samples from X], sorted
+  by confusion frequency; correct predictions excluded."""
+  from collections import OrderedDict
+  rng = np.random.RandomState(seed)
+  y_true = np.asarray(y_true)
+  y_pred = np.asarray(y_pred)
+  if y_true.ndim == 2:
+    y_true = y_true.argmax(-1)
+  if y_pred.ndim == 2:
+    y_pred = y_pred.argmax(-1)
+  pairs = {}
+  for i, (t, p) in enumerate(zip(y_true, y_pred)):
+    if t != p:
+      pairs.setdefault((int(t), int(p)), []).append(i)
+  out = OrderedDict()
+  for key in sorted(pairs, key=lambda k: -len(pairs[k])):
+    idx = pairs[key]
+    take = rng.choice(idx, size=min(num_samples, len(idx)), replace=False)
+    out[key] = [X[i] for i in take]
+  return out
+
+
+__all__ += ["KL_divergence", "classification_report",
+            "classification_diagnose"]

