@@ -21,6 +21,7 @@ from odin_tpu.fuel.databases import (
     MmapArrayWriter,
     MmapDict,
     SQLiteDict,
+    TableDict,
 )
 from odin_tpu.fuel.dataset import Dataset
 from odin_tpu.fuel.dataset_base import IterableDataset, get_partition

@@ -197,3 +197,54 @@ def MmapArray(path: str) -> np.memmap:
     h = json.load(f)
   shape = (h["n_rows"],) + tuple(h["row_shape"])
   return np.memmap(path, dtype=np.dtype(h["dtype"]), mode="r", shape=shape)
+
+
+class TableDict(MutableMapping):
+  """View of ONE table of a `SQLiteDict` database file (reference
+  ``databases.py:458``): several named tables share one connection/file."""
+
+  def __init__(self, sqlite: "SQLiteDict", table_name: str):
+    if not isinstance(sqlite, SQLiteDict):
+      raise ValueError("`sqlite` must be a SQLiteDict")
+    self._sqlite = sqlite
+    self.table = "".join(c for c in str(table_name)
+                         if c.isalnum() or c == "_")
+    sqlite._conn.execute(
+        f"CREATE TABLE IF NOT EXISTS {self.table} "
+        "(key TEXT PRIMARY KEY, value BLOB)")
+
+  @property
+  def sqlite(self) -> "SQLiteDict":
+    return self._sqlite
+
+  def _execute(self, sql, *args):
+    return self._sqlite._conn.execute(sql.format(t=self.table), *args)
+
+  def __getitem__(self, key):
+    row = self._execute("SELECT value FROM {t} WHERE key=?",
+                        (str(key),)).fetchone()
+    if row is None:
+      raise KeyError(key)
+    return pickle.loads(row[0])
+
+  def __setitem__(self, key, value):
+    self._execute("INSERT OR REPLACE INTO {t} (key, value) VALUES (?, ?)",
+                  (str(key), pickle.dumps(value)))
+    self._sqlite._conn.commit()
+
+  def __delitem__(self, key):
+    if str(key) not in self:
+      raise KeyError(key)
+    self._execute("DELETE FROM {t} WHERE key=?", (str(key),))
+    self._sqlite._conn.commit()
+
+  def __contains__(self, key):
+    return self._execute("SELECT 1 FROM {t} WHERE key=?",
+                         (str(key),)).fetchone() is not None
+
+  def __iter__(self):
+    for (k,) in self._execute("SELECT key FROM {t}"):
+      yield k
+
+  def __len__(self):
+    return self._execute("SELECT COUNT(*) FROM {t}").fetchone()[0]

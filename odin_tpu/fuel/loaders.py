@@ -58,3 +58,61 @@ class DataLoader:
 
 def load(name: str, path: Optional[str] = None):
   return DataLoader(name, path).load()
+
+
+# named legacy loaders (reference ``loaders.py:147-263``) — thin subclasses
+# over the generic local-gated DataLoader
+class MNIST_original(DataLoader):
+  def __init__(self, path: Optional[str] = None):
+    super().__init__("mnist_original", path)
+
+
+class TIDIGITS(DataLoader):
+  def __init__(self, path: Optional[str] = None):
+    super().__init__("tidigits", path)
+
+
+class SPEECH_SAMPLES(DataLoader):
+  def __init__(self, path: Optional[str] = None):
+    super().__init__("speech_samples", path)
+
+
+class IRIS(DataLoader):
+  def __init__(self, path: Optional[str] = None):
+    super().__init__("iris", path)
+
+
+class CMUarctic(DataLoader):
+  def __init__(self, path: Optional[str] = None):
+    super().__init__("cmuarctic", path)
+
+
+class MUSAN(DataLoader):
+  def __init__(self, path: Optional[str] = None):
+    super().__init__("musan", path)
+
+
+class openSMILEsad(DataLoader):
+  def __init__(self, path: Optional[str] = None):
+    super().__init__("opensmilesad", path)
+
+
+def load_glove(ndim: int = 100, path: Optional[str] = None):
+  """GloVe word vectors as {word: (ndim,) float32} (reference
+  ``loaders.py:274``).  Local-gated: expects the standard
+  ``glove.6B.<ndim>d.txt`` under the data dir (no egress)."""
+  path = path or os.path.join(get_data_path(), f"glove.6B.{ndim}d.txt")
+  if not os.path.exists(path):
+    raise FileNotFoundError(
+        f"GloVe file not found at {path}; no network egress — download "
+        "glove.6B and place the .txt there")
+  emb = {}
+  with open(path, "r", encoding="utf-8") as f:
+    for line in f:
+      parts = line.rstrip().split(" ")
+      emb[parts[0]] = np.asarray(parts[1:], dtype="float32")
+  return emb
+
+
+__all__ += ["MNIST_original", "TIDIGITS", "SPEECH_SAMPLES", "IRIS",
+            "CMUarctic", "MUSAN", "openSMILEsad", "load_glove"]

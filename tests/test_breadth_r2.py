@@ -488,6 +488,7 @@ def test_python_utils_containers():
   assert is_primitive((1, "a", None)) and not is_primitive(object())
 
 
+@pytest.mark.slow
 def test_checkpoint_resume_is_deterministic(tmp_path):
   """Mid-run checkpoint -> restore -> continue must reproduce the
   uninterrupted run EXACTLY (params bit-equal), including the on-device
@@ -658,3 +659,30 @@ def test_simple_rnn_and_new_activations():
   assert float(get_activation("mish")(jnp.asarray(0.0))) == pytest.approx(0.0)
   assert float(get_activation("softplus1")(jnp.asarray(0.0))) == \
       pytest.approx(1.0, rel=1e-5)
+
+
+def test_tabledict_and_named_loaders(tmp_path):
+  from odin_tpu.fuel import SQLiteDict, TableDict
+  from odin_tpu.fuel.loaders import IRIS, MUSAN, load_glove
+  db = SQLiteDict(str(tmp_path / "x.db"))
+  t1 = TableDict(db, "speakers")
+  t2 = TableDict(db, "scores")
+  t1["a"] = [1, 2, 3]
+  t2["a"] = "different table"
+  assert t1["a"] == [1, 2, 3] and t2["a"] == "different table"
+  assert len(t1) == 1 and list(t1) == ["a"]
+  del t1["a"]
+  assert "a" not in t1 and t2["a"] == "different table"
+  with pytest.raises(KeyError):
+    _ = t1["a"]
+
+  x, y = IRIS().load()  # sklearn-backed, works offline
+  assert x.shape[1] == 4 and len(x) == len(y)
+  assert not MUSAN(path=str(tmp_path / "nope")).is_available
+  with pytest.raises(FileNotFoundError):
+    MUSAN(path=str(tmp_path / "nope")).load()
+  # glove: local-gated, synthesize a tiny file
+  g = tmp_path / "glove.6B.3d.txt"
+  g.write_text("hello 0.1 0.2 0.3\nworld 1 2 3\n")
+  emb = load_glove(3, path=str(g))
+  np.testing.assert_allclose(emb["world"], [1, 2, 3])
