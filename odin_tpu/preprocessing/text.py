@@ -106,3 +106,134 @@ class Tokenizer:
     raise ValueError(f"unknown mode '{mode}'")
 
   fit_transform = lambda self, texts, **kw: self.fit(texts).transform(texts, **kw)
+
+
+# ---------------------------------------------------------------------------
+# preprocessors + token filters (reference ``text.py:33-258``)
+# ---------------------------------------------------------------------------
+_EXTRA_STOPWORDS: set = set()
+
+
+def add_stopword(words) -> None:
+  """Extend the stopword list (reference ``text.py:46``)."""
+  if isinstance(words, str):
+    words = (words,)
+  _EXTRA_STOPWORDS.update(str(w).lower() for w in words)
+
+
+def _builtin_stopwords() -> frozenset:
+  from sklearn.feature_extraction.text import ENGLISH_STOP_WORDS
+  return ENGLISH_STOP_WORDS
+
+
+def is_stopword(word: str, lang: str = "en") -> bool:
+  """Stopword test (reference ``text.py:52``; sklearn's English list
+  replaces the spaCy vocabulary — no model download)."""
+  if lang != "en":
+    raise ValueError("only English stopwords are bundled offline")
+  w = str(word).lower()
+  return w in _EXTRA_STOPWORDS or w in _builtin_stopwords()
+
+
+def is_oov(word: str, vocab) -> bool:
+  """Out-of-vocabulary test against an explicit vocabulary (reference
+  ``text.py:64`` used the spaCy string store; here the caller provides the
+  vocab — e.g. ``tokenizer.word_index``)."""
+  return str(word) not in vocab
+
+
+class TextPreprocessor:
+  """String -> string/tokens stage (reference ``text.py:76``)."""
+
+  def preprocess(self, text):
+    raise NotImplementedError
+
+  def __call__(self, text):
+    if isinstance(text, (tuple, list)):
+      return [self.preprocess(t) for t in text]
+    return self.preprocess(text)
+
+
+class CasePreprocessor(TextPreprocessor):
+  """Lower-case + split, optionally preserving ALL-CAPS names (reference
+  ``text.py:92``)."""
+
+  def __init__(self, lower: bool = True, keep_name: bool = True,
+               split: Optional[str] = " "):
+    self.lower = bool(lower)
+    self.keep_name = bool(keep_name)
+    self.split = split
+
+  def preprocess(self, text):
+    if self.split is not None:
+      tokens = [t for t in text.split(self.split) if t]
+      if self.lower:
+        tokens = [t if self.keep_name and t.isupper() else t.lower()
+                  for t in tokens]
+      return tokens
+    return text.lower() if self.lower else text
+
+
+class TransPreprocessor(TextPreprocessor):
+  """Translate a character set to replacements (reference ``text.py:113``;
+  the py2 ``string.maketrans``/``unicode`` body is replaced by
+  ``str.translate``)."""
+
+  def __init__(self, old: str = "!\"#$%&()*+,-./:;<=>?@[\\]^_`{|}~\t\n",
+               new: str = " "):
+    self._table = str.maketrans({c: new for c in old})
+
+  def preprocess(self, text):
+    if isinstance(text, (tuple, list)):
+      text = " ".join(text)
+    return text.translate(self._table).strip()
+
+
+class TokenFilter:
+  """Token -> token-or-'' stage; '' drops the token (reference
+  ``text.py:139``)."""
+
+  def filter(self, token: str, pos: Optional[str] = None) -> str:
+    raise NotImplementedError
+
+  def __call__(self, token: str, pos: Optional[str] = None) -> str:
+    return self.filter(token, pos)
+
+
+class TYPEfilter(TokenFilter):
+  """Accept tokens by character type (reference ``text.py:154``): any
+  enabled predicate accepts the token."""
+
+  def __init__(self, is_alpha: bool = False, is_digit: bool = False,
+               is_ascii: bool = False, is_title: bool = False):
+    self.predicates = []
+    if is_alpha:
+      self.predicates.append(str.isalpha)
+    if is_digit:
+      self.predicates.append(str.isdigit)
+    if is_ascii:
+      self.predicates.append(str.isascii)
+    if is_title:
+      self.predicates.append(str.istitle)
+
+  def filter(self, token, pos=None):
+    return token if any(p(token) for p in self.predicates) else ""
+
+
+class POSfilter(TokenFilter):
+  """Accept tokens whose part-of-speech tag is in the allowed set
+  (reference ``text.py:191``).  Tags are supplied by the caller (e.g. from
+  nltk/spaCy when installed) — the filter itself carries no model."""
+
+  def __init__(self, pos: Sequence[str] = ("NOUN", "PROPN", "VERB", "ADJ")):
+    self.pos = {str(p).upper() for p in pos}
+
+  def filter(self, token, pos=None):
+    if pos is None:
+      return token  # no tag information: pass through
+    return token if str(pos).upper() in self.pos else ""
+
+
+__all__ += ["add_stopword", "is_stopword", "is_oov", "TextPreprocessor",
+            "CasePreprocessor", "TransPreprocessor", "TokenFilter",
+            "TYPEfilter", "POSfilter"]

@@ -686,3 +686,28 @@ def test_tabledict_and_named_loaders(tmp_path):
   g.write_text("hello 0.1 0.2 0.3\nworld 1 2 3\n")
   emb = load_glove(3, path=str(g))
   np.testing.assert_allclose(emb["world"], [1, 2, 3])
+
+
+def test_text_preprocessors_and_filters():
+  from odin_tpu.preprocessing.text import (CasePreprocessor, POSfilter,
+                                           TransPreprocessor, TYPEfilter,
+                                           add_stopword, is_oov, is_stopword)
+  cp = CasePreprocessor(lower=True, keep_name=True)
+  assert cp.preprocess("Hello NASA world") == ["hello", "NASA", "world"]
+  assert CasePreprocessor(lower=True, keep_name=False,
+                          split=None).preprocess("ABC") == "abc"
+  tp = TransPreprocessor()
+  assert tp.preprocess("a,b.c!") == "a b c"
+  assert tp.preprocess(["x;y", "z"]) == "x y z"
+
+  tf = TYPEfilter(is_alpha=True)
+  assert tf("word") == "word" and tf("w0rd") == ""
+  assert TYPEfilter(is_digit=True)("123") == "123"
+  pf = POSfilter(pos=("NOUN",))
+  assert pf("cat", "NOUN") == "cat" and pf("run", "VERB") == ""
+  assert pf("unknown") == "unknown"  # no tags -> pass-through
+
+  assert is_stopword("the") and not is_stopword("spectrogram")
+  add_stopword("odin")
+  assert is_stopword("ODIN")
+  assert is_oov("zzz", {"abc": 1}) and not is_oov("abc", {"abc": 1})
