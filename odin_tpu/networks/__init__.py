@@ -58,6 +58,8 @@ from odin_tpu.networks.util_layers import (
     ParallelNetwork,
     PositionalEncoder,
     Reduce,
+    DepthToSpace,
+    Resampling2D,
     SimpleRNN,
     SkipConnection,
     get_embedding,

@@ -22,7 +22,7 @@ __all__ = ["Identity", "ExpandDims", "Reduce", "Conv1DTranspose",
            "BatchRenormalization", "ParallelNetwork", "PositionalEncoder",
            "SkipConnection", "ConditionalEmbedding", "ConditionalProjection",
            "get_embedding",
-           "LSTM", "GRU", "SimpleRNN"]
+           "LSTM", "GRU", "SimpleRNN", "DepthToSpace", "Resampling2D"]
 
 
 class Identity(nn.Module):
@@ -251,3 +251,34 @@ def get_embedding(method: str):
       return cls
   raise KeyError(f"unknown embedding method '{method}'; "
                  f"supported: {sorted(table)}")
+
+
+class DepthToSpace(nn.Module):
+  """Pixel-shuffle upsampling: (B, H, W, C*r^2) -> (B, H*r, W*r, C).
+
+  The TPU-preferred alternative to ConvTranspose for learned upsampling
+  (regular conv keeps the MXU busy; the shuffle is a free relayout —
+  cf. the reference's up-sampling residual blocks, ``resnets.py``)."""
+
+  block_size: int = 2
+
+  def __call__(self, x, training: bool = False):
+    r = self.block_size
+    b, h, w, c = x.shape
+    assert c % (r * r) == 0, (c, r)
+    x = x.reshape(b, h, w, r, r, c // (r * r))
+    x = x.transpose(0, 1, 3, 2, 4, 5)
+    return x.reshape(b, h * r, w * r, c // (r * r))
+
+
+class Resampling2D(nn.Module):
+  """Nearest/linear spatial resize by a factor (reference
+  ``networks/resnets.py`` `Resampling2D` / `upsampling2D`)."""
+
+  factor: float = 2.0
+  method: str = "nearest"
+
+  def __call__(self, x, training: bool = False):
+    b, h, w, c = x.shape
+    out = (b, int(round(h * self.factor)), int(round(w * self.factor)), c)
+    return jax.image.resize(x, out, method=self.method)

@@ -711,3 +711,22 @@ def test_text_preprocessors_and_filters():
   add_stopword("odin")
   assert is_stopword("ODIN")
   assert is_oov("zzz", {"abc": 1}) and not is_oov("abc", {"abc": 1})
+
+
+def test_depth_to_space_and_resampling():
+  from odin_tpu.networks import DepthToSpace, Resampling2D
+  x = jnp.arange(2 * 4 * 4 * 8, dtype=jnp.float32).reshape(2, 4, 4, 8)
+  y = DepthToSpace(block_size=2).apply({}, x)
+  assert y.shape == (2, 8, 8, 2)
+  # energy preserved (pure relayout)
+  np.testing.assert_allclose(np.sum(np.asarray(y) ** 2),
+                             np.sum(np.asarray(x) ** 2), rtol=1e-6)
+  # the r x r sub-block at output (0:2, 0:2) comes from input pixel (0, 0)
+  np.testing.assert_allclose(np.asarray(y[0, :2, :2, :]).ravel(),
+                             np.asarray(x[0, 0, 0, :]).ravel())
+  up = Resampling2D(2.0).apply({}, x)
+  assert up.shape == (2, 8, 8, 8)
+  np.testing.assert_allclose(np.asarray(up[0, :2, :2, 0]),
+                             np.full((2, 2), float(x[0, 0, 0, 0])))
+  down = Resampling2D(0.5).apply({}, x)
+  assert down.shape == (2, 2, 2, 8)
