@@ -15,6 +15,7 @@ sliding-window statistics; everything else matches the reference op-for-op.
 """
 from __future__ import annotations
 
+import os
 import warnings
 from typing import Optional, Tuple, Union
 
@@ -824,3 +825,80 @@ def pad_sequences(sequences, maxlen: Optional[int] = None,
     else:
       out[i, -len(trunc):] = trunc
   return out
+
+
+def set_vad_mode(mode: float) -> None:
+  """VAD sensitivity 1.0-2.4 — higher keeps more high-energy frames
+  (reference :280; scales the GMM-threshold margin in `vad_energy`)."""
+  global _VAD_MODE
+  if isinstance(mode, (int, float)):
+    _VAD_MODE = float(min(max(mode, 1.0), 2.4))
+
+
+def mel_frequencies(n_mels: int = 128, fmin: float = 0.0,
+                    fmax: float = 11025.0) -> np.ndarray:
+  """Center frequencies of mel bands (reference :570)."""
+  return mel2hz(np.linspace(float(np.asarray(hz2mel(fmin)).ravel()[0]),
+                            float(np.asarray(hz2mel(fmax)).ravel()[0]),
+                            int(n_mels)))
+
+
+def pad_center(data: np.ndarray, size: int, axis: int = -1,
+               **kwargs) -> np.ndarray:
+  """Center `data` in a length-`size` axis by symmetric padding
+  (librosa-style helper the reference re-exports)."""
+  n = data.shape[axis]
+  lpad = int((size - n) // 2)
+  if lpad < 0:
+    raise ValueError(f"target size {size} < input size {n}")
+  lengths = [(0, 0)] * data.ndim
+  lengths[axis] = (lpad, int(size - n - lpad))
+  return np.pad(data, lengths, **kwargs)
+
+
+def loudness2intensity(loudness: np.ndarray) -> np.ndarray:
+  """openSMILE loudness -> intensity at the 60 dB standard
+  (reference :483)."""
+  loudness = np.asarray(loudness)
+  if loudness.ndim == 2:
+    loudness = loudness[:, 0]
+  return loudness * 60.0
+
+
+def anything2wav(inpath: str, outpath: Optional[str] = None,
+                 channel: Optional[int] = None,
+                 sample_rate: Optional[int] = None) -> np.ndarray:
+  """Convert any audio container to wav via sox/ffmpeg when installed
+  (reference :47 shelled to sox with per-dataset recipes).  This
+  environment bundles neither binary, so the function is tool-gated; wav/
+  sphere/pcm inputs never need it (`speech.read` decodes them natively)."""
+  import shutil
+  import subprocess
+  tool = shutil.which("sox") or shutil.which("ffmpeg")
+  if tool is None:
+    raise RuntimeError(
+        "anything2wav requires sox or ffmpeg on PATH (neither is bundled); "
+        "wav / NIST sphere / raw PCM are read natively by "
+        "odin_tpu.preprocessing.speech.read")
+  outpath = outpath or (os.path.splitext(inpath)[0] + ".converted.wav")
+  if os.path.basename(tool) == "sox":
+    cmd = [tool, inpath]
+    if sample_rate:
+      cmd += ["-r", str(int(sample_rate))]
+    cmd += [outpath]
+    if channel is not None:
+      cmd += ["remix", str(int(channel) + 1)]
+  else:
+    cmd = [tool, "-y", "-i", inpath]
+    if sample_rate:
+      cmd += ["-ar", str(int(sample_rate))]
+    if channel is not None:
+      cmd += ["-af", f"pan=mono|c0=c{int(channel)}"]
+    cmd += [outpath]
+  subprocess.run(cmd, check=True, capture_output=True)
+  from odin_tpu.preprocessing.speech import read
+  return read(outpath)
+
+
+__all__ += ["set_vad_mode", "mel_frequencies", "pad_center",
+            "loudness2intensity", "anything2wav"]

@@ -730,3 +730,26 @@ def test_depth_to_space_and_resampling():
                              np.full((2, 2), float(x[0, 0, 0, 0])))
   down = Resampling2D(0.5).apply({}, x)
   assert down.shape == (2, 2, 2, 8)
+
+
+def test_signal_helper_tail():
+  from odin_tpu.preprocessing import signal as S
+  f = S.mel_frequencies(n_mels=10, fmin=0, fmax=4000)
+  assert f.shape == (10,) and f[0] == pytest.approx(0.0) and \
+      f[-1] == pytest.approx(4000.0, rel=1e-6)
+  assert np.all(np.diff(f) > 0)
+  x = np.ones((3, 5))
+  p = S.pad_center(x, 9)
+  assert p.shape == (3, 9) and p[0, 2] == 1 and p[0, 0] == 0
+  with pytest.raises(ValueError):
+    S.pad_center(x, 3)
+  l = S.loudness2intensity(np.array([[0.5, 9.9], [1.0, 9.9]]))
+  np.testing.assert_allclose(l, [30.0, 60.0])
+  # vad mode scales the threshold margin
+  S.set_vad_mode(1.0)
+  assert S._VAD_MODE == 1.0
+  S.set_vad_mode(99)
+  assert S._VAD_MODE == 2.4
+  S.set_vad_mode(2.0)
+  with pytest.raises(RuntimeError):
+    S.anything2wav("/nonexistent.mp3")  # no sox/ffmpeg bundled
