@@ -156,9 +156,19 @@ class amortizedLDA(VariationalAutoencoder):
     return np.asarray(theta)
 
   def get_topics(self, top_k: int = 10):
-    """Topic-word weights (for inspection)."""
-    p = self._params_of()["vae"]["topic_decoder"]["topics_words"]
-    probs = jax.nn.softmax(p, axis=-1)
+    """Topic-word weights (for inspection).
+
+    Works for every variant: the linear decoder's `topics_words` parameter
+    is read directly; the nonlinear decoder (where `topics_words` is a
+    Dense submodule) is probed by decoding the K one-hot topic mixtures."""
+    p = self._params_of()["vae"]["topic_decoder"].get("topics_words")
+    if p is not None and not isinstance(p, dict):
+      probs = jax.nn.softmax(p, axis=-1)
+    else:
+      eye = jnp.eye(self.n_topics, dtype=jnp.float32)
+      log_word = self._apply(self._params_of(), "decode", eye)
+      probs = jnp.exp(log_word)
+      probs = probs / jnp.maximum(probs.sum(-1, keepdims=True), 1e-12)
     idx = jnp.argsort(-probs, axis=-1)[:, :top_k]
     return np.asarray(idx), np.asarray(probs)
 
@@ -188,6 +198,10 @@ class auxiliaryLDA(amortizedLDA):
     return {"labels": (head,
                        lambda: jnp.zeros((1, self.n_topics), jnp.float32))}
 
+  @classmethod
+  def is_semi_supervised(cls) -> bool:
+    return True  # consumes (x, y[, mask]) batches; y=None degrades cleanly
+
   def train_steps(self):
     from odin_tpu.training.core import TrainStep
     return [TrainStep(loss_fn=self._vae_loss, partitions=("vae", "labels"),
@@ -202,6 +216,9 @@ class auxiliaryLDA(amortizedLDA):
                                            training=training,
                                            mutables=mutables)
     if y is not None:
+      y = jnp.asarray(y)
+      if y.ndim == 1:  # integer labels -> one-hot for the onehot head
+        y = jax.nn.one_hot(y.astype(jnp.int32), self.n_labels)
       qy = self._apply_module(params, "labels", self._labels_head2,
                               aux["z"], rng=rng, training=training)
       llk["llk_labels"] = masked_mean_llk(self.alpha * qy.log_prob(y), mask)
