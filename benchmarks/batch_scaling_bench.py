@@ -6,8 +6,21 @@ steps/s, images/s, and MFU: the table that locates the throughput-optimal
 operating point for corpus training.
 
 Measured 2026-08-18 (TPU v5e 1 chip, 100-step scans, 2 timed calls):
-see BASELINE.md "Batch scaling" — this script reprints one JSON line per
-batch size.
+
+| batch | steps/s/chip | images/s | MFU (bf16 peak) |
+|-------|--------------|----------|-----------------|
+| 64    | 1114         | 71k      | 7.8%            |
+| 128   | 1068         | **137k** | **15.0%**       |
+| 256   | 501          | 128k     | 14.1%           |
+| 512   | 219          | 112k     | 12.3%           |
+| 1024  | 109          | 112k     | 12.2%           |
+
+Throughput PEAKS at batch 128: up to there the bigger convs amortize the
+fixed per-step work (sampling, optimizer, loop overhead) almost for free;
+beyond it the step cost grows super-linearly with batch (larger-than-VMEM
+activations spill to HBM) while the flops stay fixed per image.  Batch 128
+is the recommended corpus-training operating point on one v5e chip for
+this architecture (BASELINE.md updated).
 
 Run:  python benchmarks/batch_scaling_bench.py
 """
