@@ -11,7 +11,7 @@ MFU is estimated from XLA's compiled cost analysis (model flops per fused
 call / wall time) against the TPU v5e bf16 peak (197 TFLOP/s/chip,
 jax-ml.github.io/scaling-book).  The batch-64 headline config is
 dispatch/VPU-bound by design (tiny model); set ODIN_BENCH_MXU=1 to also run
-the MXU-bound config (batch 256, device-resident corpus, bf16 matmul
+the MXU-bound config (batch 128, device-resident corpus, bf16 matmul
 precision) whose numbers are recorded in BASELINE.md.
 """
 import json
@@ -78,7 +78,7 @@ def run_scan_config(vae_factory, batch: int, scan_steps: int, calls: int):
   return steps_per_sec / max(n_chips, 1), mfu
 
 
-def run_mxu_config(vae_factory, batch: int = 256, n_images: int = 16384,
+def run_mxu_config(vae_factory, batch: int = 128, n_images: int = 16384,
                    scan_steps: int = 200, calls: int = 3):
   """MXU-bound config: device-resident corpus, on-device batch sampling,
   bf16 matmul precision (the fit_device_dataset path)."""
@@ -132,9 +132,11 @@ def main():
   if mfu is not None:
     out["mfu_bf16_peak"] = round(mfu, 4)
   if os.environ.get("ODIN_BENCH_MXU"):
+    # batch 128 is the measured throughput peak of the device-resident
+    # config (benchmarks/batch_scaling_bench.py: 137k images/s, 15% MFU)
     mxu_steps, mxu_mfu = run_mxu_config(factory)
     out["mxu_config"] = {
-        "batch": 256, "steps_per_sec_per_chip": round(mxu_steps, 2),
+        "batch": 128, "steps_per_sec_per_chip": round(mxu_steps, 2),
         "mfu_bf16_peak": round(mxu_mfu, 4) if mxu_mfu else None,
     }
   if os.environ.get("ODIN_BENCH_WIDE"):
