@@ -20,7 +20,12 @@ from odin_tpu.bay.vi.autoencoder.beta_vae import (
 )
 from odin_tpu.bay.vi.autoencoder.dip_vae import DIPVAE
 from odin_tpu.bay.vi.autoencoder.factor_discriminator import FactorDiscriminator
-from odin_tpu.bay.vi.autoencoder.factor_vae import FactorVAE, SemiFactorVAE
+from odin_tpu.bay.vi.autoencoder.factor_vae import (
+    Factor2VAE,
+    FactorVAE,
+    SemiFactor2VAE,
+    SemiFactorVAE,
+)
 from odin_tpu.bay.vi.autoencoder.hyperbolic_vae import (
     HypersphericalVAE,
     PowersphericalVAE,
@@ -87,7 +92,8 @@ from odin_tpu.bay.vi.autoencoder.vq_vae import VQVAE, VectorQuantizer
 __all__ = [
     "VariationalAutoencoder", "VAE", "Autoencoder", "BetaVAE", "Beta10VAE",
     "BetaGammaVAE", "Gamma10VAE", "AnnealingVAE", "BetaTCVAE",
-    "BetaCapacityVAE", "FactorVAE", "SemiFactorVAE", "FactorDiscriminator",
+    "BetaCapacityVAE", "FactorVAE", "SemiFactorVAE", "Factor2VAE",
+    "SemiFactor2VAE", "FactorDiscriminator",
     "InfoVAE", "MIVAE", "DIPVAE", "irmVAE", "irmAE", "HypersphericalVAE",
     "PowersphericalVAE", "TwoStageVAE", "VampriorVAE", "VQVAE",
     "VectorQuantizer", "MultitaskVAE", "SkiptaskVAE", "MultiheadVAE",

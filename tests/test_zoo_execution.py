@@ -54,6 +54,16 @@ EXTRA_KWARGS = {
     "DistEncoder": dict(latents=RVconf(2, "gaussian", projection=True,
                                        name="targets")),
     "SemiFactorVAE": dict(discriminator_units=(32, 32), n_labels=2),
+    "Factor2VAE": dict(discriminator_units=(32, 32),
+                       latents=RVconf(4, "mvndiag", projection=True,
+                                      name="latents"),
+                       factors=RVconf(3, "mvndiag", projection=True,
+                                      name="factors")),
+    "SemiFactor2VAE": dict(discriminator_units=(32, 32), n_labels=2,
+                           latents=RVconf(4, "mvndiag", projection=True,
+                                          name="latents"),
+                           factors=RVconf(3, "mvndiag", projection=True,
+                                          name="factors")),
     "VQVAE": dict(n_codes=16),
     "TwoStageVAE": dict(stage2_units=32, stage2_layers=1),
 }
