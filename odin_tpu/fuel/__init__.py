@@ -32,18 +32,23 @@ from odin_tpu.fuel.image_data.datasets import (
     CIFAR100,
     MNIST,
     SVHN,
+    BinarizedAlphaDigits,
     BinarizedMNIST,
     CelebA,
+    CelebABig,
     CelebASmall,
     FashionMNIST,
+    HalfMNIST,
     HalfMoons,
     Kaokore,
     LegoFaces,
     Omniglot,
     Shapes3D,
+    Shapes3D0,
     Shapes3DSmall,
     YDisentanglement,
     dSprites,
+    dSprites0,
     dSpritesSmall,
 )
 from odin_tpu.fuel.audio_data import AudioFeatureLoader
@@ -61,9 +66,11 @@ from odin_tpu.fuel.pipeline import DataPipeline
 __all__ = [
     "get_dataset", "get_all_dataset", "IterableDataset", "ImageDataset",
     "DataPipeline", "Dataset", "MmapDict", "SQLiteDict", "MmapArray",
-    "MmapArrayWriter", "MNIST", "FashionMNIST", "BinarizedMNIST", "SVHN",
-    "CIFAR10", "CIFAR100", "CIFAR20", "CelebA", "CelebASmall", "Omniglot",
-    "dSprites", "dSpritesSmall", "Shapes3D", "Shapes3DSmall", "HalfMoons",
+    "MmapArrayWriter", "MNIST", "FashionMNIST", "BinarizedMNIST",
+    "HalfMNIST", "BinarizedAlphaDigits", "SVHN",
+    "CIFAR10", "CIFAR100", "CIFAR20", "CelebA", "CelebASmall", "CelebABig",
+    "Omniglot", "dSprites", "dSpritesSmall", "dSprites0", "Shapes3D",
+    "Shapes3DSmall", "Shapes3D0", "HalfMoons",
     "YDisentanglement", "Newsgroup20", "Newsgroup5", "SyntheticBoW",
     "Cortex", "PBMC", "SyntheticGenes", "GeneDataset", "NLPDataset",
     "Melanoma", "Forebrain", "Insilico", "BreastTumor", "Leukemia",

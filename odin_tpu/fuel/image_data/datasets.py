@@ -24,10 +24,11 @@ from odin_tpu.fuel.image_data._base import ImageDataset
 from odin_tpu.utils import get_data_path
 
 __all__ = [
-    "NPZImageDataset", "MNIST", "FashionMNIST", "BinarizedMNIST", "SVHN",
-    "CIFAR10", "CIFAR100", "CIFAR20", "CelebA", "CelebASmall", "Omniglot",
-    "dSprites", "dSpritesSmall", "Shapes3D", "Shapes3DSmall", "HalfMoons",
-    "YDisentanglement",
+    "NPZImageDataset", "MNIST", "FashionMNIST", "BinarizedMNIST",
+    "HalfMNIST", "BinarizedAlphaDigits", "SVHN", "CIFAR10", "CIFAR100",
+    "CIFAR20", "CelebA", "CelebASmall", "CelebABig", "Omniglot", "dSprites",
+    "dSpritesSmall", "dSprites0", "Shapes3D", "Shapes3DSmall", "Shapes3D0",
+    "HalfMoons", "YDisentanglement",
 ]
 
 
@@ -109,6 +110,46 @@ class BinarizedMNIST(MNIST):
     return super().create_dataset(*args, **kwargs)
 
 
+class HalfMNIST(MNIST):
+  """MNIST with only half the training examples (reference
+  ``all_mnist.py:69``); valid/test untouched."""
+
+  @property
+  def name(self) -> str:
+    return "halfmnist"
+
+  def _load(self, partition: str):
+    x, y = super()._load(partition)
+    if get_partition(partition, train=True, valid=False, test=False):
+      n = len(x) // 2
+      x = x[:n]
+      y = None if y is None else y[:n]
+    return x, y
+
+
+class BinarizedAlphaDigits(BinarizedMNIST):
+  """Binary 20x16 digits '0'-'9' and capitals 'A'-'Z', 39 examples per
+  class (reference ``all_mnist.py:78``); npz-gated, single array split
+  70/10/20 into train/valid/test like the reference's tfds splits."""
+
+  _name = "binaryalphadigits"
+  _shape = (20, 16, 1)
+  _labels = ([str(i) for i in range(10)] +
+             [chr(ord("A") + i) for i in range(26)])
+
+  def _load(self, partition: str):
+    arr = self._arrays()
+    if "x_valid" not in arr or "x_test" not in arr:
+      x, y = arr["x_train"], arr.get("y_train")
+      n = len(x)
+      a, b = int(0.7 * n), int(0.8 * n)
+      arr["x_train"], arr["x_valid"], arr["x_test"] = x[:a], x[a:b], x[b:]
+      if y is not None:
+        arr["y_train"], arr["y_valid"], arr["y_test"] = y[:a], y[a:b], y[b:]
+    key = get_partition(partition, train="train", valid="valid", test="test")
+    return arr[f"x_{key}"], arr.get(f"y_{key}")
+
+
 class SVHN(NPZImageDataset):
   _name = "svhn"
   _shape = (32, 32, 3)
@@ -142,6 +183,13 @@ class CelebA(NPZImageDataset):
 
 class CelebASmall(CelebA):
   _name = "celebasmall"
+
+
+class CelebABig(CelebA):
+  """Original-resolution CelebA, square-cropped to (178, 178, 3)
+  (reference ``celeba.py:200``)."""
+  _name = "celebabig"
+  _shape = (178, 178, 3)
 
 
 class Omniglot(NPZImageDataset):
@@ -290,6 +338,39 @@ class dSpritesSmall(dSprites):
     return "dspritessmall"
 
 
+class dSprites0(dSprites):
+  """dSprites with shape-only one-hot labels (reference ``shapes.py:250``,
+  the `only_shape` map); `all_labels=True` keeps all five factors as
+  concatenated per-factor one-hots (reference `onehot=True`)."""
+
+  def __init__(self, all_labels: bool = False, **kwargs):
+    kwargs.pop("continuous_factors", None)
+    super().__init__(continuous_factors=False, **kwargs)
+    self.all_labels = bool(all_labels)
+
+  @property
+  def name(self):
+    return "dsprites0"
+
+  @property
+  def labels(self):
+    if self.all_labels:
+      return list(self.factor_names)
+    return ["square", "ellipse", "heart"]
+
+  def _onehot_factors(self, f):
+    return np.concatenate(
+        [np.eye(k, dtype="float32")[f[:, i].astype(int)]
+         for i, k in enumerate(self.factor_sizes)], -1)
+
+  def _load(self, partition: str):
+    x, y = super()._load(partition)
+    f = np.asarray(y)
+    if self.all_labels:
+      return x, self._onehot_factors(f)
+    return x, np.eye(3, dtype="float32")[f[:, 0].astype(int)]
+
+
 class Shapes3D(ImageDataset):
   """Shapes3D (Burgess & Kim): 6 factors (reference ``shapes.py:192``).
   Without the official file, a procedural colored-sprite stand-in renders
@@ -372,6 +453,36 @@ class Shapes3DSmall(Shapes3D):
   @property
   def name(self):
     return "shapes3dsmall"
+
+
+class Shapes3D0(Shapes3D):
+  """Shapes3D with shape-only one-hot labels (reference ``shapes.py:265``);
+  `all_labels=True` keeps all six factors as concatenated one-hots."""
+
+  def __init__(self, all_labels: bool = False, **kwargs):
+    super().__init__(**kwargs)
+    self.all_labels = bool(all_labels)
+
+  @property
+  def name(self):
+    return "shapes3d0"
+
+  @property
+  def labels(self):
+    if self.all_labels:
+      return list(self.factor_names)
+    return ["cube", "cylinder", "sphere", "round"]
+
+  def _load(self, partition: str):
+    x, y = super()._load(partition)
+    f = np.asarray(y)
+    if self.all_labels:
+      return x, np.concatenate(
+          [np.eye(k, dtype="float32")[f[:, i].astype(int)]
+           for i, k in enumerate(self.factor_sizes)], -1)
+    shape_idx = self.factor_names.index("shape")
+    k = self.factor_sizes[shape_idx]
+    return x, np.eye(k, dtype="float32")[f[:, shape_idx].astype(int)]
 
 
 class HalfMoons(ImageDataset):

@@ -141,3 +141,32 @@ def test_lda_transform_doc_topics():
   docs = lda.transform(x)
   assert docs.shape == (16, 3)
   np.testing.assert_allclose(docs.sum(-1), 1.0, atol=1e-4)
+
+
+def test_dataset_variants_round2():
+  """Reference variant classes: HalfMNIST (all_mnist.py:69),
+  BinarizedAlphaDigits (:78), dSprites0/Shapes3D0 (shapes.py:250,265),
+  CelebABig (celeba.py:200)."""
+  from odin_tpu.fuel import (BinarizedAlphaDigits, CelebABig, HalfMNIST,
+                             Shapes3D0, dSprites0, get_all_dataset)
+  names = [c.__name__ for c in get_all_dataset()]
+  for n in ("HalfMNIST", "BinarizedAlphaDigits", "dSprites0", "Shapes3D0",
+            "CelebABig"):
+    assert n in names, n
+  assert BinarizedAlphaDigits().shape == (20, 16, 1)
+  assert len(BinarizedAlphaDigits().labels) == 36
+  assert BinarizedAlphaDigits().binarized
+  assert CelebABig().shape == (178, 178, 3)
+  assert HalfMNIST().name == "halfmnist"
+  # procedural variants: shape-only one-hot labels
+  ds = dSprites0(n_samples=64)
+  x, y = ds.numpy("train")
+  assert y.shape == (64, 3) and set(np.unique(y)) <= {0.0, 1.0}
+  assert np.all(y.sum(-1) == 1.0)
+  assert ds.labels == ["square", "ellipse", "heart"]
+  ds_all = dSprites0(n_samples=32, all_labels=True)
+  _, y_all = ds_all.numpy("train")
+  assert y_all.shape == (32, sum(ds_all.factor_sizes))
+  ds3 = Shapes3D0(n_samples=32)
+  x3, y3 = ds3.numpy("train")
+  assert y3.shape == (32, 4) and np.all(y3.sum(-1) == 1.0)
