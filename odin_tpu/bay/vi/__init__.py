@@ -10,7 +10,23 @@ from odin_tpu.bay.vi.utils import (
 )
 from odin_tpu.bay.vi.autoencoder import *  # noqa: F401,F403
 from odin_tpu.bay.vi.autoencoder import get_vae
-from odin_tpu.bay.vi.disentanglement_gym import DisentanglementGym, GroundTruth
+from odin_tpu.bay.vi.disentanglement_gym import (
+    DisentanglementGym,
+    GroundTruth,
+    concat_mean,
+    first_mean,
+    plot_latent_stats,
+)
+from odin_tpu.bay.vi.losses import (
+    disentangled_inferred_prior_loss,
+    gaussian_kernel,
+    get_divergence,
+    linear_kernel,
+    maximum_mean_discrepancy,
+    pairwise_distances,
+    polynomial_kernel,
+    total_correlation,
+)
 from odin_tpu.bay.vi.metrics import (
     Correlation,
     correlation_matrix,

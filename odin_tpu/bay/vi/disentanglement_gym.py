@@ -22,7 +22,57 @@ from odin_tpu.bay.vi import downstream_metrics as _dm
 from odin_tpu.bay.vi.losses import total_correlation as _tc
 from odin_tpu.bay.vi.utils import discretizing
 
-__all__ = ["GroundTruth", "DisentanglementGym"]
+__all__ = ["GroundTruth", "DisentanglementGym", "concat_mean", "first_mean",
+           "plot_latent_stats"]
+
+
+def _reshape2D(x) -> np.ndarray:
+  x = np.asarray(x)
+  return x.reshape(x.shape[0], -1)
+
+
+def concat_mean(dists: Sequence[Any]) -> np.ndarray:
+  """Concatenate the 2-D means of several distributions along features
+  (reference ``disentanglement_gym.py:70``)."""
+  return np.concatenate([_reshape2D(d.mean()) for d in dists], -1)
+
+
+def first_mean(dists: Sequence[Any]) -> np.ndarray:
+  """2-D mean of the first distribution (reference :74)."""
+  return _reshape2D(dists[0].mean())
+
+
+def plot_latent_stats(mean, stddev, kld=None, weights=None, ax=None,
+                      name: str = "q(z|x)"):
+  """Per-dimension latent statistics line plot: mean + stddev on the left
+  axis, KL(q|p) and decoder weight norms on a twin axis
+  (reference ``disentanglement_gym.py:173-230``)."""
+  import matplotlib
+  matplotlib.use("Agg")
+  import matplotlib.pyplot as plt
+  if ax is None:
+    _, ax = plt.subplots(figsize=(8, 3))
+  l1 = ax.plot(np.asarray(mean), label="mean", linewidth=0.5, marker="o",
+               markersize=3, color="r", alpha=0.5)
+  l2 = ax.plot(np.asarray(stddev), label="stddev", linewidth=0.5,
+               marker="^", markersize=3, color="g", alpha=0.5)
+  ax.tick_params(axis="y", colors="r")
+  ax.set_ylabel(f"{name} Mean", color="r")
+  ax.grid(True)
+  lines = l1 + l2
+  if kld is not None or weights is not None:
+    ax2 = ax.twinx()
+    if kld is not None:
+      lines += ax2.plot(np.asarray(kld), label="KL(q|p)", linestyle="--",
+                        color="y", marker="s", markersize=2.5,
+                        linewidth=1.0, alpha=0.5)
+    if weights is not None:
+      lines += ax2.plot(np.asarray(weights), label="weights",
+                        linestyle="--", color="b", marker="s",
+                        markersize=2.5, linewidth=1.0, alpha=0.5)
+    ax2.grid(False)
+  ax.legend(lines, [ln.get_label() for ln in lines], fontsize=7)
+  return ax.figure
 
 
 class GroundTruth:
@@ -450,6 +500,31 @@ class DisentanglementGym:
     for ax in axes[D:]:
       ax.axis("off")
     fig.tight_layout()
+    if path:
+      fig.savefig(path, dpi=120)
+      plt.close(fig)
+      return path
+    return fig
+
+  def plot_latents_stats(self, path: Optional[str] = None,
+                         title: str = ""):
+    """Per-dimension posterior statistics sorted by stddev, with the
+    per-dimension KL to the factorized standard-normal prior
+    (reference `plot_latents_stats`, :991-1040)."""
+    self._require_run()
+    import matplotlib
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+    mean = np.mean(_reshape2D(self.qz.mean()), 0)
+    stddev = np.mean(_reshape2D(self.qz.stddev()), 0)
+    mu = _reshape2D(self.qz.mean())
+    sd = _reshape2D(self.qz.stddev())
+    # analytic per-dim KL(N(mu, sd) || N(0, 1)), averaged over samples
+    kld = np.mean(0.5 * (mu ** 2 + sd ** 2 - 1.0 - 2.0 * np.log(sd)), 0)
+    ids = np.argsort(stddev)
+    fig = plot_latent_stats(mean[ids], stddev[ids], kld=kld[ids])
+    if title:
+      fig.axes[0].set_title(title, fontsize=9)
     if path:
       fig.savefig(path, dpi=120)
       plt.close(fig)

@@ -16,8 +16,23 @@ from odin_tpu.bay.distributions import Distribution
 __all__ = [
     "total_correlation", "disentangled_inferred_prior_loss",
     "pairwise_distances", "gaussian_kernel", "linear_kernel",
-    "maximum_mean_discrepancy",
+    "polynomial_kernel", "maximum_mean_discrepancy", "get_divergence",
 ]
+
+
+def get_divergence(name: str):
+  """Divergence dispatcher (reference ``losses.py:23-33``): 'dip', 'tc',
+  'mmd', or 'kl' -> the corresponding callable."""
+  from odin_tpu.bay.helpers import kl_divergence
+  div = dict(dip=disentangled_inferred_prior_loss,
+             tc=total_correlation,
+             mmd=maximum_mean_discrepancy,
+             kl=kl_divergence)
+  key = str(name).strip().lower()
+  if key not in div:
+    raise ValueError(f"Cannot find divergence with name: '{name}', "
+                     f"all available are: {', '.join(div)}")
+  return div[key]
 
 
 def total_correlation(z_samples: jax.Array, qz_x: Distribution) -> jax.Array:
@@ -79,6 +94,19 @@ def linear_kernel(x: jax.Array, y: jax.Array) -> jax.Array:
   return jnp.abs(jnp.sum(d, axis=-1))
 
 
+def polynomial_kernel(x: jax.Array, y: jax.Array, degree: int = 2,
+                      gamma: Optional[float] = None,
+                      coef0: float = 1.0) -> jax.Array:
+  """K(x, y) = (gamma <x, y> + coef0)^degree.  The reference declares this
+  kernel but leaves it `NotImplementedError` (``losses.py:222``);
+  implemented here for real with the standard sklearn parameterization."""
+  x = x.reshape(-1, x.shape[-1])
+  y = y.reshape(-1, y.shape[-1])
+  if gamma is None:
+    gamma = 1.0 / x.shape[-1]
+  return (gamma * (x @ y.T) + coef0) ** degree
+
+
 def maximum_mean_discrepancy(qz: Distribution,
                              pz: Distribution,
                              seed: jax.Array,
@@ -98,6 +126,7 @@ def maximum_mean_discrepancy(qz: Distribution,
   y = pz.sample(k2, (int(p_sample_shape),))
   x = x.reshape(-1, x.shape[-1])
   y = y.reshape(-1, y.shape[-1])
-  kern = {"gaussian": gaussian_kernel, "linear": linear_kernel}[kernel]
+  kern = {"gaussian": gaussian_kernel, "linear": linear_kernel,
+          "polynomial": polynomial_kernel}[kernel]
   return (jnp.mean(kern(x, x)) + jnp.mean(kern(y, y)) -
           2.0 * jnp.mean(kern(x, y)))

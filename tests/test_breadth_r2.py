@@ -753,3 +753,53 @@ def test_signal_helper_tail():
   S.set_vad_mode(2.0)
   with pytest.raises(RuntimeError):
     S.anything2wav("/nonexistent.mp3")  # no sox/ffmpeg bundled
+
+
+def test_get_divergence_and_polynomial_kernel():
+  """Reference ``vi/losses.py:23-33`` (get_divergence dispatcher) and :222
+  (polynomial_kernel, upstream NotImplementedError — implemented here)."""
+  import jax
+  from odin_tpu.bay.distributions.continuous import Normal
+  from odin_tpu.bay.vi import losses as L
+  assert L.get_divergence("mmd") is L.maximum_mean_discrepancy
+  assert L.get_divergence("tc") is L.total_correlation
+  assert L.get_divergence("dip") is L.disentangled_inferred_prior_loss
+  with pytest.raises(ValueError):
+    L.get_divergence("nope")
+  x = np.random.RandomState(0).randn(8, 4).astype("f")
+  y = np.random.RandomState(1).randn(6, 4).astype("f")
+  k = np.asarray(L.polynomial_kernel(jnp.asarray(x), jnp.asarray(y)))
+  assert k.shape == (8, 6)
+  np.testing.assert_allclose(
+      k, (x @ y.T / 4 + 1.0) ** 2, rtol=1e-5)
+  # polynomial kernel usable inside MMD: same dist -> near 0, far -> large
+  q = Normal(jnp.zeros(4), jnp.ones(4))
+  p_far = Normal(jnp.full(4, 5.0), jnp.ones(4))
+  key = jax.random.PRNGKey(0)
+  near = float(L.maximum_mean_discrepancy(q, q, key, q_sample_shape=64,
+                                          p_sample_shape=64,
+                                          kernel="polynomial"))
+  far = float(L.maximum_mean_discrepancy(q, p_far, key, q_sample_shape=64,
+                                         p_sample_shape=64,
+                                         kernel="polynomial"))
+  assert far > near + 1.0
+
+
+def test_gym_pooling_helpers_and_latent_stats_plot(tmp_path):
+  """Reference gym helpers concat_mean/first_mean (:70,:74) and
+  plot_latent_stats (:173)."""
+  from odin_tpu.bay.distributions.continuous import Normal
+  from odin_tpu.bay.vi import concat_mean, first_mean, plot_latent_stats
+  d1 = Normal(jnp.ones((5, 3)), jnp.ones((5, 3)))
+  d2 = Normal(jnp.zeros((5, 2)), jnp.ones((5, 2)))
+  cm = concat_mean([d1, d2])
+  assert cm.shape == (5, 5)
+  np.testing.assert_allclose(cm[:, :3], 1.0)
+  np.testing.assert_allclose(cm[:, 3:], 0.0)
+  fm = first_mean([d1, d2])
+  assert fm.shape == (5, 3) and np.all(fm == 1.0)
+  fig = plot_latent_stats(mean=np.zeros(6), stddev=np.ones(6),
+                          kld=np.arange(6.0), weights=np.ones(6))
+  out = tmp_path / "latent_stats.png"
+  fig.savefig(out)
+  assert out.exists() and out.stat().st_size > 0
