@@ -3,6 +3,7 @@ from typing import Optional
 
 import numpy as np
 
+from odin_tpu.ml.base import Evaluable, evaluate
 from odin_tpu.ml.cluster import (KMeansJax, dbscan_predict, fast_dbscan,
                                  fast_kmeans, fast_knn, fast_naive_bayes)
 from odin_tpu.ml.decompositions import (
@@ -36,7 +37,7 @@ __all__ = [
     "compute_class_avg", "compute_within_cov", "fast_tsne", "fast_umap",
     "fast_svc", "fast_logistic_regression", "fast_gbtree_classifier",
     "fast_rf_classifier", "linear_classifier", "fast_lda_topics",
-    "RandomizedPCA", "Transformer",
+    "RandomizedPCA", "Transformer", "Evaluable", "evaluate",
 ]
 
 
@@ -205,45 +206,6 @@ class DimReduce(_IntFlag):
                              random_state=random_state, **kwargs)
             for m in methods]
     return outs[0] if len(outs) == 1 else outs
-
-
-def evaluate(y_true, y_pred_proba=None, y_pred_log_proba=None, labels=None,
-             title: str = "", print_log: bool = True):
-  """Classifier diagnostic report: log-loss, accuracy, C_norm, EER, minDCF,
-  confusion matrix (reference ``ml/base.py:17``).  Returns the metric dict.
-  """
-  from sklearn.metrics import accuracy_score, log_loss
-
-  from odin_tpu.backend.metrics import (compute_Cnorm, compute_EER,
-                                        compute_minDCF, confusion_matrix,
-                                        det_curve)
-  if y_pred_proba is None and y_pred_log_proba is None:
-    raise ValueError("need y_pred_proba or y_pred_log_proba")
-  scores = np.log(np.clip(y_pred_proba, 1e-12, None)) \
-      if y_pred_log_proba is None else np.asarray(y_pred_log_proba)
-  y_true = np.asarray(y_true)
-  if y_true.ndim == 2:
-    y_true = y_true.argmax(-1)
-  y_pred = scores.argmax(-1)
-  ll = (log_loss(y_true, y_pred_proba) if y_pred_proba is not None
-        else float("nan"))
-  acc = accuracy_score(y_true, y_pred)
-  cm = confusion_matrix(y_true, y_pred)
-  cnorm, _ = compute_Cnorm(y_true, scores)
-  truth_1hot = np.eye(scores.shape[1])[y_true]
-  Pfa, Pmiss, _ = det_curve(truth_1hot.ravel(), scores.ravel())
-  eer = compute_EER(Pfa, Pmiss)
-  mindcf, _ = compute_minDCF(Pfa, Pmiss)
-  report = dict(log_loss=ll, accuracy=float(acc),
-                Cnorm=float(np.mean(cnorm)), EER=float(eer),
-                minDCF=float(mindcf), confusion_matrix=cm)
-  if print_log:
-    from odin_tpu.visual import print_confusion
-    print(f"-------- {title}")
-    for k in ("log_loss", "accuracy", "Cnorm", "EER", "minDCF"):
-      print(f"{k:9s}: {report[k]:.4f}")
-    print(print_confusion(cm, labels=labels))
-  return report
 
 
 def get_topics_string(lda, vocabulary, n_topics: int = 10,

@@ -10,6 +10,8 @@ from typing import List, Optional
 
 import numpy as np
 
+from odin_tpu.ml.base import Evaluable
+
 __all__ = ["ProbabilisticEmbedding", "GMMclassifier", "GMMThreshold"]
 
 
@@ -55,8 +57,13 @@ class ProbabilisticEmbedding:
   fit_transform = lambda self, x: self.fit(x).predict_proba(x)
 
 
-class GMMclassifier:
+class GMMclassifier(Evaluable):
   """One GMM per class; classify by max class-conditional likelihood."""
+
+  @property
+  def labels(self):
+    return [str(c) for c in (self.classes_ if self.classes_ is not None
+                             else [])]
 
   def __init__(self, n_components: int = 2, covariance_type: str = "diag",
                random_state: int = 1):

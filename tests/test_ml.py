@@ -216,3 +216,26 @@ def test_gmm_transform_batch_matches_per_utterance():
     z, f = gmm.transform(u)
     np.testing.assert_allclose(Zb[i], z, rtol=1e-4, atol=1e-4)
     np.testing.assert_allclose(Fb[i], f, rtol=1e-3, atol=1e-3)
+
+
+def test_evaluable_report(tmp_path, capsys):
+  """Reference ``ml/base.py``: evaluate() scores + PDF report; Evaluable
+  mixin wires predict_proba through it (GMMclassifier here)."""
+  from odin_tpu.ml import GMMclassifier, evaluate
+  rng = np.random.RandomState(0)
+  X = np.concatenate([rng.randn(60, 3) + c * 3 for c in range(3)])
+  y = np.repeat(np.arange(3), 60)
+  clf = GMMclassifier(n_components=1).fit(X, y)
+  pdf = tmp_path / "report.pdf"
+  clf.evaluate(X, y, title="gmm", path=str(pdf))
+  out = capsys.readouterr().out
+  assert "Accuracy" in out and "EER" in out
+  assert pdf.exists() and pdf.stat().st_size > 0
+  # module-level evaluate returns the score dict (above-parity: reference
+  # only printed)
+  scores = evaluate(y, y_pred_proba=clf.predict_proba(X), print_log=False)
+  assert scores["accuracy"] > 0.95
+  assert scores["EER"] < 0.2
+  assert scores["confusion_matrix"].shape == (3, 3)
+  with pytest.raises(ValueError):
+    evaluate(y)
