@@ -46,3 +46,17 @@ from odin_tpu.backend.losses import (
     jacobian_regularize,
     triplet_loss,
 )
+from odin_tpu.backend.alias import (
+    identity_function,
+    parse_activation,
+    parse_attention,
+    parse_constraint,
+    parse_initializer,
+    parse_layer,
+    parse_loss,
+    parse_metric,
+    parse_normalizer,
+    parse_optimizer,
+    parse_reduction,
+    parse_regularizer,
+)

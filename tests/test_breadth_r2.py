@@ -803,3 +803,40 @@ def test_gym_pooling_helpers_and_latent_stats_plot(tmp_path):
   out = tmp_path / "latent_stats.png"
   fig.savefig(out)
   assert out.exists() and out.stat().st_size > 0
+
+
+def test_backend_alias_parsers():
+  """Reference ``odin/backend/alias.py``: every parse_* resolves aliases to
+  jax/flax/optax objects; parse_activation supports '+' composition."""
+  import optax
+  from odin_tpu import backend as K
+  act = K.parse_activation("relu+tanh")
+  np.testing.assert_allclose(np.asarray(act(jnp.array([-2.0, 0.5]))),
+                             np.tanh(np.maximum([-2.0, 0.5], 0)), rtol=1e-6)
+  assert K.parse_activation(None)(3.0) == 3.0
+  w = K.parse_initializer("glorot_uniform")(
+      __import__("jax").random.PRNGKey(0), (4, 4), jnp.float32)
+  assert w.shape == (4, 4)
+  opt = K.parse_optimizer("adam")(1e-3)
+  assert isinstance(opt, optax.GradientTransformation)
+  reg = K.parse_regularizer("l2")
+  assert float(reg({"w": jnp.ones((2, 2))}, scale=1.0)) == pytest.approx(4.0)
+  con = K.parse_constraint("nonneg")
+  assert float(con(jnp.array(-1.0))) == 0.0
+  red = K.parse_reduction("stat")
+  out = red(jnp.ones((8, 3)), axis=0)
+  assert out.shape == (6,)
+  import flax.linen as nn
+  assert K.parse_normalizer("layernorm") is nn.LayerNorm
+  from odin_tpu.networks.attention import SelfAttention
+  assert K.parse_attention("self") is SelfAttention
+  from odin_tpu.networks.base import Dense
+  assert K.parse_layer("dense") is Dense
+  loss = K.parse_loss("mse")
+  assert float(jnp.sum(loss(jnp.zeros(3), jnp.ones(3)))) == pytest.approx(3.0)
+  metr = K.parse_metric("accuracy")
+  assert metr(np.array([0, 1]), np.eye(2)) == 1.0
+  with pytest.raises(ValueError):
+    K.parse_loss("nope")
+  with pytest.raises(ValueError):
+    K.parse_initializer("nope")
