@@ -159,4 +159,34 @@ int64_t odin_frame_signal(const float* y, int64_t n_samples,
   return n_frames;
 }
 
+// ---------------------------------------------------------------------------
+// Threaded indexed gather: out[j] = src[idx[j]] for fixed-size items — the
+// batch-assembly hot path of the host input pipeline (numpy fancy indexing
+// is a single-threaded per-row copy; this fans the memcpys over threads).
+// Dtype-agnostic: operates on raw bytes.
+// ---------------------------------------------------------------------------
+int odin_gather(const uint8_t* src, int64_t item_bytes, const int64_t* idx,
+                int64_t n_idx, uint8_t* out, int32_t n_threads) {
+  if (n_threads < 1) n_threads = 1;
+  std::atomic<int64_t> next(0);
+  const int64_t chunk = 16;  // rows per grab — keeps the atomic cold
+  auto worker = [&]() {
+    while (true) {
+      int64_t j0 = next.fetch_add(chunk);
+      if (j0 >= n_idx) break;
+      int64_t j1 = std::min(j0 + chunk, n_idx);
+      for (int64_t j = j0; j < j1; ++j)
+        memcpy(out + j * item_bytes, src + idx[j] * item_bytes, item_bytes);
+    }
+  };
+  if (n_threads == 1 || n_idx < 64) {
+    worker();
+  } else {
+    std::vector<std::thread> pool;
+    for (int t = 0; t < n_threads; ++t) pool.emplace_back(worker);
+    for (auto& t : pool) t.join();
+  }
+  return 0;
+}
+
 }  // extern "C"

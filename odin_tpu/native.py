@@ -14,7 +14,7 @@ from typing import List, Optional, Sequence, Tuple
 import numpy as np
 
 __all__ = ["load_native", "native_available", "decode_wav", "pack_batch",
-           "frame_signal_native"]
+           "frame_signal_native", "gather"]
 
 _LIB = None
 _TRIED = False
@@ -52,6 +52,11 @@ def load_native() -> Optional[ctypes.CDLL]:
         np.ctypeslib.ndpointer(np.float32), ctypes.c_int64,
         np.ctypeslib.ndpointer(np.float32), ctypes.c_int32, ctypes.c_int32,
         np.ctypeslib.ndpointer(np.float32), ctypes.c_int64]
+    lib.odin_gather.restype = ctypes.c_int
+    lib.odin_gather.argtypes = [
+        ctypes.c_void_p, ctypes.c_int64,
+        np.ctypeslib.ndpointer(np.int64), ctypes.c_int64,
+        ctypes.c_void_p, ctypes.c_int32]
     _LIB = lib
   except Exception:
     _LIB = None
@@ -112,6 +117,31 @@ def pack_batch(paths: Sequence[str], max_samples: int,
     except Exception:
       pass
   return out, lengths, srs
+
+
+def gather(arr: np.ndarray, idx: np.ndarray, out: Optional[np.ndarray] = None,
+           n_threads: Optional[int] = None) -> np.ndarray:
+  """``arr[idx]`` for a contiguous array via the native threaded gather —
+  the batch-assembly hot path of `DataPipeline` (numpy fancy indexing is a
+  single-threaded row-copy loop).  Exact same result; falls back to
+  ``arr[idx]`` without the native lib.  `out` reuses a preallocated buffer.
+  """
+  lib = load_native()
+  idx = np.ascontiguousarray(idx, np.int64)
+  if (lib is None or not isinstance(arr, np.ndarray)
+      or not arr.flags["C_CONTIGUOUS"] or arr.ndim < 1):
+    res = arr[idx]
+    if out is not None:
+      out[...] = res
+      return out
+    return res
+  item_bytes = int(arr.itemsize * np.prod(arr.shape[1:], dtype=np.int64))
+  if out is None:
+    out = np.empty((len(idx),) + arr.shape[1:], arr.dtype)
+  n_threads = n_threads or min(os.cpu_count() or 1, 8)
+  lib.odin_gather(arr.ctypes.data_as(ctypes.c_void_p), item_bytes, idx,
+                  len(idx), out.ctypes.data_as(ctypes.c_void_p), n_threads)
+  return out
 
 
 def frame_signal_native(y: np.ndarray, frame_length: int, step_length: int,

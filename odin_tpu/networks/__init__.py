@@ -12,6 +12,7 @@ from odin_tpu.networks.base import (
     NetConf,
     Reshape,
     SequentialNetwork,
+    SpaceToDepthConv,
     conv_network,
     deconv_network,
     dense_network,

@@ -105,6 +105,46 @@ class Conv(nn.Module):
     return get_activation(self.activation)(x)
 
 
+class SpaceToDepthConv(nn.Module):
+  """Exact algebraic rewrite of ``Conv(filters, kernel=4, strides=2, SAME)``
+  for thin-channel images: zero-pad by 1, space-to-depth block 2, then a
+  kernel-2 stride-1 VALID conv whose weights are the SAME ``(4, 4, C, F)``
+  kernel re-indexed by row/column parity — identical outputs and an
+  identical param pytree to the plain Conv (swap freely in checkpoints).
+
+  Motivation (BASELINE.md): on TPU a 64x64x1 input leaves the 128-lane
+  vector dim nearly empty and the first conv contracts only 4*4*1=16
+  elements against the 128-wide MXU; the s2d form presents the same math as
+  a 33x33x4 input with 2x2x4 patches — a layout XLA can tile more densely.
+  Used by ``get_networks(..., space_to_depth=True)``.
+  """
+
+  filters: int
+  activation: Union[str, Callable, None] = None
+  use_bias: bool = True
+
+  @nn.compact
+  def __call__(self, x, training: bool = False):
+    B, H, W, C = x.shape
+    kernel = self.param("kernel", nn.initializers.he_normal(),
+                        (4, 4, C, self.filters))
+    # W2[a, b, (di, dj, c), f] = W[2a + di, 2b + dj, c, f]
+    w2 = kernel.reshape(2, 2, 2, 2, C, self.filters)       # (a, di, b, dj, c, f)
+    w2 = w2.transpose(0, 2, 1, 3, 4, 5)                    # (a, b, di, dj, c, f)
+    w2 = w2.reshape(2, 2, 4 * C, self.filters)
+    # SAME for k=4 s=2 pads (1, 1); pad first so H+2 is even for the s2d
+    xp = jnp.pad(x, ((0, 0), (1, 1), (1, 1), (0, 0)))
+    H2, W2_ = (H + 2) // 2, (W + 2) // 2
+    xs = xp.reshape(B, H2, 2, W2_, 2, C).transpose(0, 1, 3, 2, 4, 5)
+    xs = xs.reshape(B, H2, W2_, 4 * C)                     # ch = (di, dj, c)
+    y = jax.lax.conv_general_dilated(
+        xs, w2, window_strides=(1, 1), padding="VALID",
+        dimension_numbers=("NHWC", "HWIO", "NHWC"))
+    if self.use_bias:
+      y = y + self.param("bias", nn.initializers.zeros, (self.filters,))
+    return get_activation(self.activation)(y)
+
+
 class ConvTranspose(nn.Module):
   filters: int
   kernel_size: Union[int, Tuple[int, int]] = 3

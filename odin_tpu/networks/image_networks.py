@@ -33,6 +33,7 @@ from odin_tpu.networks.base import (
     Reshape,
     SequentialNetwork,
     SkipSequential,
+    SpaceToDepthConv,
 )
 
 
@@ -261,9 +262,15 @@ def dsprites_networks(
                  (128 if n_channels == 1 else 256) * w)
   n_params, observation = _obs_distribution(
       input_shape, kwargs.get("distribution", "bernoulli"))
+  # space_to_depth=True swaps the thin-channel first conv for its exact
+  # s2d rewrite (see `SpaceToDepthConv`); identical math, TPU-layout study
+  # recorded in benchmarks/first_conv_bench.py
+  first_conv = (SpaceToDepthConv(32 * w, activation)
+                if kwargs.get("space_to_depth")
+                else Conv(32 * w, 4, 2, activation))
   encoder = SequentialNetwork((
       CenterAt0(enable=centerize_image),
-      Conv(32 * w, 4, 2, activation),   # 32, 32, 32w
+      first_conv,                       # 32, 32, 32w
       Conv(32 * w, 4, 2, activation),   # 16, 16, 32w
       Conv(64 * w, 4, 2, activation),   # 8, 8, 64w
       Conv(64 * w, 4, 2, activation),   # 4, 4, 64w

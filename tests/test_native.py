@@ -66,3 +66,34 @@ def test_frame_signal_matches_segment_axis():
   f_native = frame_signal_native(y, 400, 160, w)
   f_ref = segment_axis(y, 400, 160, end="cut") * w
   np.testing.assert_allclose(f_native, f_ref, atol=1e-6)
+
+
+def test_native_gather_matches_numpy():
+  """`native.gather` == numpy fancy indexing bit-for-bit for every dtype
+  the pipeline feeds (native/odin_io.cpp `odin_gather`); `DataPipeline`
+  routes contiguous arrays through it."""
+  from odin_tpu.native import gather, native_available
+  rng = np.random.RandomState(0)
+  for dtype in (np.float32, np.uint8, np.int16, np.float64):
+    arr = (rng.rand(100, 7, 3) * 100).astype(dtype)
+    idx = rng.randint(0, 100, 33)
+    np.testing.assert_array_equal(gather(arr, idx), arr[idx])
+  # preallocated out buffer + 1-D items
+  arr = rng.rand(50, 4).astype("f")
+  idx = rng.randint(0, 50, 16)
+  out = np.empty((16, 4), np.float32)
+  res = gather(arr, idx, out=out)
+  assert res is out
+  np.testing.assert_array_equal(out, arr[idx])
+  # non-contiguous falls back transparently
+  nc = arr[:, ::2]
+  np.testing.assert_array_equal(gather(nc, idx), nc[idx])
+  # pipeline integration: shuffled epoch content identical to numpy path
+  from odin_tpu.fuel.pipeline import DataPipeline
+  data = rng.rand(40, 5).astype("f")
+  batches = list(DataPipeline(data, batch_size=8, shuffle=True, seed=3,
+                              prefetch=0))
+  ref_rng = np.random.RandomState(3)
+  order = ref_rng.permutation(40)
+  np.testing.assert_array_equal(np.concatenate(batches), data[order])
+  assert native_available()  # g++ is baked into this image

@@ -235,3 +235,39 @@ def test_netconf():
   dec = conf.create_decoder_network(output_shape=(8,))
   vs2 = dec.init(KEY, jnp.ones((2, 16)))
   assert dec.apply(vs2, jnp.ones((2, 16))).shape == (2, 8)
+
+
+def test_space_to_depth_conv_exact():
+  """`SpaceToDepthConv` == Conv(F, 4, 2, SAME) exactly, with an identical
+  param pytree (kernel (4,4,C,F) + bias) — the TPU first-conv layout
+  rewrite (BASELINE.md; wired via get_networks(..., space_to_depth=True))."""
+  import jax
+  from odin_tpu.networks.base import Conv, SpaceToDepthConv
+  rng = np.random.RandomState(0)
+  for H, C in ((64, 1), (28, 3)):
+    x = jnp.asarray(rng.rand(2, H, H, C).astype("f"))
+    conv = Conv(32, 4, 2, "elu")
+    p = conv.init(jax.random.PRNGKey(0), x)
+    inner = p["params"]["Conv_0"]
+    p2 = {"params": {"kernel": inner["kernel"], "bias": inner["bias"]}}
+    y_ref = conv.apply(p, x)
+    y_s2d = SpaceToDepthConv(32, "elu").apply(p2, x)
+    assert y_ref.shape == y_s2d.shape == (2, H // 2, H // 2, 32)
+    np.testing.assert_allclose(np.asarray(y_ref), np.asarray(y_s2d),
+                               atol=2e-6)
+  # gradient path matches too
+  def loss_ref(params):
+    return jnp.sum(conv.apply(params, x) ** 2)
+  def loss_s2d(params):
+    return jnp.sum(SpaceToDepthConv(32, "elu").apply(
+        {"params": {"kernel": params["params"]["Conv_0"]["kernel"],
+                    "bias": params["params"]["Conv_0"]["bias"]}}, x) ** 2)
+  g1 = jax.grad(loss_ref)(p)["params"]["Conv_0"]["kernel"]
+  g2 = jax.grad(loss_s2d)(p)["params"]["Conv_0"]["kernel"]
+  np.testing.assert_allclose(np.asarray(g1), np.asarray(g2), rtol=2e-4,
+                             atol=2e-4)
+  # factory wiring
+  from odin_tpu.networks import get_networks
+  nets = get_networks("dsprites", zdim=4, space_to_depth=True)
+  names = [type(l).__name__ for l in nets["encoder"].layers]
+  assert "SpaceToDepthConv" in names
