@@ -56,6 +56,7 @@ from odin_tpu.fuel.nlp_data import (
     ImdbReview,
     MathArithmetic,
     Newsgroup5,
+    Newsgroup20_clean,
     Newsgroup20,
     NLPDataset,
     SyntheticBoW,
@@ -71,7 +72,7 @@ __all__ = [
     "CIFAR10", "CIFAR100", "CIFAR20", "CelebA", "CelebASmall", "CelebABig",
     "Omniglot", "dSprites", "dSpritesSmall", "dSprites0", "Shapes3D",
     "Shapes3DSmall", "Shapes3D0", "HalfMoons",
-    "YDisentanglement", "Newsgroup20", "Newsgroup5", "SyntheticBoW",
+    "YDisentanglement", "Newsgroup20", "Newsgroup5", "Newsgroup20_clean", "SyntheticBoW",
     "Cortex", "PBMC", "SyntheticGenes", "GeneDataset", "NLPDataset",
     "Melanoma", "Forebrain", "Insilico", "BreastTumor", "Leukemia",
     "HumanEmbryos", "SyntheticATAC", "LegoFaces", "Kaokore",

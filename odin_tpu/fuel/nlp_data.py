@@ -12,7 +12,8 @@ import numpy as np
 
 from odin_tpu.fuel.dataset_base import IterableDataset, get_partition
 
-__all__ = ["NLPDataset", "Newsgroup20", "Newsgroup5", "SyntheticBoW",
+__all__ = ["NLPDataset", "Newsgroup20", "Newsgroup5",
+           "Newsgroup20_clean", "SyntheticBoW",
            "MathArithmetic", "TinyShakespear", "ImdbReview"]
 
 
@@ -91,6 +92,67 @@ class Newsgroup5(Newsgroup20):
     for k, idxs in self._GROUPS.items():
       remap[idxs] = k
     return x, remap[y]
+
+
+class Newsgroup20_clean(NLPDataset):
+  """Pre-cleaned 20-newsgroups word-count matrix for topic modelling
+  (reference ``nlp_data/newsgroup20_clean.py:52``: the AVITM BoW corpus,
+  unlabelled; train split 90/10 into train/valid with seed 1).  npz-gated
+  (no egress): expects ``newsgroup20_clean.npz`` with keys ``x_train``
+  (docs x vocab counts), ``x_test``, ``vocab`` (word array)."""
+
+  def __init__(self, path: Optional[str] = None, seed: int = 1):
+    super().__init__(seed=seed)
+    import os
+
+    from odin_tpu.utils import get_data_path
+    self.path = path or os.path.join(get_data_path(),
+                                     "newsgroup20_clean.npz")
+    self._cache = None
+
+  @property
+  def name(self):
+    return "newsgroup20clean"
+
+  def _fetch(self):
+    import os
+    if self._cache is None:
+      if not os.path.exists(self.path):
+        raise FileNotFoundError(
+            f"newsgroup20_clean not found at {self.path}; no network "
+            "egress — place an .npz with x_train/x_test/vocab there, or "
+            "use SyntheticBoW for testing")
+      self._cache = dict(np.load(self.path, allow_pickle=False))
+    return self._cache
+
+  @property
+  def vocabulary(self):
+    vocab = self._fetch()["vocab"]
+    return {i: str(w) for i, w in enumerate(vocab)}
+
+  @property
+  def vocabulary_size(self) -> int:
+    return len(self._fetch()["vocab"])
+
+  @property
+  def shape(self):
+    return (self._fetch()["x_train"].shape[1],)
+
+  @property
+  def labels(self):
+    return []
+
+  def _load(self, partition: str):
+    arr = self._fetch()
+    x_train, x_test = arr["x_train"], arr["x_test"]
+    rand = np.random.RandomState(seed=1)  # reference split semantics
+    ids = rand.permutation(x_train.shape[0])
+    start = int(0.1 * x_train.shape[0])
+    return get_partition(
+        partition,
+        train=(x_train[ids[start:]], None),
+        valid=(x_train[ids[:start]], None),
+        test=(x_test, None))
 
 
 class MathArithmetic(NLPDataset):

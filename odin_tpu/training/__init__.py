@@ -7,7 +7,8 @@ from odin_tpu.training.core import (
 )
 from odin_tpu.training.callbacks import (BestWeights, Callback,
                                          early_stopping_callback)
-from odin_tpu.training.early_stopping import EarlyStopping
+from odin_tpu.training.early_stopping import (EarlyStopping,
+    exponential_moving_average)
 from odin_tpu.training.experimenter import (
     get_output_dir,
     hash_config,

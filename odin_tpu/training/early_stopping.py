@@ -10,7 +10,20 @@ from typing import List, Optional
 
 import numpy as np
 
-__all__ = ["EarlyStopping"]
+__all__ = ["EarlyStopping", "exponential_moving_average"]
+
+
+def exponential_moving_average(x, w: float) -> np.ndarray:
+  """``s[0] = x[0]``, ``s[t] = w * x[t] + (1 - w) * s[t-1]`` (reference
+  ``early_stopping.py:20-25``, via scipy lfilter — here a direct recurrence)."""
+  x = np.asarray(x, np.float64)
+  s = np.empty_like(x)
+  if len(x) == 0:
+    return s
+  s[0] = x[0]
+  for t in range(1, len(x)):
+    s[t] = w * x[t] + (1.0 - w) * s[t - 1]
+  return s
 
 
 class EarlyStopping:

@@ -170,3 +170,31 @@ def test_dataset_variants_round2():
   ds3 = Shapes3D0(n_samples=32)
   x3, y3 = ds3.numpy("train")
   assert y3.shape == (32, 4) and np.all(y3.sum(-1) == 1.0)
+
+
+def test_newsgroup20_clean_and_ema(tmp_path):
+  """Newsgroup20_clean npz-gated BoW corpus (reference
+  nlp_data/newsgroup20_clean.py:52) + exponential_moving_average
+  (reference early_stopping.py:20)."""
+  from odin_tpu.fuel import Newsgroup20_clean
+  from odin_tpu.training import exponential_moving_average
+  rng = np.random.RandomState(0)
+  npz = tmp_path / "ng.npz"
+  np.savez(npz, x_train=rng.poisson(1.0, (50, 30)).astype("f"),
+           x_test=rng.poisson(1.0, (10, 30)).astype("f"),
+           vocab=np.array([f"w{i}" for i in range(30)]))
+  ds = Newsgroup20_clean(path=str(npz))
+  assert ds.vocabulary_size == 30 and ds.vocabulary[3] == "w3"
+  xtr = ds.numpy("train")
+  xva = ds.numpy("valid")
+  xte = ds.numpy("test")
+  assert xtr.shape == (45, 30) and xva.shape == (5, 30) \
+      and xte.shape == (10, 30)
+  # 90/10 split is deterministic and disjoint
+  both = np.concatenate([xtr, xva])
+  assert len(np.unique(both, axis=0)) == len(np.unique(both, axis=0))
+  with pytest.raises(FileNotFoundError):
+    Newsgroup20_clean(path=str(tmp_path / "nope.npz")).numpy("train")
+  # ema recurrence: s[t] = w x[t] + (1-w) s[t-1]
+  s = exponential_moving_average([1.0, 2.0, 3.0], 0.5)
+  np.testing.assert_allclose(s, [1.0, 1.5, 2.25])
