@@ -506,6 +506,42 @@ class DisentanglementGym:
       return path
     return fig
 
+  def plot_distortion(self, path: Optional[str] = None, title: str = ""):
+    """Per-pixel mean/std heatmaps of the negative reconstruction
+    log-likelihood -log p(x|z) — shows WHERE the decoder spends its
+    distortion budget (reference `plot_distortion`, :925-990)."""
+    self._require_run()
+    import matplotlib
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+    px = self.px
+    base = getattr(px, "distribution", px)  # Independent -> elementwise base
+    nll = -np.asarray(base.log_prob(self.x_true))
+    if nll.ndim < 3:  # vector data: nothing spatial to draw
+      nll = nll.reshape(nll.shape[0], -1, 1, 1)
+    if nll.ndim == 3:
+      nll = nll[..., None]
+    mean, std = np.mean(nll, 0), np.std(nll, 0)
+    C = mean.shape[-1]
+    fig, axes = plt.subplots(C, 2, figsize=(5, 2.2 * C), squeeze=False)
+    for c in range(C):
+      for j, (img, lab) in enumerate(((mean, "mean -log p(x|z)"),
+                                      (std, "std"))):
+        ax = axes[c][j]
+        im = ax.pcolormesh(img[..., c], cmap="Spectral", rasterized=True)
+        ax.invert_yaxis()
+        ax.axis("off")
+        ax.set_title(f"{lab} ch{c}", fontsize=7)
+        fig.colorbar(im, ax=ax, fraction=0.04, pad=0.02)
+    if title:
+      fig.suptitle(title, fontsize=9)
+    fig.tight_layout()
+    if path:
+      fig.savefig(path, dpi=120)
+      plt.close(fig)
+      return path
+    return fig
+
   def plot_latents_stats(self, path: Optional[str] = None,
                          title: str = ""):
     """Per-dimension posterior statistics sorted by stddev, with the

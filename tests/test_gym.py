@@ -4,6 +4,7 @@ Strategy: a PERFECT representation (latents = factors + tiny noise) must
 score near 1.0 on MIG/DCI/SAP/betaVAE/factorVAE; a RANDOM representation
 must score near 0 — the standard sanity protocol for metric kernels.
 """
+import os
 import numpy as np
 import pytest
 
@@ -160,3 +161,19 @@ def test_gym_hierarchical_eval_matches_training_path(tmp_path):
   # was ~50x worse)
   assert abs(gym_llk - train_llk) < 0.5 * abs(train_llk) + 5.0, \
       (gym_llk, train_llk)
+
+
+def test_gym_distortion_and_latent_stats_plots(tmp_path):
+  """plot_distortion (reference :925) and plot_latents_stats (:991) render
+  to files from a completed run."""
+  from odin_tpu.fuel import dSpritesSmall
+  from odin_tpu.networks import get_networks
+  from odin_tpu.bay.vi import BetaVAE, DisentanglementGym
+  ds = dSpritesSmall(n_samples=128)
+  vae = BetaVAE(**get_networks("dsprites", zdim=4)).build()
+  gym = DisentanglementGym(dataset=ds, model=vae, batch_size=64)
+  gym.run_model(n_samples=64, partition="test")
+  p1 = gym.plot_distortion(path=str(tmp_path / "distortion.png"))
+  p2 = gym.plot_latents_stats(path=str(tmp_path / "stats.png"))
+  for p in (p1, p2):
+    assert os.path.exists(p) and os.path.getsize(p) > 0
