@@ -6,6 +6,7 @@ from odin_tpu.bay.layers.dense_distribution import (
     MVNDiagLatents,
     NormalLatents,
 )
+from odin_tpu.bay.layers.distribution_layers import *  # noqa: F401,F403
 from odin_tpu.bay.layers.util_layers import (
     ConditionalTensorLayer,
     DistributionAttr,

@@ -446,3 +446,32 @@ def test_autoregressive_head():
   z = qz.sample(jax.random.PRNGKey(2))
   assert z.shape == (3, E)
   assert np.all(np.isfinite(np.asarray(qz.log_prob(z))))
+
+
+def test_named_distribution_layers():
+  """Reference ``bay/layers/*.py`` exposes one DistributionLambda class per
+  family; here each named class is a fixed-posterior projection-free
+  DistributionDense over the same registry (distribution_layers.py)."""
+  import jax.numpy as jnp
+  from odin_tpu.bay import layers as L
+  for name in ("GaussianLayer", "BernoulliLayer", "GammaLayer",
+               "OneHotCategoricalLayer", "NegativeBinomialLayer",
+               "ZINegativeBinomialDispLayer", "MixtureGaussianLayer",
+               "DeterministicLayer"):
+    cls = getattr(L, name)
+    lay = cls(event_shape=(4,))
+    assert lay.projection is False
+    d = lay.apply({}, jnp.ones((3, lay.params_size)))
+    assert d.batch_shape == (3,)
+    assert np.all(np.isfinite(np.asarray(d.mean())))
+  # sample + log_prob round trip on one representative
+  import jax
+  lay = L.GaussianLayer(event_shape=(4,))
+  d = lay.apply({}, jnp.zeros((2, lay.params_size)))
+  z = d.sample(jax.random.PRNGKey(0))
+  assert np.all(np.isfinite(np.asarray(d.log_prob(z))))
+  # projection=True prepends the Dense parameter projection
+  lay = L.GaussianLayer(event_shape=(4,), projection=True)
+  p = lay.init(jax.random.PRNGKey(0), jnp.ones((2, 7)))
+  d = lay.apply(p, jnp.ones((2, 7)))
+  assert d.batch_shape == (2,) and d.event_shape == (4,)
