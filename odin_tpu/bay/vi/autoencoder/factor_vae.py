@@ -249,23 +249,26 @@ class Factor2VAE(FactorVAE):
     llk, kl, aux = super().elbo_components(params, batch, rng, step,
                                            training=training,
                                            mutables=mutables)
-    # split the fused mvndiag KL back into per-sub-space terms for
-    # reporting parity with the reference's two posteriors
+    # split the fused mvndiag KL back into per-sub-space terms, matching the
+    # reference's per-latent KL entries (both the analytic KL and the MC
+    # estimate decompose additively across the factorized dims)
     qz, prior = aux["qz"], self.latents_prior
     from odin_tpu.bay.distributions.continuous import MultivariateNormalDiag
-    if (self.analytic and isinstance(qz, MultivariateNormalDiag)
+    if (isinstance(qz, MultivariateNormalDiag)
         and isinstance(prior, MultivariateNormalDiag)):
       d1 = self.content_dim
       combined_key = next(k for k in kl if k.startswith("kl_"))
       del kl[combined_key]
+      z = aux["z"]
       for name, sl in ((self.content_name, slice(None, d1)),
                        (self.factors_name, slice(d1, None))):
         q = MultivariateNormalDiag(qz.loc[..., sl], qz.scale_diag[..., sl])
         p = MultivariateNormalDiag(prior.loc[..., sl],
                                    prior.scale_diag[..., sl])
-        kl[f"kl_{name}"] = kl_divergence(q, p, analytic=True,
-                                         reverse=self.reverse,
-                                         free_bits=self.free_bits)
+        kl[f"kl_{name}"] = kl_divergence(
+            q, p, analytic=self.analytic,
+            q_sample=None if self.analytic else z[..., sl],
+            reverse=self.reverse, free_bits=self.free_bits)
     return llk, kl, aux
 
 
