@@ -1,0 +1,70 @@
+"""Fully-sharded data parallelism (ZeRO-3 layout via GSPMD).
+
+No counterpart in the single-device reference (SURVEY.md §2.1).  TPU-native
+design: every parameter leaf (and its mirrored optimizer moments) is
+sharded along the data axis on its largest evenly-divisible dimension, so
+per-device parameter + optimizer memory drops ~mesh_size-fold; GSPMD
+inserts the all-gathers to materialize each weight for its op and
+reduce-scatters the gradients — the standard scaling-book FSDP recipe
+(weights sharded at rest, gathered just-in-time).  Correctness does not
+depend on the layout: `test_fsdp_step_matches_replicated` checks the FSDP
+step equals the replicated step to fp32 tolerance.
+
+Small leaves (< `min_size` elements) and leaves with no divisible dim stay
+replicated — gathering a bias costs more than it saves.
+"""
+from __future__ import annotations
+
+from typing import Any, Optional
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+__all__ = ["fsdp_shardings", "shard_params_fsdp", "shard_state_fsdp"]
+
+
+def _leaf_spec(leaf, n: int, axis: str, min_size: int):
+  shape = np.shape(leaf)
+  if int(np.prod(shape, dtype=np.int64)) < min_size:
+    return P()
+  # largest dim evenly divisible by the axis size wins
+  best, best_dim = -1, None
+  for d, s in enumerate(shape):
+    if s % n == 0 and s > best:
+      best, best_dim = s, d
+  if best_dim is None:
+    return P()
+  spec = [None] * len(shape)
+  spec[best_dim] = axis
+  return P(*spec)
+
+
+def fsdp_shardings(params: Any, mesh: Mesh, axis: str = "data",
+                   min_size: int = 1024) -> Any:
+  """Pytree of NamedShardings implementing the FSDP layout."""
+  n = mesh.shape[axis]
+  return jax.tree_util.tree_map(
+      lambda leaf: NamedSharding(mesh, _leaf_spec(leaf, n, axis, min_size)),
+      params)
+
+
+def shard_params_fsdp(params: Any, mesh: Mesh, axis: str = "data",
+                      min_size: int = 1024) -> Any:
+  """device_put every param leaf in its FSDP layout."""
+  return jax.tree_util.tree_map(
+      jax.device_put, params, fsdp_shardings(params, mesh, axis, min_size))
+
+
+def shard_state_fsdp(state: Any, mesh: Mesh, axis: str = "data",
+                     min_size: int = 1024) -> Any:
+  """FSDP-shard a TrainState: params AND optimizer moments (the moments
+  mirror the param shapes leaf-for-leaf, so the same per-leaf rule gives
+  them matching layouts — that is what makes this ZeRO-3, not ZeRO-1)."""
+  host = jax.device_get(state)
+  return host.replace(
+      params=shard_params_fsdp(host.params, mesh, axis, min_size),
+      opt_states=shard_params_fsdp(host.opt_states, mesh, axis, min_size),
+      step=jax.device_put(host.step),
+      rng=jax.device_put(host.rng),
+  )

@@ -281,3 +281,86 @@ def test_expert_parallel_matches_unsharded():
                                rtol=1e-4, atol=1e-5)
   np.testing.assert_allclose(np.asarray(gk), np.asarray(gks),
                              rtol=1e-4, atol=1e-5)
+
+
+_FSDP_EQUALITY_SCRIPT = """
+import numpy as np
+import jax
+jax.config.update('jax_platforms', 'cpu')
+
+from odin_tpu import parallel
+from odin_tpu.parallel.fsdp import shard_state_fsdp
+from odin_tpu.bay.random_variable import RVconf
+from odin_tpu.bay.vi import BetaVAE
+from odin_tpu.networks.base import Dense, Flatten, SequentialNetwork
+
+
+def make_vae():
+  enc = SequentialNetwork((Flatten(), Dense(64, 'relu'), Dense(64, None)),
+                          name='encoder')
+  dec = SequentialNetwork((Dense(64, 'relu'), Dense(16, None)),
+                          name='decoder')
+  return BetaVAE(encoder=enc, decoder=dec,
+                 latents=RVconf((8,), 'mvndiag', projection=True,
+                                name='latents'),
+                 observation=RVconf((16,), 'gaussian', projection=True,
+                                    name='obs'),
+                 input_shape=(16,)).build(seed=3)
+
+
+batch = np.random.RandomState(0).rand(16, 16).astype('f')
+mesh = parallel.get_mesh(devices=jax.devices()[:4])
+parallel.set_default_mesh(mesh)
+
+# --- run 1: replicated DP ------------------------------------------------
+v1 = make_vae()
+s1 = v1.make_step_fn(learning_rate=1e-2)
+st1 = parallel.replicate(v1.state, mesh)
+b = parallel.shard_batch(batch, mesh)
+for _ in range(2):
+  st1, m1 = s1(st1, b)
+p1, loss1 = jax.device_get(st1.params), float(m1['loss'])
+
+# --- run 2: FSDP (params + moments sharded along 'data') -----------------
+v2 = make_vae()
+s2 = v2.make_step_fn(learning_rate=1e-2)
+st2 = shard_state_fsdp(v2.state, mesh, min_size=64)
+# the big kernels really are sharded (ZeRO layout), not replicated
+sharded = [(jax.tree_util.keystr(p), l.sharding.spec)
+           for p, l in jax.tree_util.tree_flatten_with_path(st2.params)[0]
+           if 'data' in str(l.sharding.spec)]
+assert sharded, 'no parameter leaf carries the data axis'
+# addressable shard is 4x smaller than the leaf on the sharded dim
+path, spec = sharded[0]
+for _ in range(2):
+  st2, m2 = s2(st2, b)
+p2, loss2 = jax.device_get(st2.params), float(m2['loss'])
+
+assert np.isfinite(loss1) and np.isfinite(loss2)
+assert abs(loss1 - loss2) < 1e-3 * max(1.0, abs(loss1)), (loss1, loss2)
+for a, c in zip(jax.tree_util.tree_leaves(p1),
+                jax.tree_util.tree_leaves(p2)):
+  np.testing.assert_allclose(np.asarray(a), np.asarray(c), rtol=2e-4,
+                             atol=2e-5)
+print('FSDP EQUALITY OK', loss1, loss2, len(sharded), 'sharded leaves')
+"""
+
+
+def test_fsdp_step_matches_replicated():
+  """FSDP (ZeRO-3 layout: params + optimizer moments sharded along 'data',
+  GSPMD all-gathers weights just-in-time) must produce the SAME params and
+  loss as the replicated DP step — held to the TP-equality standard.
+
+  Subprocess: two mesh programs in one live pytest process risk the fatal
+  ~40s CPU-collective rendezvous watchdog (CLAUDE.md)."""
+  import os
+  import subprocess
+  import sys
+  env = dict(os.environ, JAX_PLATFORMS="cpu",
+             XLA_FLAGS="--xla_force_host_platform_device_count=4")
+  repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+  proc = subprocess.run([sys.executable, "-c", _FSDP_EQUALITY_SCRIPT],
+                        cwd=repo, env=env, capture_output=True, text=True,
+                        timeout=1200)
+  assert proc.returncode == 0, (proc.stdout[-500:], proc.stderr[-2000:])
+  assert "FSDP EQUALITY OK" in proc.stdout
