@@ -163,6 +163,7 @@ def test_gym_hierarchical_eval_matches_training_path(tmp_path):
       (gym_llk, train_llk)
 
 
+@pytest.mark.slow
 def test_gym_distortion_and_latent_stats_plots(tmp_path):
   """plot_distortion (reference :925) and plot_latents_stats (:991) render
   to files from a completed run."""

@@ -346,6 +346,7 @@ print('FSDP EQUALITY OK', loss1, loss2, len(sharded), 'sharded leaves')
 """
 
 
+@pytest.mark.slow
 def test_fsdp_step_matches_replicated():
   """FSDP (ZeRO-3 layout: params + optimizer moments sharded along 'data',
   GSPMD all-gathers weights just-in-time) must produce the SAME params and
