@@ -38,7 +38,8 @@ from odin_tpu.training.core import (
 )
 from odin_tpu.training.trainer import Trainer
 
-__all__ = ["VAECore", "VariationalAutoencoder", "VAE", "Autoencoder"]
+__all__ = ["VAECore", "VariationalAutoencoder", "VAE", "Autoencoder",
+           "SemiSupervisedVAE"]
 
 
 def _as_head(head, default_name: str) -> DistributionDense:
@@ -593,6 +594,37 @@ class VariationalAutoencoder(VariationalModel):
 
 
 VAE = VariationalAutoencoder
+
+
+class SemiSupervisedVAE(VariationalAutoencoder):
+  """Semi-supervised base (reference ``variational_autoencoder.py:606``):
+  marks the class semi-supervised and provides the uns/sup objective
+  merging + empty-labelled-batch masking the reference mixin carried.
+  Concrete semi-supervised models (M2VAE, MultitaskVAE, SemafoVAE,
+  SemiFactorVAE, ...) implement the same contract via the
+  `is_semi_supervised` classmethod; this class exists for users
+  subclassing the reference surface directly."""
+
+  @classmethod
+  def is_semi_supervised(cls) -> bool:
+    return True
+
+  @staticmethod
+  def ignore_empty(is_empty, loss_dict):
+    """Zero every loss term when the labelled sub-batch is empty
+    (reference :613-620); jit-safe via where instead of cond."""
+    return {k: jnp.where(is_empty, jnp.zeros_like(v), v)
+            for k, v in loss_dict.items()}
+
+  @staticmethod
+  def merge_objectives(llk_uns, kl_uns, llk_sup, kl_sup):
+    """Prefix-merge unsupervised and supervised objective dicts
+    (reference :622-632)."""
+    llk = {**{f"uns/{k}": v for k, v in llk_uns.items()},
+           **{f"sup/{k}": jnp.mean(v) for k, v in llk_sup.items()}}
+    kl = {**{f"uns/{k}": v for k, v in kl_uns.items()},
+          **{f"sup/{k}": jnp.mean(v) for k, v in kl_sup.items()}}
+    return llk, kl
 
 
 class Autoencoder(VariationalAutoencoder):
