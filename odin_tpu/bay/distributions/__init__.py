@@ -44,7 +44,10 @@ from odin_tpu.bay.distributions.discrete import (
 from odin_tpu.bay.distributions.mixture import GaussianMixture, MixtureSameFamily
 from odin_tpu.bay.distributions.quantized import (
     MixtureQuantizedLogistic,
+    Quantized,
     QuantizedLogistic,
+    qNormal,
+    qUniform,
 )
 from odin_tpu.bay.distributions.spherical import (
     PowerSpherical,

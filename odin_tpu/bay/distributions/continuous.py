@@ -215,6 +215,9 @@ class Uniform(Distribution):
   def entropy(self):
     return jnp.broadcast_to(jnp.log(self.high - self.low), self.batch_shape)
 
+  def cdf(self, x):
+    return jnp.clip((x - self.low) / (self.high - self.low), 0.0, 1.0)
+
 
 class Laplace(Distribution):
   _params = ("loc", "scale")

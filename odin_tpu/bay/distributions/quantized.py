@@ -13,7 +13,8 @@ from odin_tpu.bay.distributions.continuous import Logistic
 from odin_tpu.bay.distributions.discrete import Categorical
 from odin_tpu.bay.distributions.mixture import MixtureSameFamily
 
-__all__ = ["QuantizedLogistic", "MixtureQuantizedLogistic"]
+__all__ = ["QuantizedLogistic", "MixtureQuantizedLogistic",
+           "Quantized", "qNormal", "qUniform"]
 
 
 class QuantizedLogistic(Distribution):
@@ -85,3 +86,72 @@ def MixtureQuantizedLogistic(logits, locs, scales, low: int = 0, high: int = 255
       Categorical(logits=logits),
       QuantizedLogistic(locs, scales, low=low, high=high,
                         inputs_domain=inputs_domain))
+
+
+class Quantized(Distribution):
+  """Generic integer quantization of a continuous base distribution:
+  ``P(X = j) = cdf(j + .5) - cdf(j - .5)``, with the tails folded into the
+  optional ``low``/``high`` edge bins (reference TFP `QuantizedDistribution`
+  as used by ``quantized.py:459,479``).  The base must expose `cdf`."""
+
+  _params = ("distribution",)
+  _static = ("low", "high")
+
+  def __init__(self, distribution: Distribution, low=None, high=None):
+    self.distribution = distribution
+    self.low = low
+    self.high = high
+
+  @property
+  def batch_shape(self):
+    return self.distribution.batch_shape
+
+  @property
+  def event_shape(self):
+    return self.distribution.event_shape
+
+  def sample(self, seed, sample_shape=()):
+    x = jnp.round(self.distribution.sample(seed, sample_shape))
+    if self.low is not None:
+      x = jnp.maximum(x, self.low)
+    if self.high is not None:
+      x = jnp.minimum(x, self.high)
+    return x
+
+  def log_prob(self, x):
+    base = self.distribution
+    plus, minus = base.cdf(x + 0.5), base.cdf(x - 0.5)
+    out = jnp.log(jnp.maximum(plus - minus, 1e-12))
+    if self.low is not None:
+      out = jnp.where(x <= self.low,
+                      jnp.log(jnp.maximum(base.cdf(x + 0.5), 1e-12)), out)
+    if self.high is not None:
+      out = jnp.where(x >= self.high,
+                      jnp.log(jnp.maximum(1.0 - base.cdf(x - 0.5), 1e-12)),
+                      out)
+    return out
+
+  def prob(self, x):
+    return jnp.exp(self.log_prob(x))
+
+  def mean(self):
+    return self.distribution.mean()
+
+  def mode(self):
+    return jnp.round(self.distribution.mode())
+
+
+class qNormal(Quantized):
+  """Quantized Normal (reference ``quantized.py:459``)."""
+
+  def __init__(self, loc=0.0, scale=1.0, min_value=None, max_value=None):
+    from odin_tpu.bay.distributions.continuous import Normal
+    super().__init__(Normal(loc, scale), low=min_value, high=max_value)
+
+
+class qUniform(Quantized):
+  """Quantized Uniform (reference ``quantized.py:479``)."""
+
+  def __init__(self, low=0.0, high=1.0, min_value=None, max_value=None):
+    from odin_tpu.bay.distributions.continuous import Uniform
+    super().__init__(Uniform(low, high), low=min_value, high=max_value)

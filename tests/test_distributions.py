@@ -475,3 +475,31 @@ def test_named_distribution_layers():
   p = lay.init(jax.random.PRNGKey(0), jnp.ones((2, 7)))
   d = lay.apply(p, jnp.ones((2, 7)))
   assert d.batch_shape == (2,) and d.event_shape == (4,)
+
+
+def test_quantized_normal_uniform():
+  """Generic `Quantized` wrapper + qNormal/qUniform (reference
+  ``quantized.py:459,479``): probabilities integrate the base CDF over
+  unit bins and sum to one over the support."""
+  import jax
+  import jax.numpy as jnp
+  from scipy import stats
+  from odin_tpu.bay.distributions import qNormal, qUniform
+  d = qNormal(loc=0.0, scale=2.0, min_value=-6, max_value=6)
+  ks = jnp.arange(-6.0, 7.0)
+  p = np.asarray(d.prob(ks))
+  assert p.sum() == pytest.approx(1.0, abs=1e-5)
+  # interior bin == scipy integral of the base normal over the bin
+  ref = stats.norm(0, 2).cdf(1.5) - stats.norm(0, 2).cdf(0.5)
+  assert p[ks.tolist().index(1.0)] == pytest.approx(ref, rel=1e-5)
+  # edge bin folds the tail
+  ref_edge = stats.norm(0, 2).cdf(-5.5)
+  assert p[0] == pytest.approx(ref_edge, rel=1e-5)
+  z = d.sample(jax.random.PRNGKey(0), (200,))
+  z = np.asarray(z)
+  assert z.min() >= -6 and z.max() <= 6 and np.all(z == np.round(z))
+  u = qUniform(low=0.0, high=10.0)
+  ku = jnp.arange(0.0, 11.0)
+  pu = np.asarray(u.prob(ku))
+  # interior bins of width 1 on U(0,10): mass 0.1
+  np.testing.assert_allclose(pu[1:10], 0.1, rtol=1e-6)
