@@ -335,6 +335,53 @@ def ceps_spectrogram(mspec: np.ndarray, n_ceps: int,
   return (dct_basis @ mspec.T).T
 
 
+def spectra(sr: int,
+            frame_length: int,
+            y: Optional[np.ndarray] = None,
+            S: Optional[np.ndarray] = None,
+            step_length: Optional[int] = None,
+            n_fft: int = 512,
+            window: Union[str, np.ndarray] = "hann",
+            n_mels: Optional[int] = None,
+            n_ceps: Optional[int] = None,
+            fmin: float = 64,
+            fmax: Optional[float] = None,
+            top_db: float = 80.0,
+            power: float = 2.0,
+            log: bool = True,
+            padding: bool = False) -> dict:
+  """All-in-one spectra extraction (reference ``signal.py:1718-1834``):
+  -> dict with 'spec' (log-power dB if `log`), 'energy' (log-energy when
+  computed from `y`), 'mspec' (log-mel), 'mfcc' — composed from the same
+  bit-exact kernels the extractor pipeline uses."""
+  mel_spec = mfcc = log_energy = None
+  if S is None:
+    S, log_energy = stft(y, frame_length=frame_length,
+                         step_length=step_length, n_fft=n_fft,
+                         window=window, padding=padding, energy=True)
+  power = int(power)
+  fmax = (4000 if sr is None else sr // 2) if fmax is None else int(fmax)
+  fmin = int(fmin)
+  if fmin >= fmax:
+    raise ValueError(f"fmin must < fmax, but fmin={fmin} and fmax={fmax}")
+  spec = np.abs(S) if "complex" in str(S.dtype) else np.asarray(S)
+  if power > 1:
+    spec = np.power(spec, power)
+  if n_mels is not None or n_ceps is not None:
+    mel_spec = mels_spectrogram(spec, sr, n_mels, fmin=fmin, fmax=fmax,
+                                top_db=top_db)
+  if n_ceps is not None:
+    mfcc = ceps_spectrogram(mel_spec, n_ceps)
+  if log:
+    spec = power2db(spec, top_db=top_db)
+  return {
+      "spec": spec.astype("float32"),
+      "energy": log_energy,
+      "mspec": None if mel_spec is None else mel_spec.astype("float32"),
+      "mfcc": None if mfcc is None else mfcc.astype("float32"),
+  }
+
+
 # ---------------------------------------------------------------------------
 # Feature post-processing (reference :853-1090)
 # ---------------------------------------------------------------------------

@@ -22,7 +22,7 @@ from odin_tpu.preprocessing.base import Extractor, ExtractorSignal
 from odin_tpu.utils import as_tuple
 
 __all__ = [
-    "read_wave", "read_sphere", "read_pcm", "read",
+    "read_wave", "save_wave", "read_sphere", "read_pcm", "read",
     "AudioReader", "Dithering", "PreEmphasis", "Framing",
     "CalculateEnergy", "STFTExtractor", "PowerSpecExtractor",
     "MelsSpecExtractor", "MFCCsExtractor", "SpectraExtractor", "Power2Db",
@@ -54,6 +54,23 @@ def read_wave(path_or_bytes) -> Tuple[np.ndarray, int]:
   if channels > 1:
     y = y.reshape(-1, channels)
   return y, sr
+
+
+def save_wave(path, y: np.ndarray, sr: int) -> str:
+  """PCM16 wav writer — the inverse of `read_wave` (reference `save`,
+  ``speech.py:127`` and `utils.save_wav`, ``utils/__init__.py:1379``).
+  Float input in [-1, 1] is scaled to int16; int16 passes through."""
+  y = np.asarray(y)
+  if y.dtype != np.int16:
+    y = np.clip(np.asarray(y, np.float64), -1.0, 1.0)
+    y = np.round(y * 32767.0).astype(np.int16)
+  channels = 1 if y.ndim == 1 else y.shape[1]
+  with wave.open(path, "wb") as w:
+    w.setnchannels(channels)
+    w.setsampwidth(2)
+    w.setframerate(int(sr))
+    w.writeframes(y.tobytes())
+  return path
 
 
 def _ulaw_expand(u: np.ndarray) -> np.ndarray:

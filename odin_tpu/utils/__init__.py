@@ -16,6 +16,7 @@ import numpy as np
 
 __all__ = [
     "as_tuple",
+    "save_wav",
     "minibatch",
     "md5_checksum",
     "UnitTimer",
@@ -324,3 +325,10 @@ from odin_tpu.utils.python_utils import (  # noqa: E402
     partialclass,
     struct,
 )
+
+
+def save_wav(path, s, fs):
+  """Reference ``utils/__init__.py:1379``; delegates to the stdlib-based
+  PCM16 writer in `preprocessing.speech.save_wave`."""
+  from odin_tpu.preprocessing.speech import save_wave
+  return save_wave(path, s, fs)

@@ -142,3 +142,37 @@ def test_cqt():
   assert int(np.median(C2.argmax(1))) - peak == 12
   feat = CQTExtractor().transform({"raw": y, "sr": sr})
   assert feat["cqt"].shape[1] == 84
+
+
+def test_spectra_allinone_and_save_wave(tmp_path):
+  """`signal.spectra` (reference :1718) composes the bit-exact kernels into
+  the reference's all-in-one dict; `save_wave` round-trips with
+  `read_wave` (reference speech.py:127, utils save_wav :1379)."""
+  from odin_tpu.preprocessing import signal as S
+  from odin_tpu.preprocessing.speech import read_wave, save_wave
+  from odin_tpu.utils import save_wav
+  sr = 8000
+  t = np.arange(sr, dtype=np.float64) / sr
+  y = (0.5 * np.sin(2 * np.pi * 440 * t)).astype("f")
+  out = S.spectra(sr, frame_length=200, y=y, n_mels=24, n_ceps=13)
+  assert out["spec"].shape[1] == 257
+  assert out["mspec"].shape[1] == 24 and out["mfcc"].shape[1] == 13
+  assert out["energy"] is not None
+  for k in ("spec", "mspec", "mfcc"):
+    assert np.all(np.isfinite(out[k])), k
+  # composing from a precomputed power spectrogram gives the same mels
+  stft_out, _ = S.stft(y, frame_length=200, n_fft=512, energy=True)
+  out2 = S.spectra(sr, frame_length=200, S=np.abs(stft_out) ** 2,
+                   n_mels=24, power=1)
+  np.testing.assert_allclose(out["mspec"], out2["mspec"], atol=1e-4)
+  # 440 Hz peak lands in the right fft bin (~440/ (8000/512) = 28)
+  assert abs(int(np.argmax(out["spec"].mean(0))) - 28) <= 1
+  p = str(tmp_path / "t.wav")
+  save_wav(p, y, sr)
+  y2, sr2 = read_wave(p)
+  assert sr2 == sr and np.max(np.abs(y2 - y)) < 1e-4
+  # stereo + int16 passthrough
+  stereo = np.stack([y, -y], -1)
+  save_wave(str(tmp_path / "s.wav"), (stereo * 32767).astype(np.int16), sr)
+  ys, _ = read_wave(str(tmp_path / "s.wav"))
+  assert ys.shape == stereo.shape
