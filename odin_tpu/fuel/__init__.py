@@ -40,6 +40,7 @@ from odin_tpu.fuel.image_data.datasets import (
     FashionMNIST,
     HalfMNIST,
     HalfMoons,
+    HalfMoonsImage,
     Kaokore,
     LegoFaces,
     Omniglot,
@@ -71,7 +72,7 @@ __all__ = [
     "HalfMNIST", "BinarizedAlphaDigits", "SVHN",
     "CIFAR10", "CIFAR100", "CIFAR20", "CelebA", "CelebASmall", "CelebABig",
     "Omniglot", "dSprites", "dSpritesSmall", "dSprites0", "Shapes3D",
-    "Shapes3DSmall", "Shapes3D0", "HalfMoons",
+    "Shapes3DSmall", "Shapes3D0", "HalfMoons", "HalfMoonsImage",
     "YDisentanglement", "Newsgroup20", "Newsgroup5", "Newsgroup20_clean", "SyntheticBoW",
     "Cortex", "PBMC", "SyntheticGenes", "GeneDataset", "NLPDataset",
     "Melanoma", "Forebrain", "Insilico", "BreastTumor", "Leukemia",

@@ -28,7 +28,7 @@ __all__ = [
     "HalfMNIST", "BinarizedAlphaDigits", "SVHN", "CIFAR10", "CIFAR100",
     "CIFAR20", "CelebA", "CelebASmall", "CelebABig", "Omniglot", "dSprites",
     "dSpritesSmall", "dSprites0", "Shapes3D", "Shapes3DSmall", "Shapes3D0",
-    "HalfMoons", "YDisentanglement",
+    "HalfMoons", "HalfMoonsImage", "make_halfmoons", "YDisentanglement",
 ]
 
 
@@ -483,6 +483,115 @@ class Shapes3D0(Shapes3D):
     shape_idx = self.factor_names.index("shape")
     k = self.factor_sizes[shape_idx]
     return x, np.eye(k, dtype="float32")[f[:, shape_idx].astype(int)]
+
+
+def make_halfmoons(n_samples_per_factors: int = 200, image_size: int = 64,
+                   marker_size: float = 12.0, seed: int = 1,
+                   n_cpu: int = 1):
+  """Render two-moons points as marker images with factor labels
+  (reference ``toys.py:13-91``): each sample is one point drawn as a
+  shape-marker (circle/square/triangle/pentagon) in one of 10 'coolwarm'
+  colors on black; labels = [x, y, moon label, color*2-1, shape_idx].
+
+  The reference rasterizes one matplotlib figure per sample over an MPI
+  pool; here the markers are drawn directly in NumPy (vectorized half-plane
+  tests) — same factor structure, ~100x faster, no worker pool needed
+  (`n_cpu` kept for signature parity).
+  """
+  from sklearn import datasets as _skd
+  rand = np.random.RandomState(seed=seed)
+  shapes = ["o", "s", "^", "p"]
+  shapes_to_idx = {v: k for k, v in enumerate(shapes)}
+  colors = np.linspace(0.0, 1.0, num=10)
+  n_factors = len(shapes) * len(colors)
+  n_samples = n_samples_per_factors * n_factors
+  shp = np.tile(shapes, [n_samples // len(shapes)])
+  col = np.tile(colors, [n_samples // len(colors)])
+  rand.shuffle(shp)
+  rand.shuffle(col)
+  x, y = _skd.make_moons(n_samples=n_samples, shuffle=True, noise=0.05,
+                         random_state=rand.randint(int(1e8)))
+  x = (x - x.min(0, keepdims=True)) / \
+      (x.max(0, keepdims=True) - x.min(0, keepdims=True)) * 2.0 - 1.0
+  # coolwarm color values (matplotlib used only for the colormap table)
+  import matplotlib
+  matplotlib.use("Agg")
+  from matplotlib import pyplot as plt
+  cmap = plt.get_cmap("coolwarm")
+  rgb = np.asarray(cmap(col))[:, :3]
+  # marker radius in pixels: scatter s=pt^2 area at dpi 200
+  radius = np.sqrt(marker_size / np.pi) * (200.0 / 72.0)
+  s = image_size
+  # pixel grid; data range [-1.2, 1.2] maps onto [0, s)
+  px = (x + 1.2) / 2.4 * (s - 1)
+  gy, gx = np.mgrid[0:s, 0:s].astype(np.float32)
+  X = np.zeros((n_samples, s, s, 3), np.uint8)
+  for i in range(n_samples):
+    cx, cy = px[i, 0], (s - 1) - px[i, 1]  # image rows grow downward
+    dx, dy = gx - cx, gy - cy
+    m = shp[i]
+    if m == "o":
+      mask = dx ** 2 + dy ** 2 <= radius ** 2
+    elif m == "s":
+      half = radius * np.sqrt(np.pi) / 2.0  # equal-area square
+      mask = (np.abs(dx) <= half) & (np.abs(dy) <= half)
+    elif m == "^":  # upward triangle: three half-plane tests
+      r = radius * 1.4
+      mask = ((dy <= r * 0.5) &
+              (dy >= -r + np.abs(dx) * np.sqrt(3.0) - r * 0.5))
+    else:  # regular pentagon
+      r = radius * 1.2
+      ang = np.arctan2(dy, dx)
+      # distance to the pentagon edge at this angle (apothem / cos of the
+      # angular offset from the nearest vertex direction)
+      k = np.cos(np.pi / 5) / np.cos(
+          (ang - np.pi / 2) % (2 * np.pi / 5) - np.pi / 5)
+      mask = np.sqrt(dx ** 2 + dy ** 2) <= r * k
+    X[i][mask] = np.round(rgb[i] * 255).astype(np.uint8)
+  Y = np.stack([x[:, 0], x[:, 1], y.astype("f"), col * 2.0 - 1.0,
+                np.asarray([shapes_to_idx[m] for m in shp], "f")], -1)
+  return X, Y.astype("float32")
+
+
+class HalfMoonsImage(ImageDataset):
+  """Image variant of HalfMoons (the reference's actual `HalfMoons`,
+  ``toys.py:93``): 64x64x3 marker renders with 5 ground-truth factors
+  [pos_x, pos_y, label, color, shape].  Procedural (rendered on first use
+  and cached); the repo's vector `HalfMoons` below keeps the cheap 2-D toy
+  used across tests."""
+
+  factor_names = ["pos_x", "pos_y", "label", "color", "shape"]
+
+  def __init__(self, n_samples_per_factors: int = 25, seed: int = 1):
+    super().__init__(seed=seed)
+    self.n_samples_per_factors = int(n_samples_per_factors)
+    self._cache = None
+
+  @property
+  def name(self):
+    return "halfmoonsimage"
+
+  @property
+  def shape(self):
+    return (64, 64, 3)
+
+  @property
+  def labels(self):
+    return list(self.factor_names)
+
+  def _all(self):
+    if self._cache is None:
+      self._cache = make_halfmoons(self.n_samples_per_factors,
+                                   seed=self.seed)
+    return self._cache
+
+  def _load(self, partition: str):
+    X, Y = self._all()
+    n = len(X)
+    sl = get_partition(partition, train=slice(0, int(0.8 * n)),
+                       valid=slice(int(0.8 * n), int(0.9 * n)),
+                       test=slice(int(0.9 * n), n))
+    return X[sl].astype("float32") / 255.0, Y[sl]
 
 
 class HalfMoons(ImageDataset):

@@ -198,3 +198,27 @@ def test_newsgroup20_clean_and_ema(tmp_path):
   # ema recurrence: s[t] = w x[t] + (1-w) s[t-1]
   s = exponential_moving_average([1.0, 2.0, 3.0], 0.5)
   np.testing.assert_allclose(s, [1.0, 1.5, 2.25])
+
+
+def test_make_halfmoons_image_dataset():
+  """Image HalfMoons (the reference's actual toys.py:93 semantics): marker
+  renders with 5 factors [x, y, label, color, shape]."""
+  from odin_tpu.fuel import HalfMoonsImage
+  from odin_tpu.fuel.image_data.datasets import make_halfmoons
+  X, Y = make_halfmoons(n_samples_per_factors=2, seed=1)
+  assert X.shape == (80, 64, 64, 3) and X.dtype == np.uint8
+  assert Y.shape == (80, 5)
+  # one marker per image, at least a few pixels
+  nz = (X.reshape(80, -1, 3).max(-1) > 0).sum(1)
+  assert nz.min() > 10
+  # all four shapes and both moons appear; color in [-1, 1]
+  assert set(np.unique(Y[:, 4])) == {0.0, 1.0, 2.0, 3.0}
+  assert set(np.unique(Y[:, 2])) == {0.0, 1.0}
+  assert Y[:, 3].min() >= -1.0 and Y[:, 3].max() <= 1.0
+  # deterministic for a seed
+  X2, Y2 = make_halfmoons(n_samples_per_factors=2, seed=1)
+  np.testing.assert_array_equal(X, X2)
+  ds = HalfMoonsImage(n_samples_per_factors=2)
+  x, y = ds.numpy("train")
+  assert x.shape == (64, 64, 64, 3) and 0.0 <= x.min() and x.max() <= 1.0
+  assert ds.labels == ["pos_x", "pos_y", "label", "color", "shape"]
