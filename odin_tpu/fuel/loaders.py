@@ -72,6 +72,22 @@ class TIDIGITS(DataLoader):
     super().__init__("tidigits", path)
 
 
+class FMNIST_original(DataLoader):
+  def __init__(self, path: Optional[str] = None):
+    super().__init__("fmnist_original", path)
+
+
+class MNIST_dropout(DataLoader):
+  def __init__(self, path: Optional[str] = None):
+    super().__init__("mnist_dropout", path)
+
+
+class FMNIST_dropout(DataLoader):
+  def __init__(self, path: Optional[str] = None):
+    super().__init__("fmnist_dropout", path)
+
+
+
 class SPEECH_SAMPLES(DataLoader):
   def __init__(self, path: Optional[str] = None):
     super().__init__("speech_samples", path)
@@ -114,5 +130,6 @@ def load_glove(ndim: int = 100, path: Optional[str] = None):
   return emb
 
 
-__all__ += ["MNIST_original", "TIDIGITS", "SPEECH_SAMPLES", "IRIS",
+__all__ += ["MNIST_original", "FMNIST_original", "MNIST_dropout",
+            "FMNIST_dropout", "TIDIGITS", "SPEECH_SAMPLES", "IRIS",
             "CMUarctic", "MUSAN", "openSMILEsad", "load_glove"]
