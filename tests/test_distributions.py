@@ -503,3 +503,28 @@ def test_quantized_normal_uniform():
   pu = np.asarray(u.prob(ku))
   # interior bins of width 1 on U(0,10): mass 0.1
   np.testing.assert_allclose(pu[1:10], 0.1, rtol=1e-6)
+
+
+def test_trainable_normal_stochastic_variable():
+  """Reference ``stochastic_initializers.py:15,43,91``: a variable that IS
+  a trainable Normal distribution, with the shared-scale variant."""
+  import jax
+  import jax.numpy as jnp
+  from odin_tpu.bay.stochastic_initializers import (TrainableNormal,
+                                                    TrainableNormalSharedScale)
+  m = TrainableNormal(shape=(4, 3))
+  p = m.init(jax.random.PRNGKey(0))
+  d = m.apply(p)
+  assert d.event_shape == (4, 3)
+  z = m.apply(p, jax.random.PRNGKey(1), (5,), method="sample")
+  assert z.shape == (5, 4, 3)
+  ms = TrainableNormalSharedScale(shape=(4, 3))
+  ps = ms.init(jax.random.PRNGKey(0))
+  assert ps["params"]["scale"].shape == ()  # one scalar scale
+
+  def loss(params):
+    return -jnp.mean(ms.apply(params).log_prob(jnp.ones((4, 3))))
+
+  g = jax.grad(loss)(ps)
+  assert np.all(np.isfinite(g["params"]["loc"]))
+  assert np.isfinite(np.asarray(g["params"]["scale"]))
