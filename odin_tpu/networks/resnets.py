@@ -14,9 +14,18 @@ import numpy as np
 
 from odin_tpu.networks.base import get_activation
 
-__all__ = ["SqueezeExcitation", "ResidualBlock", "ResidualUpBlock",
-           "ResidualSequential", "MaskedConv2D", "DownSample", "UpSample",
-           "PixelCNNDecoder"]
+__all__ = ["SqueezeExcitation", "SigmoidGating", "ResidualBlock",
+           "ResidualUpBlock", "ResidualSequential", "MaskedConv2D",
+           "DownSample", "UpSample", "PixelCNNDecoder"]
+
+
+class SigmoidGating(nn.Module):
+  """Split channels in half, gate the first half by sigmoid of the second
+  (GLU; reference ``resnets.py:144-150``)."""
+
+  def __call__(self, x, training: bool = False):
+    activation, gate_logits = jnp.split(x, 2, axis=-1)
+    return jax.nn.sigmoid(gate_logits) * activation
 
 
 class SqueezeExcitation(nn.Module):

@@ -293,3 +293,10 @@ def set_extractor_debug(debug: bool) -> None:
   ``odin/preprocessing`` `set_extractor_debug`); existing pipelines keep
   their own flag."""
   _DEBUG_DEFAULT[0] = bool(debug)
+
+
+# reference names for the feature-dict stages (``base.py:668,682,703``)
+DuplicateFeatures = Duplicate
+RenameFeatures = Rename
+DeleteFeatures = Delete
+__all__ += ["DuplicateFeatures", "RenameFeatures", "DeleteFeatures"]
