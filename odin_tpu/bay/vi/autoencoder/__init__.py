@@ -42,6 +42,8 @@ from odin_tpu.bay.vi.autoencoder.conditional_vae import (
 )
 from odin_tpu.bay.vi.autoencoder.hierarchical_vae import (
     BiConvLatents,
+    BiDenseLatents,
+    ParallelLatents,
     HierarchicalVAE,
     LadderVAE,
     PUnetVAE,
@@ -101,7 +103,7 @@ __all__ = [
     "auxiliaryVAE", "AuxiliaryVAE", "SemafoVAE", "RemafoVAE", "semafod",
     "semafoh", "semafos", "semafosm", "semafosc", "semafop", "semafot",
     "HierarchicalVAE", "LadderVAE", "UnetVAE", "PUnetVAE", "VeryDeepVAE",
-    "BiConvLatents", "amortizedLDA", "auxiliaryLDA", "nonlinearLDA", "ALDA",
+    "BiConvLatents", "BiDenseLatents", "ParallelLatents", "amortizedLDA", "auxiliaryLDA", "nonlinearLDA", "ALDA",
     "StochasticVAE", "ImputeVAE", "DistEncoder", "GroupVAE", "MultiLevelVAE",
     "AdaptiveVAE", "WeaklySupervisedVAE", "VariationalRNN", "SequentialVAE",
     "CycleConsistentVAE", "MoeVAE", "SequentialAttentionVAE",

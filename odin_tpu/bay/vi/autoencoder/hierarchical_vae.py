@@ -33,7 +33,8 @@ from odin_tpu.bay.vi.autoencoder.variational_autoencoder import (
 )
 from odin_tpu.training.core import TrainStep
 
-__all__ = ["BiConvLatents", "LadderCore", "HierarchicalVAE", "LadderVAE",
+__all__ = ["BiConvLatents", "BiDenseLatents", "ParallelLatents",
+           "LadderCore", "HierarchicalVAE", "LadderVAE",
            "UnetCore", "UnetVAE", "PUnetCore", "PUnetVAE", "VeryDeepVAE"]
 
 
@@ -96,6 +97,138 @@ class BiConvLatents(nn.Module):
     return new_d, qz, pz, z
 
 
+class BiDenseLatents(nn.Module):
+  """Dense ladder rung (reference `BiDenseLatents`,
+  ``hierarchical_vae.py:617``): same bidirectional-inference protocol as
+  `BiConvLatents` with Dense parameter heads — for rungs sitting on
+  flattened decoder states."""
+
+  units: int = 16
+  merge_units: int = 64
+
+  def setup(self):
+    self.prior_dense = nn.Dense(2 * self.units)
+    self.post_dense_d = nn.Dense(2 * self.units)
+    self.post_dense_e = nn.Dense(2 * self.units)
+    self.merge_dense = nn.Dense(self.merge_units)
+
+  def _flat(self, h):
+    return h.reshape(h.shape[0], -1)
+
+  def prior_params(self, d):
+    loc, raw = jnp.split(self.prior_dense(self._flat(d)), 2, axis=-1)
+    return loc, jax.nn.softplus(raw) + 1e-5
+
+  def posterior_params(self, d, e):
+    loc, raw = jnp.split(
+        self.post_dense_d(self._flat(d)) + self.post_dense_e(self._flat(e)),
+        2, axis=-1)
+    return loc, jax.nn.softplus(raw) + 1e-5
+
+  def merge(self, d, z):
+    up = self.merge_dense(z)
+    if d.ndim > 2:  # broadcast a dense rung back onto a spatial state
+      up = up.reshape(up.shape[0], *([1] * (d.ndim - 2)), -1)
+      up = jnp.broadcast_to(up[..., :d.shape[-1]],
+                            d.shape) if up.shape[-1] >= d.shape[-1] else \
+          jnp.broadcast_to(jnp.pad(up, [(0, 0)] * (up.ndim - 1) +
+                                   [(0, d.shape[-1] - up.shape[-1])]), d.shape)
+      return d + up
+    return d + up[..., :d.shape[-1]]
+
+  def __call__(self, d, e=None, z=None, sample: bool = True):
+    p_loc, p_scale = self.prior_params(d)
+    pz = Independent(Normal(p_loc, p_scale), 1)
+    if e is not None:
+      q_loc, q_scale = self.posterior_params(d, e)
+      qz = Independent(Normal(q_loc, q_scale), 1)
+    else:
+      qz = None
+    if z is None:
+      src = qz if qz is not None else pz
+      if sample:
+        eps = jax.random.normal(self.make_rng("sample"), p_loc.shape)
+        z = src.distribution.loc + src.distribution.scale * eps
+      else:
+        z = src.mean()
+    return self.merge(d, z), qz, pz, z
+
+
+class ParallelLatents(nn.Module):
+  """Parallel latent group (reference `ParallelLatents`,
+  ``hierarchical_vae.py:617-736``, Zhao et al. 2017 'Learning Hierarchical
+  Features from Generative Models'): the posterior q(z_i | x) reads ONLY
+  the encoder state — every group infers in parallel from the data instead
+  of bidirectionally through the decoder — while the prior p(z_i | z_>i)
+  still conditions on the decoder state; `residual_coef` scales the
+  decoder shortcut at the merge (information takes the shortest path, so
+  keep rung units <= z0 — reference docstring)."""
+
+  filters: int = 16
+  kernel_size: int = 8
+  strides: int = 4
+  merge_channels: int = 64
+  residual_coef: float = 1.0
+
+  def setup(self):
+    k = (self.kernel_size, self.kernel_size)
+    s = (self.strides, self.strides)
+    self.prior_conv = nn.Conv(2 * self.filters, k, strides=s, padding="SAME")
+    self.post_conv_e = nn.Conv(2 * self.filters, k, strides=s, padding="SAME")
+    self.merge_deconv = nn.ConvTranspose(self.merge_channels, k, strides=s,
+                                         padding="SAME")
+
+  def prior_params(self, d):
+    loc, raw = jnp.split(self.prior_conv(d), 2, axis=-1)
+    return loc, jax.nn.softplus(raw) + 1e-5
+
+  def posterior_params(self, e):
+    loc, raw = jnp.split(self.post_conv_e(e), 2, axis=-1)
+    return loc, jax.nn.softplus(raw) + 1e-5
+
+  def __call__(self, d, e=None, z=None, sample: bool = True):
+    p_loc, p_scale = self.prior_params(d)
+    pz = Independent(Normal(p_loc, p_scale), 3)
+    if e is not None:
+      q_loc, q_scale = self.posterior_params(e)
+      # posterior grid may differ from the prior's when encoder/decoder
+      # states disagree spatially; crop to the prior's grid
+      q_loc = q_loc[:, :p_loc.shape[1], :p_loc.shape[2], :]
+      q_scale = q_scale[:, :p_loc.shape[1], :p_loc.shape[2], :]
+      qz = Independent(Normal(q_loc, q_scale), 3)
+    else:
+      qz = None
+    if z is None:
+      src = qz if qz is not None else pz
+      if sample:
+        eps = jax.random.normal(self.make_rng("sample"), p_loc.shape)
+        z = src.distribution.loc + src.distribution.scale * eps
+      else:
+        z = src.mean()
+    up = self.merge_deconv(z)[:, :d.shape[1], :d.shape[2], :]
+    return self.residual_coef * d + up, qz, pz, z
+
+
+def _make_rung(i: int, h: Dict[str, Any]) -> nn.Module:
+  kind = str(h.get("latents", "biconv")).lower()
+  if kind in ("bidense", "dense"):
+    return BiDenseLatents(units=h.get("filters", 16),
+                          merge_units=h.get("channels", 64),
+                          name=f"ladder_{i}")
+  if kind in ("parallel",):
+    return ParallelLatents(filters=h["filters"],
+                           kernel_size=h["kernel_size"],
+                           strides=h["strides"],
+                           merge_channels=h.get("channels", 64),
+                           residual_coef=float(h.get("residual_coef", 1.0)),
+                           name=f"ladder_{i}")
+  return BiConvLatents(filters=h["filters"],
+                       kernel_size=h["kernel_size"],
+                       strides=h["strides"],
+                       merge_channels=h.get("channels", 64),
+                       name=f"ladder_{i}")
+
+
 class LadderCore(nn.Module):
   """flax trunk of the hierarchical VAE."""
 
@@ -107,12 +240,7 @@ class LadderCore(nn.Module):
   labels: Optional[DistributionDense] = None
 
   def setup(self):
-    self.rungs = [BiConvLatents(filters=h["filters"],
-                                kernel_size=h["kernel_size"],
-                                strides=h["strides"],
-                                merge_channels=h.get("channels", 64),
-                                name=f"ladder_{i}")
-                  for i, h in enumerate(self.hierarchy)]
+    self.rungs = [_make_rung(i, h) for i, h in enumerate(self.hierarchy)]
 
   def encode(self, x, training: bool = False):
     h, hiddens = self.encoder(x, training=training, return_hidden=True)

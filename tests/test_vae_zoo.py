@@ -422,3 +422,51 @@ def test_sequential_attention_vae():
     l0 = float(m["loss"]) if l0 is None else l0
     lN = float(m["loss"])
   assert np.isfinite(lN) and lN < l0
+
+
+@pytest.mark.slow
+def test_ladder_rung_variants_parallel_and_bidense():
+  """`ParallelLatents` (posterior reads ONLY the encoder state, residual
+  shortcut — reference hierarchical_vae.py:617-736, Zhao'17) and
+  `BiDenseLatents` rungs both produce per-rung KLs and train
+  (hierarchy dicts select the rung via latents='parallel'|'bidense')."""
+  import jax
+  from odin_tpu.bay.random_variable import RVconf
+  from odin_tpu.bay.vi import HierarchicalVAE
+  from odin_tpu.networks.base import (Conv, ConvTranspose, Dense, Flatten,
+                                      Reshape, SequentialNetwork)
+  from odin_tpu.networks.image_networks import PackImageParams
+
+  def nets():
+    encoder = SequentialNetwork((Conv(8, 3, 1, "relu"), Conv(8, 3, 2, "relu"),
+                                 Flatten(), Dense(32, None)), name="encoder")
+    decoder = SequentialNetwork((Dense(4 * 4 * 8, "relu"), Reshape((4, 4, 8)),
+                                 ConvTranspose(8, 3, 2, "relu"),
+                                 Conv(1, 1, 1, None), PackImageParams(1)),
+                                name="decoder")
+    return dict(encoder=encoder, decoder=decoder,
+                latents=RVconf((4,), "mvndiag", projection=True,
+                               name="latents"),
+                observation=RVconf((8, 8, 1), "bernoulli", projection=False,
+                                   name="image"),
+                input_shape=(8, 8, 1))
+
+  x = (np.random.RandomState(0).rand(8, 8, 8, 1) < 0.4).astype("f")
+  specs = {
+      "parallel": dict(decoder_layer=2, encoder_layer=0, channels=8,
+                       filters=4, kernel_size=3, strides=2,
+                       latents="parallel", residual_coef=0.7),
+      "bidense": dict(decoder_layer=0, encoder_layer=3, channels=128,
+                      filters=4, latents="bidense"),
+  }
+  for kind, spec in specs.items():
+    m = HierarchicalVAE(hierarchy=(spec,), **nets()).build(seed=0)
+    llk, kl, _ = m.elbo_components(m.state.params, x, jax.random.PRNGKey(0),
+                                   0, training=True)
+    assert "kl_ladder0" in kl and "kl_latents" in kl, (kind, sorted(kl))
+    step = m.make_step_fn(learning_rate=1e-3, jit=False)
+    st, losses = m.state, []
+    for _ in range(5):
+      st, mtr = step(st, x)
+      losses.append(float(mtr["loss"]))
+    assert np.isfinite(losses[-1]) and losses[-1] < losses[0], (kind, losses)
