@@ -3,6 +3,8 @@ from odin_tpu.bay.layers.dense_distribution import (
     DistributionDense,
     MixtureDensityNetwork,
     MixtureMassNetwork,
+    MixtureMVNDiagLatents,
+    MixtureNormalLatents,
     MVNDiagLatents,
     NormalLatents,
 )

@@ -137,3 +137,18 @@ class MVNDiagLatents(DistributionDense):
   """MVN-diag latent head shortcut (reference ``bay/layers/latents.py:23``)."""
 
   posterior: str = "mvndiag"
+
+
+class MixtureNormalLatents(MixtureDensityNetwork):
+  """GMM latent head, per-dim (covariance 'none') mixture
+  (reference ``bay/layers/latents.py:71``).  Build with
+  ``MixtureNormalLatents.create(units, n_components)``."""
+
+  posterior: str = "gmmdiag"
+
+
+class MixtureMVNDiagLatents(MixtureDensityNetwork):
+  """GMM latent head with diagonal-covariance components
+  (reference ``bay/layers/latents.py:88``)."""
+
+  posterior: str = "gmmdiag"
