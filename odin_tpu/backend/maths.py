@@ -119,3 +119,45 @@ def poincare_normalize(x, axis: int = -1, epsilon: float = 1e-6):
 
 __all__ += ["to_llh", "to_llr", "to_sample_weights", "renorm_rms",
             "poincare_normalize"]
+
+
+def l2_normalize(x, axis=None, eps: float = 1e-12):
+  """``x / sqrt(max(sum(x^2), eps))`` (reference ``maths.py:84``,
+  tf.nn.l2_normalize semantics)."""
+  x = jnp.asarray(x)
+  sq = jnp.sum(jnp.square(x), axis=axis, keepdims=True)
+  return x * jax.lax.rsqrt(jnp.maximum(sq, eps))
+
+
+def calc_white_mat(X):
+  """Whitening transform W = chol(inv(X)) of a covariance matrix
+  (reference ``maths.py:133``; pairs with `whitening` which whitens data
+  directly)."""
+  return jnp.linalg.cholesky(jnp.linalg.inv(jnp.asarray(X)))
+
+
+def reduce_logexp(x, reduction_function=jnp.mean, axis=None):
+  """Overflow-safe ``log(reduce(exp(x)))`` for any reduction
+  (reference ``maths.py:469``)."""
+  x = jnp.asarray(x)
+  x_max = jnp.max(x, axis=axis, keepdims=True)
+  y = jnp.log(reduction_function(jnp.exp(x - x_max), axis=axis,
+                                 keepdims=True)) + x_max
+  return jnp.squeeze(y)
+
+
+def apply_mask(x, mask):
+  """Mask trailing feature frames: ``x * mask[..., None]``
+  (reference ``tensor.py:893``)."""
+  return jnp.asarray(x) * jnp.expand_dims(jnp.asarray(mask, jnp.result_type(x)), -1)
+
+
+def tril_mask(shape):
+  """Lower-triangular boolean mask over the last two dims
+  (reference ``tensor.py:455``)."""
+  ones = jnp.ones(tuple(shape), jnp.int32)
+  return jnp.cumsum(ones, axis=-2) >= jnp.cumsum(ones, axis=-1)
+
+
+__all__ += ["l2_normalize", "calc_white_mat", "reduce_logexp", "apply_mask",
+            "tril_mask"]
