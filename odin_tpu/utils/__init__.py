@@ -332,3 +332,182 @@ def save_wav(path, s, fs):
   PCM16 writer in `preprocessing.speech.save_wave`."""
   from odin_tpu.preprocessing.speech import save_wave
   return save_wave(path, s, fs)
+
+
+# ---------------------------------------------------------------------------
+# Long-tail helpers (reference odin/utils — file:line in each docstring)
+# ---------------------------------------------------------------------------
+def uuid(length: int = 8) -> str:
+  """Random alphanumeric id (reference ``utils/__init__.py:399``)."""
+  import random
+  import string
+  chars = string.ascii_letters + string.digits
+  return "".join(random.choice(chars) for _ in range(int(length)))
+
+
+def read_lines(file_path):
+  """Strip-read all non-empty lines (reference :237)."""
+  with open(file_path, "r") as f:
+    return [line.strip() for line in f if line.strip()]
+
+
+def iter_chunk(it, n: int):
+  """Chunk any iterable into lists of size n (reference :179)."""
+  from itertools import islice
+  it = iter(it)
+  obj = list(islice(it, int(n)))
+  while obj:
+    yield obj
+    obj = list(islice(it, int(n)))
+
+
+def dict_union(*dicts, **kwargs):
+  """Union of DISJOINT dicts; duplicate keys raise (reference :1084)."""
+  out = {}
+  for d in list(dicts) + [kwargs]:
+    for k, v in d.items():
+      if k in out:
+        raise ValueError(f"key '{k}' appears twice")
+      out[k] = v
+  return out
+
+
+def ordered_set(seq):
+  """Deduplicate preserving order (reference :1073)."""
+  return list(dict.fromkeys(seq))
+
+
+def array_size(arr) -> int:
+  """Total bytes of a numpy array (reference :47)."""
+  import numpy as _np
+  return int(_np.asarray(arr).nbytes)
+
+
+def segment_list(l, size=None, n_seg=None):
+  """Split a list into n_seg adaptive-size contiguous segments (the MPI
+  job splitter, reference ``mpi.py:337``)."""
+  import numpy as _np
+  if n_seg is None:
+    n_seg = int(_np.ceil(len(l) / float(size)))
+  segments, start = [], 0
+  remain_data, remain_seg = len(l), n_seg
+  while remain_data > 0:
+    size = remain_data // remain_seg
+    segments.append(l[start:start + size])
+    start += size
+    remain_data -= size
+    remain_seg -= 1
+  return segments
+
+
+def get_all_files(path, filter_func=None):
+  """Recursive file listing with optional predicate (reference
+  ``python_utils.py:478``)."""
+  import os as _os
+  out = []
+  for root, _, files in _os.walk(path):
+    for f in files:
+      p = _os.path.join(root, f)
+      if filter_func is None or filter_func(p):
+        out.append(p)
+  return sorted(out)
+
+
+def get_all_ext(path):
+  """All distinct file extensions under a tree (reference
+  ``python_utils.py``)."""
+  import os as _os
+  exts = set()
+  for p in get_all_files(path):
+    e = _os.path.splitext(p)[1]
+    if e:
+      exts.add(e)
+  return sorted(exts)
+
+
+def select_path(*paths, default=None, create_new: bool = False):
+  """First existing path; optionally create the first candidate
+  (reference ``python_utils.py:670``)."""
+  import os as _os
+  for p in paths:
+    p = _os.path.abspath(_os.path.expanduser(str(p)))
+    if _os.path.exists(p):
+      return p
+  if create_new and paths:
+    p = _os.path.abspath(_os.path.expanduser(str(paths[0])))
+    _os.makedirs(p, exist_ok=True)
+    return p
+  if default is not None:
+    return default
+  raise ValueError(f"none of the paths exist: {paths}")
+
+
+class classproperty:
+  """@classproperty descriptor (reference ``python_utils.py:657``)."""
+
+  def __init__(self, fget):
+    self.fget = fget
+
+  def __get__(self, obj, owner):
+    return self.fget(owner)
+
+
+class Singleton(type):
+  """Metaclass: one instance per class (reference ``decorators.py:632``)."""
+
+  _instances: dict = {}
+
+  def __call__(cls, *args, **kwargs):
+    if cls not in Singleton._instances:
+      Singleton._instances[cls] = super().__call__(*args, **kwargs)
+    return Singleton._instances[cls]
+
+
+class UniqueHasher:
+  """Deterministic collision-free label hasher (reference
+  ``utils/__init__.py:444``): remembers assignments so every distinct value
+  gets a distinct id, probing forward on collisions."""
+
+  def __init__(self, nb_labels=None):
+    self.nb_labels = nb_labels
+    self._memory = {}        # hash_key -> value
+    self._current_hash = {}  # value -> hash_key
+
+  def hash(self, value):
+    if value in self._current_hash:
+      return self._current_hash[value]
+    import hashlib
+    key = int(hashlib.md5(str(value).encode()).hexdigest(), 16)
+    if self.nb_labels is not None:
+      key = key % self.nb_labels
+      if len(self._memory) >= self.nb_labels:
+        raise ValueError(f"all {self.nb_labels} labels assigned")
+    while key in self._memory:
+      key = (key + 1) % self.nb_labels if self.nb_labels else key + 1
+    self._memory[key] = value
+    self._current_hash[value] = key
+    return key
+
+  __call__ = hash
+
+
+def catch_warnings_ignore(*categories):
+  """Context manager silencing the given warning categories (reference
+  ``python_utils.py:742``)."""
+  import contextlib
+  import warnings
+
+  @contextlib.contextmanager
+  def _cm():
+    with warnings.catch_warnings():
+      for c in (categories or (Warning,)):
+        warnings.simplefilter("ignore", c)
+      yield
+
+  return _cm()
+
+
+__all__ += ["uuid", "read_lines", "iter_chunk", "dict_union", "ordered_set",
+            "array_size", "segment_list", "get_all_files", "get_all_ext",
+            "select_path", "classproperty", "Singleton", "UniqueHasher",
+            "catch_warnings_ignore"]

@@ -311,3 +311,52 @@ def test_read_tensorboard_and_callback():
       return {"flag": 1.0}
 
   assert Stop()(None, None, {}) == {"flag": 1.0}
+
+
+def test_utils_long_tail_helpers():
+  """Reference odin/utils long tail: uuid (:399), iter_chunk (:179),
+  dict_union (:1084), ordered_set (:1073), segment_list (mpi.py:337),
+  UniqueHasher (:444), classproperty/Singleton/select_path/get_all_files
+  (python_utils), catch_warnings_ignore."""
+  import warnings
+  from odin_tpu.utils import (Singleton, UniqueHasher,
+                              catch_warnings_ignore, classproperty,
+                              dict_union, get_all_ext, get_all_files,
+                              iter_chunk, ordered_set, read_lines,
+                              segment_list, select_path, uuid)
+  assert len(uuid(12)) == 12 and uuid() != uuid()
+  assert list(iter_chunk(range(7), 3)) == [[0, 1, 2], [3, 4, 5], [6]]
+  assert dict_union({"a": 1}, {"b": 2}, c=3) == {"a": 1, "b": 2, "c": 3}
+  with pytest.raises(ValueError):
+    dict_union({"a": 1}, {"a": 2})
+  assert ordered_set([3, 1, 3, 2, 1]) == [3, 1, 2]
+  segs = segment_list(list(range(10)), n_seg=4)
+  assert len(segs) == 4 and sum(segs, []) == list(range(10))
+  h = UniqueHasher(nb_labels=4)
+  ids = [h.hash(v) for v in "abcd"]
+  assert len(set(ids)) == 4 and h.hash("a") == ids[0]
+  with pytest.raises(ValueError):
+    h.hash("e")
+
+  class One(metaclass=Singleton):
+    pass
+
+  assert One() is One()
+
+  class B:
+    @classproperty
+    def tag(cls):
+      return cls.__name__
+
+  assert B.tag == "B"
+  with warnings.catch_warnings():
+    warnings.simplefilter("error")
+    with catch_warnings_ignore(UserWarning):
+      warnings.warn("x", UserWarning)
+  import tempfile, os
+  d = tempfile.mkdtemp()
+  open(os.path.join(d, "a.txt"), "w").write("hi\n\nthere\n")
+  assert read_lines(os.path.join(d, "a.txt")) == ["hi", "there"]
+  assert get_all_files(d) == [os.path.join(d, "a.txt")]
+  assert get_all_ext(d) == [".txt"]
+  assert select_path("/nonexistent", d) == d
