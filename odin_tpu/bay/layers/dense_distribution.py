@@ -152,3 +152,45 @@ class MixtureMVNDiagLatents(MixtureDensityNetwork):
   (reference ``bay/layers/latents.py:88``)."""
 
   posterior: str = "gmmdiag"
+
+
+def merge_normal(q_e, q_d):
+  """Precision-weighted merge of two factorized Gaussians — the LVAE
+  posterior combination (reference `MergeNormal`,
+  ``hierarchical_vae.py:101``; Sønderby'16): precision = 1/var_e + 1/var_d,
+  mu = (mu_e/var_e + mu_d/var_d) / precision."""
+  import jax.numpy as jnp
+
+  from odin_tpu.bay.distributions.continuous import Normal
+  var_e = q_e.variance()
+  var_d = q_d.variance()
+  prec = 1.0 / var_e + 1.0 / var_d
+  loc = (q_e.mean() / var_e + q_d.mean() / var_d) / prec
+  return Normal(loc, jnp.sqrt(1.0 / prec))
+
+
+class MergeNormal(nn.Module):
+  """Layer form of `merge_normal` (reference ``hierarchical_vae.py:101``)."""
+
+  def __call__(self, dists, training: bool = False):
+    q_e, q_d = dists
+    return merge_normal(q_e, q_d)
+
+
+class DistributionNetwork(nn.Module):
+  """Sequential trunk + one-or-more distribution heads (reference
+  `DistributionNetwork`, ``dense_distribution.py:664``): calling it
+  returns one Distribution per head."""
+
+  network: Any
+  distributions: Tuple[Any, ...] = ()
+
+  @nn.compact
+  def __call__(self, x, training: bool = False):
+    h = self.network(x, training=training)
+    outs = tuple(head(h, training=training) for head in self.distributions)
+    return outs[0] if len(outs) == 1 else outs
+
+
+__all__ += ["merge_normal", "MergeNormal", "DistributionNetwork",
+            "MixtureNormalLatents", "MixtureMVNDiagLatents"]
