@@ -29,7 +29,8 @@ try:  # jax >= 0.6 moved shard_map out of experimental
 except ImportError:  # pragma: no cover
   from jax.experimental.shard_map import shard_map  # type: ignore
 
-__all__ = ["stack_expert_params", "moe_apply", "softmax_gates"]
+__all__ = ["stack_expert_params", "moe_apply", "softmax_gates",
+           "topk_dispatch", "topk_moe_apply"]
 
 
 def stack_expert_params(params_list: Sequence[Any]):
@@ -71,3 +72,105 @@ def moe_apply(expert_fn: Callable[[Any, jnp.ndarray], jnp.ndarray],
   fn = shard_map(_local, mesh=mesh, in_specs=(spec_p, P(None, axis), P()),
                  out_specs=P(), check_vma=False)
   return fn(stacked_params, gates, x)
+
+
+def topk_dispatch(gates: jnp.ndarray, k: int, capacity: int):
+  """Switch/GShard-style top-k routing tables (static shapes).
+
+  Args:
+    gates: (B, E) softmax mixture weights.
+    k: experts per token.
+    capacity: max tokens PER EXPERT accepted from this shard; tokens routed
+      past capacity are dropped (their combine weight is zero) — the
+      standard static-shape trade.
+
+  Returns (dispatch, combine):
+    dispatch: (B, E, C) one-hot {0,1} — token b occupies slot c of expert e.
+    combine:  (B, E, C) — dispatch scaled by the gate weight.
+  """
+  B, E = gates.shape
+  # rank experts per token; row r holds the r-th choice
+  top_idx = jnp.argsort(-gates, axis=-1)[:, :k]           # (B, k)
+  sel = jax.nn.one_hot(top_idx, E, dtype=gates.dtype)     # (B, k, E)
+  # slot position of each (token, choice) within its expert: running count
+  # over the flattened (choice-major, then token) order — deterministic
+  flat = sel.transpose(1, 0, 2).reshape(k * B, E)          # choices stacked
+  pos_flat = jnp.cumsum(flat, axis=0) - flat               # (k*B, E)
+  pos = pos_flat.reshape(k, B, E).transpose(1, 0, 2)       # (B, k, E)
+  keep = (pos < capacity) * sel                            # drop over-capacity
+  slot = jax.nn.one_hot(jnp.sum(pos * sel, -1).astype(jnp.int32),
+                        capacity, dtype=gates.dtype)       # (B, k, C)
+  dispatch = jnp.einsum("bke,bkc->bec", keep, slot)
+  combine = dispatch * gates[:, :, None]
+  return dispatch, combine
+
+
+def topk_moe_apply(expert_fn: Callable[[Any, jnp.ndarray], jnp.ndarray],
+                   stacked_params: Any,
+                   gate_kernel: jnp.ndarray,
+                   x: jnp.ndarray,
+                   mesh: Mesh,
+                   k: int = 2,
+                   capacity: int = None,
+                   axis: str = "expert") -> jnp.ndarray:
+  """Sparse top-k routed mixture-of-experts with an ``all_to_all`` token
+  exchange over the `axis` mesh dimension (the GShard/Switch layout the
+  dense `moe_apply` docstring promises).
+
+  Tokens are sharded on `axis` (each device holds B/E tokens AND one
+  expert's parameters).  Each shard routes its tokens with `topk_dispatch`,
+  ships the (E, C, d) dispatched blocks to their owning experts via
+  all_to_all, runs its expert on everything it received, and the reverse
+  all_to_all + combine returns the weighted outputs — two collectives per
+  layer, both riding ICI.
+
+  Exactness contract: equals the UNSHARDED computation with the same
+  routing tables (`tests/test_parallel.py::test_topk_moe_matches_unsharded`);
+  over-capacity tokens are dropped identically in both.
+  """
+  E = gate_kernel.shape[-1]
+  n_dev = mesh.shape[axis]
+  assert E == n_dev, f"one expert per device required: E={E} devices={n_dev}"
+  if capacity is None:
+    capacity = max(1, (x.shape[0] // E) * k)
+
+  def _local(params, xs):
+    # params leaves: (1, ...) — this device's expert; xs: (B_local, d)
+    gates = jax.nn.softmax(xs @ gate_kernel, axis=-1)      # (Bl, E)
+    dispatch, combine = topk_dispatch(gates, k, capacity)
+    sent = jnp.einsum("bd,bec->ecd", xs, dispatch)         # (E, C, d)
+    # scatter block e to device e; gather one block from every shard
+    recv = jax.lax.all_to_all(sent, axis, split_axis=0,
+                              concat_axis=0)               # (n_dev, C, d)
+    y = expert_fn(jax.tree.map(lambda l: l[0], params),
+                  recv.reshape(n_dev * capacity, -1))
+    y = y.reshape(n_dev, capacity, -1)
+    # reverse exchange: block s goes back to shard s
+    back = jax.lax.all_to_all(y, axis, split_axis=0,
+                              concat_axis=0)               # (E, C, dout)
+    return jnp.einsum("ecd,bec->bd", back, combine)
+
+  spec_p = jax.tree.map(lambda _: P(axis), stacked_params)
+  fn = shard_map(_local, mesh=mesh, in_specs=(spec_p, P(axis)),
+                 out_specs=P(axis), check_vma=False)
+  return fn(stacked_params, x)
+
+
+def topk_moe_reference(expert_fn, stacked_params, gate_kernel, x,
+                       n_shards: int, k: int = 2, capacity: int = None):
+  """Unsharded reference of `topk_moe_apply` (same per-shard routing and
+  capacity drops) for exactness tests."""
+  E = gate_kernel.shape[-1]
+  if capacity is None:
+    capacity = max(1, (x.shape[0] // E) * k)
+  B = x.shape[0]
+  Bl = B // n_shards
+  outs = []
+  for s in range(n_shards):
+    xs = x[s * Bl:(s + 1) * Bl]
+    gates = jax.nn.softmax(xs @ gate_kernel, axis=-1)
+    dispatch, combine = topk_dispatch(gates, k, capacity)
+    sent = jnp.einsum("bd,bec->ecd", xs, dispatch)
+    y = jax.vmap(lambda p, t: expert_fn(p, t))(stacked_params, sent)
+    outs.append(jnp.einsum("ecd,bec->bd", y, combine))
+  return jnp.concatenate(outs, 0)
