@@ -440,3 +440,77 @@ def test_ring_attention_matches_full():
   gr = jax.grad(loss_ref, argnums=(0, 1, 2))(q, k, v)
   for a, b in zip(g, gr):
     np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=5e-4)
+
+
+_FSDP_CKPT_SCRIPT = """
+import os, tempfile
+import numpy as np
+import jax
+jax.config.update('jax_platforms', 'cpu')
+
+from odin_tpu import parallel
+from odin_tpu.parallel.fsdp import fsdp_shardings, shard_state_fsdp
+from odin_tpu.bay.random_variable import RVconf
+from odin_tpu.bay.vi import BetaVAE
+from odin_tpu.networks.base import Dense, Flatten, SequentialNetwork
+from odin_tpu.training.trainer import Trainer
+
+mesh = parallel.get_mesh(devices=jax.devices()[:4])
+parallel.set_default_mesh(mesh)
+enc = SequentialNetwork((Flatten(), Dense(64, 'relu')), name='encoder')
+dec = SequentialNetwork((Dense(64, 'relu'),), name='decoder')
+vae = BetaVAE(encoder=enc, decoder=dec,
+              latents=RVconf((8,), 'mvndiag', projection=True, name='latents'),
+              observation=RVconf((16,), 'gaussian', projection=True, name='obs'),
+              input_shape=(16,)).build(seed=3)
+step = vae.make_step_fn(learning_rate=1e-2)
+state = shard_state_fsdp(vae.state, mesh, min_size=64)
+batch = parallel.shard_batch(np.random.RandomState(0).rand(16, 16).astype('f'),
+                             mesh)
+state, _ = step(state, batch)
+host1 = jax.device_get(state)  # host copy (step donates its input buffers)
+
+d = tempfile.mkdtemp()
+tr = Trainer(logdir=d)
+# 1. pickle path: host round-trip, re-shard, continue
+p = tr.save_checkpoint(state)
+tr.save_checkpoint_orbax(state, step=1)
+restored = tr.restore_checkpoint(p)
+restored = shard_state_fsdp(restored, mesh, min_size=64)
+for a, b in zip(jax.tree_util.tree_leaves(host1.params),
+                jax.tree_util.tree_leaves(restored.params)):
+  np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+# restored state steps identically to the original
+ref_state = shard_state_fsdp(host1, mesh, min_size=64)
+s1, m1 = step(ref_state, batch)
+s2, m2 = step(restored, batch)
+assert abs(float(m1['loss']) - float(m2['loss'])) < 1e-6
+# 2. orbax path
+back = tr.restore_checkpoint_orbax(host1, step=1)
+back = shard_state_fsdp(back, mesh, min_size=64)
+s3, m3 = step(back, batch)
+assert abs(float(m1['loss']) - float(m3['loss'])) < 1e-6
+# sharding layout preserved through the re-shard
+specs = fsdp_shardings(host1.params, mesh)
+n_sharded = sum(1 for s in jax.tree_util.tree_leaves(specs)
+                if 'data' in str(s.spec))
+assert n_sharded > 0
+print('FSDP CKPT OK', n_sharded, 'sharded leaves')
+"""
+
+
+@pytest.mark.slow
+def test_fsdp_checkpoint_roundtrip():
+  """FSDP-sharded TrainState survives both checkpoint paths (pickle +
+  orbax): restore -> re-shard -> identical next step."""
+  import os
+  import subprocess
+  import sys
+  env = dict(os.environ, JAX_PLATFORMS="cpu",
+             XLA_FLAGS="--xla_force_host_platform_device_count=4")
+  repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+  proc = subprocess.run([sys.executable, "-c", _FSDP_CKPT_SCRIPT],
+                        cwd=repo, env=env, capture_output=True, text=True,
+                        timeout=1200)
+  assert proc.returncode == 0, (proc.stdout[-500:], proc.stderr[-2000:])
+  assert "FSDP CKPT OK" in proc.stdout
