@@ -67,4 +67,6 @@ def shard_state_fsdp(state: Any, mesh: Mesh, axis: str = "data",
       opt_states=shard_params_fsdp(host.opt_states, mesh, axis, min_size),
       step=jax.device_put(host.step),
       rng=jax.device_put(host.rng),
+      mutables=jax.tree_util.tree_map(jax.device_put, host.mutables),
+      skipped_updates=jax.device_put(host.skipped_updates),
   )
