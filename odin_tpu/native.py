@@ -129,7 +129,8 @@ def gather(arr: np.ndarray, idx: np.ndarray, out: Optional[np.ndarray] = None,
   lib = load_native()
   idx = np.ascontiguousarray(idx, np.int64)
   if (lib is None or not isinstance(arr, np.ndarray)
-      or not arr.flags["C_CONTIGUOUS"] or arr.ndim < 1):
+      or not arr.flags["C_CONTIGUOUS"] or arr.ndim < 1
+      or arr.dtype.hasobject):  # raw memcpy of PyObject* would skip refcounts
     res = arr[idx]
     if out is not None:
       out[...] = res
