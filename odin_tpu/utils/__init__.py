@@ -511,3 +511,43 @@ __all__ += ["uuid", "read_lines", "iter_chunk", "dict_union", "ordered_set",
             "array_size", "segment_list", "get_all_files", "get_all_ext",
             "select_path", "classproperty", "Singleton", "UniqueHasher",
             "catch_warnings_ignore"]
+
+
+def get_figpath(*args, **kwargs) -> str:
+  """Managed figures dir (reference ``utils/__init__.py:1170-1276``)."""
+  import os as _os
+  p = _os.path.join(get_exp_path(), "figures")
+  _os.makedirs(p, exist_ok=True)
+  return p
+
+
+def get_logpath(*args, **kwargs) -> str:
+  """Managed logs dir (reference managed paths)."""
+  import os as _os
+  p = _os.path.join(get_exp_path(), "logs")
+  _os.makedirs(p, exist_ok=True)
+  return p
+
+
+def get_modelpath(*args, **kwargs) -> str:
+  """Managed models dir (reference managed paths)."""
+  import os as _os
+  p = _os.path.join(get_exp_path(), "models")
+  _os.makedirs(p, exist_ok=True)
+  return p
+
+
+def play_audio(data, fs: int, volumn: float = 1.0, speed: float = 1.0):
+  """Play a waveform in a notebook (reference ``utils/__init__.py:1392``);
+  IPython-gated — returns the Audio display object."""
+  import numpy as _np
+  try:
+    from IPython.display import Audio
+  except ImportError as e:  # pragma: no cover
+    raise RuntimeError("play_audio needs IPython (notebook environment)") \
+        from e
+  y = _np.asarray(data, _np.float32) * float(volumn)
+  return Audio(y, rate=int(fs * speed))
+
+
+__all__ += ["get_figpath", "get_logpath", "get_modelpath", "play_audio"]
