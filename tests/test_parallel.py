@@ -440,6 +440,14 @@ def test_ring_attention_matches_full():
   gr = jax.grad(loss_ref, argnums=(0, 1, 2))(q, k, v)
   for a, b in zip(g, gr):
     np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=5e-4)
+  # causal: global positions masked exactly across shard boundaries
+  out_c = ring_attention(q, k, v, mesh, causal=True)
+  ref_c = full_attention_reference(q, k, v, causal=True)
+  np.testing.assert_allclose(np.asarray(out_c), np.asarray(ref_c),
+                             atol=2e-5)
+  # first token attends only to itself
+  np.testing.assert_allclose(np.asarray(out_c[:, 0]), np.asarray(v[:, 0]),
+                             atol=2e-5)
 
 
 _FSDP_CKPT_SCRIPT = """
