@@ -24,7 +24,7 @@ branching inside the trace):
 from __future__ import annotations
 
 from enum import IntFlag, auto
-from typing import Optional
+from typing import Any, Optional
 
 import flax.linen as nn
 import jax
@@ -33,7 +33,7 @@ import numpy as np
 
 __all__ = ["AttentionMechanism", "Attention", "SelfAttention",
            "GlobalAttention", "LocalPredictiveAttention",
-           "MultiHeadAttention"]
+           "MultiHeadAttention", "AttentionHeads", "create_attention_heads"]
 
 
 class AttentionMechanism(IntFlag):
@@ -249,3 +249,41 @@ class MultiHeadAttention(nn.Module):
     return nn.MultiHeadDotProductAttention(
         num_heads=self.num_heads, qkv_features=self.qkv_features,
         deterministic=not training, **kwargs)(q, k, v, mask=mask)
+
+
+class AttentionHeads(nn.Module):
+  """Multi-head projection ``(B, T, d) -> (H, B, T, d)`` (reference
+  `create_attention_heads`, ``attention_mechanism.py:69``): `depth` stacked
+  Dense(d*H) layers, then split into heads."""
+
+  num_heads: int = 2
+  depth: int = 1
+  use_bias: bool = True
+  activation: Any = "relu"
+
+  @nn.compact
+  def __call__(self, x, training: bool = False):
+    from odin_tpu.networks.base import get_activation
+    if self.num_heads <= 1 or self.depth <= 0:
+      return x[None] if self.num_heads > 1 else x
+    d = x.shape[-1]
+    h = x
+    for i in range(self.depth):
+      h = nn.Dense(d * self.num_heads, use_bias=self.use_bias,
+                   name=f"head_proj_{i}")(h)
+      h = get_activation(self.activation)(h)
+      if i < self.depth - 1:  # intermediate layers stay at d*H width
+        pass
+    # (B, T, d*H) -> (H, B, T, d)
+    h = h.reshape(h.shape[:-1] + (self.num_heads, d))
+    return jnp.moveaxis(h, -2, 0)
+
+
+def create_attention_heads(input_dim: int, num_heads: int = 2,
+                           depth: int = 1, use_bias: bool = True,
+                           activation: Any = "relu") -> AttentionHeads:
+  """Factory form (reference ``attention_mechanism.py:69``); `input_dim`
+  is inferred at call time in flax and kept for signature parity."""
+  del input_dim
+  return AttentionHeads(num_heads=num_heads, depth=depth,
+                        use_bias=use_bias, activation=activation)
