@@ -392,6 +392,8 @@ class VariationalAutoencoder(VariationalModel):
                    global_clipnorm: Optional[float] = None,
                    nan_policy: str = "skip",
                    train_params: Optional[Sequence[str]] = None,
+                   accum_steps: int = 1,
+                   compute_dtype=None,
                    jit: bool = True, **opt_kwargs):
     """Build (and jit) the fused multi-TrainStep update function; also
     initializes optimizer states on self.state.
@@ -400,7 +402,11 @@ class VariationalAutoencoder(VariationalModel):
     ('/'-separated into the nested tree, e.g. ``('vae/decoder',)`` trains
     the decoder with everything else frozen — reference
     `encoder.trainable = False`, ``betavae_encoder_info_bound.py:130``).
-    Only valid for single-TrainStep models."""
+    Only valid for single-TrainStep models.
+
+    `accum_steps` — gradient accumulation over microbatches;
+    `compute_dtype` — mixed precision (e.g. ``jnp.bfloat16`` compute with
+    fp32 master weights).  See `training.core.build_train_step_fn`."""
     assert self.state is not None, "call build() first"
     specs = self.optimizer_specs()
     steps = self.train_steps()
@@ -427,7 +433,9 @@ class VariationalAutoencoder(VariationalModel):
         sub = extract_partitions(self.state.params, ts.partitions)
         opt_states[opt_name] = optimizers[opt_name].init(sub)
     self.state = self.state.replace(opt_states=opt_states)
-    fn = build_train_step_fn(steps, optimizers, nan_policy=nan_policy)
+    fn = build_train_step_fn(steps, optimizers, nan_policy=nan_policy,
+                             accum_steps=accum_steps,
+                             compute_dtype=compute_dtype)
     return jax.jit(fn, donate_argnums=(0,)) if jit else fn
 
   def make_eval_fn(self, jit: bool = True):

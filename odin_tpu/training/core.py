@@ -143,10 +143,23 @@ def make_optimizer(name: Union[str, optax.GradientTransformation] = "adam",
   return optax.chain(*chain) if len(chain) > 1 else opt
 
 
+def _cast_floats(tree, dtype):
+  """Cast every floating leaf of a pytree to `dtype` (ints/bools pass)."""
+
+  def cast(x):
+    if hasattr(x, "dtype") and jnp.issubdtype(x.dtype, jnp.floating):
+      return x.astype(dtype)
+    return x
+
+  return jax.tree_util.tree_map(cast, tree)
+
+
 def build_train_step_fn(
     train_steps: Sequence[TrainStep],
     optimizers: Dict[str, optax.GradientTransformation],
     nan_policy: str = "skip",
+    accum_steps: int = 1,
+    compute_dtype: Optional[Any] = None,
 ) -> Callable:
   """Compose TrainSteps into one pure ``(state, batch) -> (state, metrics)``.
 
@@ -155,8 +168,24 @@ def build_train_step_fn(
     'apply'  — always apply (debugging);
     'stop'   — like skip, plus emits metrics['nan_gradients']=1 so the host
                Trainer can halt/restore.
+
+  `accum_steps > 1` — gradient accumulation: the batch's leading axis is
+  split into `accum_steps` microbatches, per-microbatch gradients are
+  averaged in a lax.scan (activations for only ONE microbatch live at a
+  time — the standard way to train an N-times-larger effective batch in
+  the same HBM), then each optimizer applies a single update.  For
+  mean-reduced losses this is numerically the full-batch gradient (held
+  by ``tests/test_vae_core.py::test_grad_accumulation_matches_full_batch``).
+
+  `compute_dtype` (e.g. ``jnp.bfloat16``) — mixed-precision policy: params
+  and batch are cast to the compute dtype INSIDE the loss (so the forward/
+  backward runs on the MXU's native bf16 path) while master params,
+  gradients, and optimizer moments stay fp32 (the cast's VJP casts
+  gradients back up).  bf16 shares fp32's exponent range, so no loss
+  scaling is needed (unlike fp16).
   """
   train_steps = list(train_steps)
+  accum_steps = int(accum_steps)
 
   def step_fn(state: TrainState, batch) -> Tuple[TrainState, Dict[str, jax.Array]]:
     metrics: Dict[str, jax.Array] = {}
@@ -170,13 +199,45 @@ def build_train_step_fn(
       rng, step_rng = jax.random.split(rng)
       sub = extract_partitions(params, ts.partitions)
 
-      def loss_of(sub_params, params=params, ts=ts, step_rng=step_rng,
-                  mutables=mutables):
+      def loss_of(sub_params, mb=batch, mb_rng=step_rng, mut=None,
+                  params=params, ts=ts):
+        mut = mutables if mut is None else mut
         full = merge_partitions(params, sub_params)
-        return ts.loss_fn(full, batch, step_rng, state.step, mutables)
+        if compute_dtype is not None:
+          full = _cast_floats(full, compute_dtype)
+          mb = _cast_floats(mb, compute_dtype)
+        return ts.loss_fn(full, mb, mb_rng, state.step, mut)
 
-      (loss, (step_metrics, mutables)), grads = jax.value_and_grad(
-          loss_of, has_aux=True)(sub)
+      if accum_steps > 1:
+        micro = jax.tree_util.tree_map(
+            lambda a: a.reshape((accum_steps, a.shape[0] // accum_steps)
+                                + a.shape[1:]), batch)
+        mb_keys = jax.random.split(step_rng, accum_steps)
+
+        def body(carry, xs, sub=sub):
+          g_acc, mut = carry
+          mb, k = xs
+          (mb_loss, (mb_metrics, mut)), g = jax.value_and_grad(
+              loss_of, has_aux=True)(sub, mb, k, mut)
+          g_acc = jax.tree_util.tree_map(jnp.add, g_acc, g)
+          ys = (mb_loss.astype(jnp.float32),
+                jax.tree_util.tree_map(
+                    lambda v: jnp.asarray(v, jnp.float32), mb_metrics))
+          return (g_acc, mut), ys
+
+        (g_sum, mutables), (losses, mets) = jax.lax.scan(
+            body, (jax.tree_util.tree_map(jnp.zeros_like, sub), mutables),
+            (micro, mb_keys))
+        grads = jax.tree_util.tree_map(lambda g: g / accum_steps, g_sum)
+        loss = jnp.mean(losses)
+        step_metrics = jax.tree_util.tree_map(
+            lambda v: jnp.mean(v, axis=0), mets)
+      else:
+        (loss, (step_metrics, mutables)), grads = jax.value_and_grad(
+            loss_of, has_aux=True)(sub)
+        loss = loss.astype(jnp.float32)
+        step_metrics = jax.tree_util.tree_map(
+            lambda v: jnp.asarray(v, jnp.float32), step_metrics)
       opt_name = ts.optimizer or ts.partitions[0]
       updates, new_opt = optimizers[opt_name].update(
           grads, opt_states[opt_name], sub)

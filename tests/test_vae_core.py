@@ -151,3 +151,49 @@ def test_vqvae_ema_codebook_updates():
   assert idx.shape == (8,) or idx.shape[0] == 8
   px = vae.decode_codes(np.asarray(idx))
   assert np.all(np.isfinite(np.asarray(px.mean())))
+
+
+def test_grad_accumulation_matches_full_batch():
+  """`make_step_fn(accum_steps=k)` scans k microbatches and applies ONE
+  averaged update — for a mean-reduced, rng-independent loss this must be
+  numerically the full-batch step (standard way to fit an N×-larger
+  effective batch in fixed HBM; no reference counterpart —
+  `base_networks.py:490` always consumes the whole batch)."""
+  X = RNG.rand(64, 2).astype("float32")
+
+  def one_step(accum):
+    vae = Autoencoder(**get_networks("halfmoons", zdim=2)).build(seed=0)
+    fn = vae.make_step_fn(learning_rate=1e-2, accum_steps=accum)
+    state0 = jax.device_get(vae.state)  # AFTER make_step_fn (opt_states)
+    state1, metrics = fn(state0, X)
+    return jax.device_get(state1.params), jax.device_get(metrics)
+
+  p_full, m_full = one_step(1)
+  p_acc, m_acc = one_step(4)
+  for a, b in zip(jax.tree_util.tree_leaves(p_full),
+                  jax.tree_util.tree_leaves(p_acc)):
+    np.testing.assert_allclose(a, b, rtol=1e-5, atol=1e-5)
+  np.testing.assert_allclose(m_full["loss"], m_acc["loss"],
+                             rtol=1e-5, atol=1e-5)
+
+
+def test_mixed_precision_bf16_training():
+  """`make_step_fn(compute_dtype=bf16)` runs forward/backward in bfloat16
+  (the MXU-native path) while master params, grads, and Adam moments stay
+  fp32 — params must remain float32, the loss must be finite fp32, and the
+  model must still learn."""
+  from odin_tpu.bay.vi import BetaVAE
+
+  vae = BetaVAE(beta=1.0, **get_networks("halfmoons", zdim=2)).build(seed=0)
+  fn = vae.make_step_fn(learning_rate=1e-2, compute_dtype=jnp.bfloat16)
+  state = jax.device_get(vae.state)
+  X = RNG.rand(512, 2).astype("float32")
+  losses = []
+  for i in range(30):
+    state, metrics = fn(state, X[RNG.randint(0, len(X), 64)])
+    losses.append(float(metrics["loss"]))
+  assert all(np.isfinite(losses))
+  assert np.asarray(metrics["loss"]).dtype == np.float32
+  for leaf in jax.tree_util.tree_leaves(jax.device_get(state.params)):
+    assert leaf.dtype == np.float32, leaf.dtype
+  assert np.mean(losses[-5:]) < np.mean(losses[:5])
