@@ -145,24 +145,115 @@ class SpaceToDepthConv(nn.Module):
     return get_activation(self.activation)(y)
 
 
+class _SubpixelConvTranspose(nn.Module):
+  """Exact subpixel decomposition of ``nn.ConvTranspose(strides=s, SAME)``.
+
+  A strided transposed conv is XLA-lowered as a conv over the
+  ``lhs_dilation``-zero-stuffed input — on TPU the MXU then contracts
+  mostly zeros.  Algebraically the SAME-padded case splits by output-pixel
+  parity into s×s *dense* stride-1 convs whose taps are the parity slices
+  of the original kernel, fused here as ONE conv to ``s·s·F`` channels
+  followed by depth-to-space.  With XLA SAME semantics the dilated-input
+  offset is ``p0 = k - 1 - (k - s)//2`` per dim, giving
+  ``y[s·a + d] = Σ_o x[a + o] · W[s·o + p0 - d]`` — identical outputs
+  (fp32 round-off) and an identical param pytree to ``nn.ConvTranspose``,
+  so checkpoints swap freely (held by
+  tests/test_networks.py::test_subpixel_conv_transpose_exact).
+  """
+
+  features: int
+  kernel_size: Tuple[int, int]
+  strides: Tuple[int, int]
+  use_bias: bool = True
+
+  @nn.compact
+  def __call__(self, x):
+    (kh, kw), (sh, sw) = self.kernel_size, self.strides
+    B, H, W, C = x.shape
+    F = self.features
+    kernel = self.param("kernel", nn.initializers.he_normal(),
+                        (kh, kw, C, F))
+
+    def taps(k, s):
+      p0 = k - 1 - (k - s) // 2
+      per_d = []
+      omin, omax = 0, 0
+      for d in range(s):
+        ok = [((d + kk - p0) // s, kk) for kk in range(k)
+              if (d + kk - p0) % s == 0]
+        per_d.append(ok)
+        omin = min([omin] + [o for o, _ in ok])
+        omax = max([omax] + [o for o, _ in ok])
+      return per_d, omin, omax
+
+    th, oh_min, oh_max = taps(kh, sh)
+    tw, ow_min, ow_max = taps(kw, sw)
+    nth, ntw = oh_max - oh_min + 1, ow_max - ow_min + 1
+    # K2[mh, mw, c, (dh·sw + dw)·F + f] = W[ih, iw, c, f] at the parity
+    # taps — built as ONE gather + mask so the traced graph stays flat.
+    ih_map = np.zeros((nth, sh), np.int32)
+    mh_msk = np.zeros((nth, sh), np.float32)
+    iw_map = np.zeros((ntw, sw), np.int32)
+    mw_msk = np.zeros((ntw, sw), np.float32)
+    for d in range(sh):
+      for o, i in th[d]:
+        ih_map[o - oh_min, d], mh_msk[o - oh_min, d] = i, 1.0
+    for d in range(sw):
+      for o, i in tw[d]:
+        iw_map[o - ow_min, d], mw_msk[o - ow_min, d] = i, 1.0
+    g = kernel[ih_map[:, None, :, None], iw_map[None, :, None, :]]
+    g = g * (mh_msk[:, None, :, None, None, None] *
+             mw_msk[None, :, None, :, None, None]).astype(kernel.dtype)
+    # g: (nth, ntw, sh, sw, C, F) -> (nth, ntw, C, sh·sw·F)
+    k2 = g.transpose(0, 1, 4, 2, 3, 5).reshape(nth, ntw, C, sh * sw * F)
+    xp = jnp.pad(x, ((0, 0), (-oh_min, oh_max), (-ow_min, ow_max), (0, 0)))
+    z = jax.lax.conv_general_dilated(
+        xp, k2, (1, 1), "VALID",
+        dimension_numbers=("NHWC", "HWIO", "NHWC"))
+    y = z.reshape(B, H, W, sh, sw, F).transpose(0, 1, 3, 2, 4, 5)
+    y = y.reshape(B, H * sh, W * sw, F)
+    if self.use_bias:
+      y = y + self.param("bias", nn.initializers.zeros, (F,))
+    return y
+
+
 class ConvTranspose(nn.Module):
+  """2-D transposed convolution.  `subpixel=True` runs the exact
+  parity-decomposed form (`_SubpixelConvTranspose` — same outputs, same
+  param pytree).  Default OFF: measured on TPU v5e the subpixel form is
+  ~19% SLOWER end-to-end than XLA's own conv_transpose lowering
+  (benchmarks/deconv_bench.py, BASELINE.md) — XLA already avoids the
+  zero-dilated MXU work; the extra depth-to-space transpose costs HBM
+  traffic.  Kept for layouts where a dense stride-1 conv wins (very small
+  spatial dims / channel-heavy decoders)."""
+
   filters: int
   kernel_size: Union[int, Tuple[int, int]] = 3
   strides: Union[int, Tuple[int, int]] = 1
   activation: Union[str, Callable, None] = None
   padding: str = "SAME"
   use_bias: bool = True
+  subpixel: bool = False
 
   @nn.compact
   def __call__(self, x, training: bool = False):
-    k = self.kernel_size if isinstance(self.kernel_size, (tuple, list)) \
+    k = tuple(self.kernel_size) if isinstance(self.kernel_size, (tuple, list)) \
         else (self.kernel_size, self.kernel_size)
-    s = self.strides if isinstance(self.strides, (tuple, list)) \
+    s = tuple(self.strides) if isinstance(self.strides, (tuple, list)) \
         else (self.strides, self.strides)
-    x = nn.ConvTranspose(self.filters, k, strides=s, padding=self.padding,
-                         use_bias=self.use_bias,
-                         kernel_init=nn.initializers.he_normal())(x)
-    return get_activation(self.activation)(x)
+    fast = (self.subpixel and self.padding.upper() == "SAME"
+            and max(s) > 1 and x.ndim == 4
+            and all(kk >= ss for kk, ss in zip(k, s)))
+    if fast:
+      impl = _SubpixelConvTranspose(self.filters, k, s,
+                                    use_bias=self.use_bias,
+                                    name="ConvTranspose_0")
+    else:
+      impl = nn.ConvTranspose(self.filters, k, strides=s,
+                              padding=self.padding, use_bias=self.use_bias,
+                              kernel_init=nn.initializers.he_normal(),
+                              name="ConvTranspose_0")
+    return get_activation(self.activation)(impl(x))
 
 
 class Flatten(nn.Module):

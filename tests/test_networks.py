@@ -271,3 +271,36 @@ def test_space_to_depth_conv_exact():
   nets = get_networks("dsprites", zdim=4, space_to_depth=True)
   names = [type(l).__name__ for l in nets["encoder"].layers]
   assert "SpaceToDepthConv" in names
+
+
+def test_subpixel_conv_transpose_exact():
+  """`ConvTranspose(subpixel=True)` must
+  equal `nn.ConvTranspose` exactly — outputs AND gradients AND the param
+  pytree (`{'ConvTranspose_0': {kernel, bias}}`), so checkpoints swap
+  freely.  The subpixel form replaces the zero-dilated-input conv with a
+  dense stride-1 conv to s·s·F channels + depth-to-space (BASELINE.md)."""
+  import jax
+  from odin_tpu.networks.base import ConvTranspose
+  rng = np.random.RandomState(1)
+  for k, s, C in ((4, 2, 3), (5, 2, 1), (3, 2, 4), (4, 4, 2)):
+    x = jnp.asarray(rng.rand(2, 8, 8, C).astype("f"))
+    slow = ConvTranspose(16, k, s, "elu", subpixel=False)
+    fast = ConvTranspose(16, k, s, "elu", subpixel=True)
+    p = slow.init(jax.random.PRNGKey(0), x)
+    assert set(p["params"]["ConvTranspose_0"]) == {"kernel", "bias"}
+    # identical pytree: fast init produces the same leaves' shapes
+    pf = fast.init(jax.random.PRNGKey(0), x)
+    assert jax.tree_util.tree_structure(p) == jax.tree_util.tree_structure(pf)
+    y_slow = slow.apply(p, x)
+    y_fast = fast.apply(p, x)
+    assert y_fast.shape == (2, 8 * s, 8 * s, 16)
+    np.testing.assert_allclose(np.asarray(y_slow), np.asarray(y_fast),
+                               atol=3e-6)
+
+    def loss(params, mod):
+      return jnp.sum(mod.apply(params, x) ** 2)
+
+    g1 = jax.grad(loss)(p, slow)["params"]["ConvTranspose_0"]["kernel"]
+    g2 = jax.grad(loss)(p, fast)["params"]["ConvTranspose_0"]["kernel"]
+    np.testing.assert_allclose(np.asarray(g1), np.asarray(g2),
+                               rtol=2e-4, atol=2e-4)
