@@ -394,6 +394,7 @@ class VariationalAutoencoder(VariationalModel):
                    train_params: Optional[Sequence[str]] = None,
                    accum_steps: int = 1,
                    compute_dtype=None,
+                   ema_decay: Optional[float] = None,
                    jit: bool = True, **opt_kwargs):
     """Build (and jit) the fused multi-TrainStep update function; also
     initializes optimizer states on self.state.
@@ -406,7 +407,9 @@ class VariationalAutoencoder(VariationalModel):
 
     `accum_steps` — gradient accumulation over microbatches;
     `compute_dtype` — mixed precision (e.g. ``jnp.bfloat16`` compute with
-    fp32 master weights).  See `training.core.build_train_step_fn`."""
+    fp32 master weights); `ema_decay` — Polyak-averaged params tracked in
+    the state (read via `training.core.use_ema_params`).  See
+    `training.core.build_train_step_fn`."""
     assert self.state is not None, "call build() first"
     specs = self.optimizer_specs()
     steps = self.train_steps()
@@ -432,10 +435,14 @@ class VariationalAutoencoder(VariationalModel):
         from odin_tpu.training.core import extract_partitions
         sub = extract_partitions(self.state.params, ts.partitions)
         opt_states[opt_name] = optimizers[opt_name].init(sub)
+    if ema_decay is not None:
+      from odin_tpu.training.core import EMA_KEY
+      opt_states[EMA_KEY] = self.state.params
     self.state = self.state.replace(opt_states=opt_states)
     fn = build_train_step_fn(steps, optimizers, nan_policy=nan_policy,
                              accum_steps=accum_steps,
-                             compute_dtype=compute_dtype)
+                             compute_dtype=compute_dtype,
+                             ema_decay=ema_decay)
     return jax.jit(fn, donate_argnums=(0,)) if jit else fn
 
   def make_eval_fn(self, jit: bool = True):

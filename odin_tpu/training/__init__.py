@@ -4,6 +4,7 @@ from odin_tpu.training.core import (
     TrainStep,
     build_train_step_fn,
     make_optimizer,
+    use_ema_params,
 )
 from odin_tpu.training.callbacks import (BestWeights, Callback,
                                          early_stopping_callback)

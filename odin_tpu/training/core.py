@@ -25,7 +25,8 @@ import optax
 
 __all__ = ["TrainState", "TrainStep", "make_optimizer", "build_train_step_fn",
            "scan_steps", "device_dataset_steps", "get_param_subtree",
-           "set_param_subtree", "extract_partitions", "merge_partitions"]
+           "set_param_subtree", "extract_partitions", "merge_partitions",
+           "use_ema_params", "EMA_KEY"]
 
 
 @flax.struct.dataclass
@@ -154,12 +155,27 @@ def _cast_floats(tree, dtype):
   return jax.tree_util.tree_map(cast, tree)
 
 
+EMA_KEY = "__ema__"
+
+
+def use_ema_params(state: TrainState) -> TrainState:
+  """State with params swapped for their exponential moving average
+  (requires the step fn to have been built with ``ema_decay``).  Polyak-
+  averaged weights are the standard eval/serving weights for generative
+  models; no counterpart in the reference (its best-weights registry,
+  ``trainer.py:182-208``, keeps raw snapshots)."""
+  if EMA_KEY not in state.opt_states:
+    raise ValueError("no EMA tracked: build the step fn with ema_decay=...")
+  return state.replace(params=state.opt_states[EMA_KEY])
+
+
 def build_train_step_fn(
     train_steps: Sequence[TrainStep],
     optimizers: Dict[str, optax.GradientTransformation],
     nan_policy: str = "skip",
     accum_steps: int = 1,
     compute_dtype: Optional[Any] = None,
+    ema_decay: Optional[float] = None,
 ) -> Callable:
   """Compose TrainSteps into one pure ``(state, batch) -> (state, metrics)``.
 
@@ -183,6 +199,10 @@ def build_train_step_fn(
   gradients, and optimizer moments stay fp32 (the cast's VJP casts
   gradients back up).  bf16 shares fp32's exponent range, so no loss
   scaling is needed (unlike fp16).
+
+  `ema_decay` (e.g. 0.999) — track a Polyak average of the FULL params
+  tree in ``opt_states['__ema__']`` (so it checkpoints/restores with the
+  state), updated once per fused step; read with `use_ema_params`.
   """
   train_steps = list(train_steps)
   accum_steps = int(accum_steps)
@@ -261,6 +281,10 @@ def build_train_step_fn(
     skipped = skipped + any_nan.astype(jnp.int32)
     if nan_policy == "stop":
       metrics["nan_gradients"] = any_nan.astype(jnp.float32)
+    if ema_decay is not None:
+      d = jnp.float32(ema_decay)
+      opt_states[EMA_KEY] = jax.tree_util.tree_map(
+          lambda e, p: d * e + (1.0 - d) * p, opt_states[EMA_KEY], params)
     new_state = TrainState(
         params=params,
         opt_states=opt_states,

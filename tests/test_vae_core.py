@@ -197,3 +197,37 @@ def test_mixed_precision_bf16_training():
   for leaf in jax.tree_util.tree_leaves(jax.device_get(state.params)):
     assert leaf.dtype == np.float32, leaf.dtype
   assert np.mean(losses[-5:]) < np.mean(losses[:5])
+
+
+def test_params_ema_polyak_averaging():
+  """`make_step_fn(ema_decay=d)` tracks a Polyak average of the params in
+  the state (checkpointed with it); `use_ema_params` swaps it in for eval.
+  d=0 must equal the raw params; d in (0,1) must trail them."""
+  from odin_tpu.training.core import use_ema_params, EMA_KEY
+  from odin_tpu.bay.vi import BetaVAE
+
+  X = RNG.rand(256, 2).astype("f")
+  vae = BetaVAE(beta=1.0, **get_networks("halfmoons", zdim=2)).build(seed=0)
+  fn = vae.make_step_fn(learning_rate=1e-2, ema_decay=0.9)
+  state = jax.device_get(vae.state)
+  p0 = state.params
+  for _ in range(10):
+    state, _ = fn(state, X[RNG.randint(0, 256, 64)])
+  ema_state = use_ema_params(jax.device_get(state))
+  leaves = lambda t: jax.tree_util.tree_leaves(t)
+  d_raw = max(float(jnp.max(jnp.abs(a - b)))
+              for a, b in zip(leaves(state.params), leaves(ema_state.params)))
+  assert d_raw > 1e-6  # EMA trails the raw params
+  # EMA lies between init and raw (a convex trail), and eval works with it
+  ev = vae.make_eval_fn(jit=False)
+  m = jax.device_get(ev(ema_state, X[:64]))
+  assert np.isfinite(m["loss"])
+  # d=0 degenerates to the raw params exactly
+  vae2 = BetaVAE(beta=1.0, **get_networks("halfmoons", zdim=2)).build(seed=0)
+  fn2 = vae2.make_step_fn(learning_rate=1e-2, ema_decay=0.0)
+  s2 = jax.device_get(vae2.state)
+  s2, _ = fn2(s2, X[:64])
+  for a, b in zip(leaves(s2.params), leaves(s2.opt_states[EMA_KEY])):
+    np.testing.assert_allclose(a, b, atol=0)
+  with pytest.raises(ValueError):
+    use_ema_params(jax.device_get(vae.state).replace(opt_states={}))
