@@ -273,6 +273,7 @@ def test_space_to_depth_conv_exact():
   assert "SpaceToDepthConv" in names
 
 
+@pytest.mark.slow  # ~14s of CPU conv compiles; exactness only
 def test_subpixel_conv_transpose_exact():
   """`ConvTranspose(subpixel=True)` must
   equal `nn.ConvTranspose` exactly — outputs AND gradients AND the param

@@ -59,6 +59,7 @@ def test_fit_device_dataset_pytree_batch():
   assert vae.step == 60
 
 
+@pytest.mark.slow  # export tracing of a 512-wide MLP x2 bundles
 def test_int8_quantized_export(tmp_path):
   """`export_vae(quantize=True)` embeds int8 codes + per-channel scales;
   the artifact shrinks ~4x and the served outputs stay close to fp32

@@ -199,6 +199,7 @@ def test_mixed_precision_bf16_training():
   assert np.mean(losses[-5:]) < np.mean(losses[:5])
 
 
+@pytest.mark.slow  # two extra step-fn compiles
 def test_params_ema_polyak_averaging():
   """`make_step_fn(ema_decay=d)` tracks a Polyak average of the params in
   the state (checkpointed with it); `use_ema_params` swaps it in for eval.
