@@ -79,9 +79,10 @@ def run_scan_config(vae_factory, batch: int, scan_steps: int, calls: int):
 
 
 def run_mxu_config(vae_factory, batch: int = 128, n_images: int = 16384,
-                   scan_steps: int = 200, calls: int = 3):
+                   scan_steps: int = 200, calls: int = 3, **step_kwargs):
   """MXU-bound config: device-resident corpus, on-device batch sampling,
-  bf16 matmul precision (the fit_device_dataset path)."""
+  bf16 matmul precision (the fit_device_dataset path).  Extra kwargs reach
+  `make_step_fn` (e.g. ``remat=True`` — benchmarks/remat_bench.py)."""
   import jax
 
   from odin_tpu import parallel
@@ -89,7 +90,7 @@ def run_mxu_config(vae_factory, batch: int = 128, n_images: int = 16384,
 
   with jax.default_matmul_precision("bfloat16"):
     vae = vae_factory()
-    raw = vae.make_step_fn(learning_rate=1e-3, jit=False)
+    raw = vae.make_step_fn(learning_rate=1e-3, jit=False, **step_kwargs)
     data = jax.device_put(
         (np.random.RandomState(1).rand(n_images, 64, 64, 1) < 0.5)
         .astype("f"))

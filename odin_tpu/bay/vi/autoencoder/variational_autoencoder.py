@@ -395,6 +395,7 @@ class VariationalAutoencoder(VariationalModel):
                    accum_steps: int = 1,
                    compute_dtype=None,
                    ema_decay: Optional[float] = None,
+                   remat: Union[bool, str] = False,
                    jit: bool = True, **opt_kwargs):
     """Build (and jit) the fused multi-TrainStep update function; also
     initializes optimizer states on self.state.
@@ -408,7 +409,9 @@ class VariationalAutoencoder(VariationalModel):
     `accum_steps` — gradient accumulation over microbatches;
     `compute_dtype` — mixed precision (e.g. ``jnp.bfloat16`` compute with
     fp32 master weights); `ema_decay` — Polyak-averaged params tracked in
-    the state (read via `training.core.use_ema_params`).  See
+    the state (read via `training.core.use_ema_params`); `remat` —
+    recompute activations in the backward pass (`jax.checkpoint`; True or
+    a `jax.checkpoint_policies` name) to trade FLOPs for HBM.  See
     `training.core.build_train_step_fn`."""
     assert self.state is not None, "call build() first"
     specs = self.optimizer_specs()
@@ -442,7 +445,7 @@ class VariationalAutoencoder(VariationalModel):
     fn = build_train_step_fn(steps, optimizers, nan_policy=nan_policy,
                              accum_steps=accum_steps,
                              compute_dtype=compute_dtype,
-                             ema_decay=ema_decay)
+                             ema_decay=ema_decay, remat=remat)
     return jax.jit(fn, donate_argnums=(0,)) if jit else fn
 
   def make_eval_fn(self, jit: bool = True):

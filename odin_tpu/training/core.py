@@ -176,6 +176,7 @@ def build_train_step_fn(
     accum_steps: int = 1,
     compute_dtype: Optional[Any] = None,
     ema_decay: Optional[float] = None,
+    remat: Union[bool, str] = False,
 ) -> Callable:
   """Compose TrainSteps into one pure ``(state, batch) -> (state, metrics)``.
 
@@ -203,9 +204,26 @@ def build_train_step_fn(
   `ema_decay` (e.g. 0.999) — track a Polyak average of the FULL params
   tree in ``opt_states['__ema__']`` (so it checkpoints/restores with the
   state), updated once per fused step; read with `use_ema_params`.
+
+  `remat` — gradient rematerialization (`jax.checkpoint`): the backward
+  pass recomputes forward activations instead of keeping them resident in
+  HBM, trading FLOPs for memory — the standard TPU lever when activations
+  exceed HBM/VMEM (the measured batch-scaling knee past batch 128,
+  BASELINE.md).  ``True`` saves nothing (maximal memory saving);  a string
+  names a `jax.checkpoint_policies` policy, e.g.
+  ``'dots_with_no_batch_dims_saveable'`` to keep matmul outputs (cheaper
+  recompute, smaller saving).  Numerically identical to the plain step
+  (same primitives re-executed) — held by
+  ``tests/test_vae_core.py::test_remat_step_matches_plain``.  No reference
+  counterpart (TF's `recompute_grad` is never used there).  Composes with
+  `accum_steps` (remat inside each microbatch) and `compute_dtype`.
   """
   train_steps = list(train_steps)
   accum_steps = int(accum_steps)
+  if remat and not isinstance(remat, bool):
+    remat_policy = getattr(jax.checkpoint_policies, str(remat))
+  else:
+    remat_policy = None
 
   def step_fn(state: TrainState, batch) -> Tuple[TrainState, Dict[str, jax.Array]]:
     metrics: Dict[str, jax.Array] = {}
@@ -228,6 +246,9 @@ def build_train_step_fn(
           mb = _cast_floats(mb, compute_dtype)
         return ts.loss_fn(full, mb, mb_rng, state.step, mut)
 
+      grad_target = (jax.checkpoint(loss_of, policy=remat_policy)
+                     if remat else loss_of)
+
       if accum_steps > 1:
         micro = jax.tree_util.tree_map(
             lambda a: a.reshape((accum_steps, a.shape[0] // accum_steps)
@@ -238,7 +259,7 @@ def build_train_step_fn(
           g_acc, mut = carry
           mb, k = xs
           (mb_loss, (mb_metrics, mut)), g = jax.value_and_grad(
-              loss_of, has_aux=True)(sub, mb, k, mut)
+              grad_target, has_aux=True)(sub, mb, k, mut)
           g_acc = jax.tree_util.tree_map(jnp.add, g_acc, g)
           ys = (mb_loss.astype(jnp.float32),
                 jax.tree_util.tree_map(
@@ -254,7 +275,7 @@ def build_train_step_fn(
             lambda v: jnp.mean(v, axis=0), mets)
       else:
         (loss, (step_metrics, mutables)), grads = jax.value_and_grad(
-            loss_of, has_aux=True)(sub)
+            grad_target, has_aux=True)(sub)
         loss = loss.astype(jnp.float32)
         step_metrics = jax.tree_util.tree_map(
             lambda v: jnp.asarray(v, jnp.float32), step_metrics)

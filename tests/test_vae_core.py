@@ -232,3 +232,82 @@ def test_params_ema_polyak_averaging():
     np.testing.assert_allclose(a, b, atol=0)
   with pytest.raises(ValueError):
     use_ema_params(jax.device_get(vae.state).replace(opt_states={}))
+
+
+def test_remat_step_matches_plain():
+  """`make_step_fn(remat=True)` wraps the loss in `jax.checkpoint`: the
+  backward pass recomputes forward activations instead of keeping them in
+  HBM (the standard TPU FLOPs-for-memory lever; no reference counterpart —
+  TF's recompute_grad is never used there).  The recomputation re-executes
+  the identical primitives, so one update must match the plain step, for
+  both remat=True (save nothing) and a named checkpoint policy."""
+  from odin_tpu.bay.vi import BetaVAE
+
+  X = RNG.rand(64, 2).astype("float32")
+
+  def one_step(remat):
+    vae = BetaVAE(beta=1.0, **get_networks("halfmoons", zdim=2)).build(seed=0)
+    fn = vae.make_step_fn(learning_rate=1e-2, remat=remat)
+    state0 = jax.device_get(vae.state)
+    state1, metrics = fn(state0, X)
+    return jax.device_get(state1.params), jax.device_get(metrics)
+
+  p_plain, m_plain = one_step(False)
+  for remat in (True, "dots_saveable"):
+    p_r, m_r = one_step(remat)
+    for a, b in zip(jax.tree_util.tree_leaves(p_plain),
+                    jax.tree_util.tree_leaves(p_r)):
+      np.testing.assert_allclose(a, b, rtol=1e-6, atol=1e-6)
+    np.testing.assert_allclose(m_plain["loss"], m_r["loss"],
+                               rtol=1e-6, atol=1e-6)
+
+
+def test_remat_composes_with_accum_and_bf16():
+  """remat must compose with gradient accumulation (checkpoint inside each
+  microbatch) and the bf16 compute policy — finite decreasing loss, fp32
+  params."""
+  from odin_tpu.bay.vi import BetaVAE
+
+  X = RNG.rand(512, 2).astype("float32")
+  vae = BetaVAE(beta=1.0, **get_networks("halfmoons", zdim=2)).build(seed=0)
+  fn = vae.make_step_fn(learning_rate=1e-2, remat=True, accum_steps=4,
+                        compute_dtype=jnp.bfloat16)
+  state = jax.device_get(vae.state)
+  losses = []
+  for _ in range(25):
+    state, metrics = fn(state, X[RNG.randint(0, len(X), 64)])
+    losses.append(float(metrics["loss"]))
+  assert all(np.isfinite(losses))
+  assert np.mean(losses[-5:]) < np.mean(losses[:5])
+  assert all(l.dtype == np.float32
+             for l in jax.tree_util.tree_leaves(jax.device_get(state.params)))
+
+
+@pytest.mark.slow  # two conv-model step-fn compiles
+def test_remat_recomputes_forward_in_compiled_program():
+  """The rematerialized conv step's COMPILED program must actually contain
+  the forward recompute: its flop count exceeds the plain step's (the
+  backward re-runs the forward instead of reading stored activations) and
+  the StableHLO carries the optimization barrier that stops XLA from
+  CSE-ing the duplicate away.  (Peak-memory effect is scheduler/backend
+  dependent — XLA CPU's temp arena does not shrink — so the HBM claim is
+  measured on the TPU in benchmarks/remat_bench.py, not asserted here.)"""
+  from odin_tpu.bay.vi import BetaVAE
+
+  X = jnp.asarray((RNG.rand(128, 64, 64, 1) < 0.5).astype("float32"))
+
+  def compile_stats(remat):
+    vae = BetaVAE(beta=1.0, **get_networks("dsprites", zdim=10)).build(seed=0)
+    fn = vae.make_step_fn(learning_rate=1e-3, remat=remat, jit=False)
+    state = jax.device_get(vae.state)
+    lowered = jax.jit(fn).lower(state, X)
+    n_barriers = lowered.as_text().count("optimization_barrier")
+    cost = lowered.compile().cost_analysis()
+    if isinstance(cost, (list, tuple)):
+      cost = cost[0]
+    return float(cost.get("flops", 0.0)), n_barriers
+
+  flops_plain, nb_plain = compile_stats(False)
+  flops_remat, nb_remat = compile_stats(True)
+  assert nb_plain == 0 and nb_remat >= 1
+  assert flops_remat > 1.1 * flops_plain, (flops_plain, flops_remat)
