@@ -106,16 +106,44 @@ class Trainer:
     return self
 
   # -- checkpoints ----------------------------------------------------------
-  def save_checkpoint(self, state: TrainState, path: Optional[str] = None):
+  def save_checkpoint(self, state: TrainState, path: Optional[str] = None,
+                      blocking: bool = True):
     """Single-artifact checkpoint of the full TrainState
     (replaces the reference's tf.train.CheckpointManager + pickled sidecars,
-    ``trainer.py:211-342``)."""
+    ``trainer.py:211-342``).
+
+    ``blocking=False`` makes the save non-blocking: the state is snapshotted
+    with an on-device copy (cheap HBM traffic, and safe against the train
+    loop donating the live buffers to the next step — `make_step_fn` uses
+    ``donate_argnums=(0,)``), then the device->host transfer + pickle +
+    atomic rename run on a writer thread while training keeps dispatching.
+    One writer at a time; `wait_for_checkpoint()` joins it (fit() does this
+    before returning)."""
     path = path or os.path.join(self.logdir, "checkpoint")
-    host_state = jax.device_get(state)
-    with open(path + ".tmp", "wb") as f:
-      pickle.dump(host_state, f)
-    os.replace(path + ".tmp", path)
+
+    def _write(host_state):
+      with open(path + ".tmp", "wb") as f:
+        pickle.dump(host_state, f)
+      os.replace(path + ".tmp", path)
+
+    if blocking:
+      _write(jax.device_get(state))
+      return path
+    snap = jax.tree_util.tree_map(
+        lambda x: x.copy() if hasattr(x, "copy") else x, state)
+    self.wait_for_checkpoint()  # serialize writers
+    import threading
+    self._ckpt_thread = threading.Thread(
+        target=lambda: _write(jax.device_get(snap)), daemon=True)
+    self._ckpt_thread.start()
     return path
+
+  def wait_for_checkpoint(self):
+    """Join the in-flight non-blocking checkpoint writer, if any."""
+    t = getattr(self, "_ckpt_thread", None)
+    if t is not None:
+      t.join()
+      self._ckpt_thread = None
 
   def restore_checkpoint(self, path: Optional[str] = None) -> Optional[TrainState]:
     path = path or (os.path.join(self.logdir, "checkpoint") if self.logdir else None)
@@ -263,13 +291,16 @@ class Trainer:
             if isinstance(out, TrainState):
               state = out
         if checkpoint_freq > 0 and self.logdir and it % checkpoint_freq == 0:
-          self.save_checkpoint(state)
+          # non-blocking: snapshot on device, write on a thread — training
+          # never stalls on checkpoint I/O
+          self.save_checkpoint(state, blocking=False)
         if self._terminate or (0 < max_iter <= it):
           break
       if self._terminate or (0 < max_iter <= it):
         break
     self.total_time = time.time() - t_start
     _CURRENT_TRAINER = None
+    self.wait_for_checkpoint()
     # pull the final state to host: downstream host-facing use (encode/
     # decode/Gym, op-by-op) must not mix mesh-replicated params with
     # single-device inputs — that deadlocks XLA CPU collectives

@@ -840,3 +840,35 @@ def test_backend_alias_parsers():
     K.parse_loss("nope")
   with pytest.raises(ValueError):
     K.parse_initializer("nope")
+
+
+def test_async_checkpoint_is_donation_safe(tmp_path):
+  """`save_checkpoint(blocking=False)` snapshots the state with an
+  on-device copy and writes on a thread — so the training loop may donate
+  the live buffers to the next step (`donate_argnums=(0,)`) while the
+  write is in flight.  The restored checkpoint must equal the state AT
+  SAVE TIME bit-for-bit, not the later state."""
+  from odin_tpu.bay.vi import BetaVAE
+  from odin_tpu.networks import get_networks
+  from odin_tpu.training.trainer import Trainer
+
+  X = np.random.RandomState(0).rand(128, 2).astype("f")
+  vae = BetaVAE(beta=1.0, **get_networks("halfmoons", zdim=2)).build(seed=0)
+  fn = vae.make_step_fn(learning_rate=1e-2)  # jitted, donates the state
+  state = jax.device_get(vae.state)
+  state, _ = fn(state, X[:64])
+  expected = jax.device_get(state)
+  tr = Trainer(logdir=str(tmp_path))
+  path = tr.save_checkpoint(state, blocking=False)
+  # donate the saved state's buffers while the writer may still be running
+  for i in range(3):
+    state, _ = fn(state, X[64:])
+  tr.wait_for_checkpoint()
+  restored = tr.restore_checkpoint(path)
+  assert int(restored.step) == int(expected.step)
+  for a, b in zip(jax.tree.leaves(expected.params),
+                  jax.tree.leaves(restored.params)):
+    np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+  # and the live state moved on
+  assert int(jax.device_get(state.step)) == int(expected.step) + 3
+  tr.wait_for_checkpoint()  # idempotent no-op
