@@ -209,8 +209,9 @@ def build_train_step_fn(
   pass recomputes forward activations instead of keeping them resident in
   HBM, trading FLOPs for memory — the standard TPU lever when activations
   exceed HBM/VMEM (the measured batch-scaling knee past batch 128,
-  BASELINE.md).  ``True`` saves nothing (maximal memory saving);  a string
-  names a `jax.checkpoint_policies` policy, e.g.
+  BASELINE.md).  ``True`` stores no intermediate activations (maximal
+  memory saving, maximal recompute); a string or policy callable names a
+  `jax.checkpoint_policies` policy, e.g.
   ``'dots_with_no_batch_dims_saveable'`` to keep matmul outputs (cheaper
   recompute, smaller saving).  Numerically identical to the plain step
   (same primitives re-executed) — held by
@@ -221,7 +222,19 @@ def build_train_step_fn(
   train_steps = list(train_steps)
   accum_steps = int(accum_steps)
   if remat and not isinstance(remat, bool):
-    remat_policy = getattr(jax.checkpoint_policies, str(remat))
+    if callable(remat):  # an actual jax.checkpoint policy callable
+      remat_policy = remat
+    elif isinstance(remat, str):
+      remat_policy = getattr(jax.checkpoint_policies, remat, None)
+      if remat_policy is None:
+        valid = sorted(n for n in dir(jax.checkpoint_policies)
+                       if not n.startswith("_"))
+        raise ValueError(
+            f"unknown remat policy {remat!r}; valid names: {valid}")
+    else:
+      raise ValueError(
+          f"remat must be bool, str, or a checkpoint-policy callable; "
+          f"got {type(remat).__name__}")
   else:
     remat_policy = None
 

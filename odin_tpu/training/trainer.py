@@ -118,7 +118,10 @@ class Trainer:
     ``donate_argnums=(0,)``), then the device->host transfer + pickle +
     atomic rename run on a writer thread while training keeps dispatching.
     One writer at a time; `wait_for_checkpoint()` joins it (fit() does this
-    before returning)."""
+    before returning, even when the loop raises).  Durability caveat: with
+    ``blocking=False`` a save that has been *requested* at step N is not
+    guaranteed on disk until the writer is joined — a hard crash (SIGKILL,
+    power loss) between request and join can lose that one checkpoint."""
     path = path or os.path.join(self.logdir, "checkpoint")
 
     def _write(host_state):
@@ -131,19 +134,32 @@ class Trainer:
       return path
     snap = jax.tree_util.tree_map(
         lambda x: x.copy() if hasattr(x, "copy") else x, state)
-    self.wait_for_checkpoint()  # serialize writers
+    self.wait_for_checkpoint()  # serialize writers (raises prior failures)
     import threading
-    self._ckpt_thread = threading.Thread(
-        target=lambda: _write(jax.device_get(snap)), daemon=True)
+
+    def _run():
+      try:
+        _write(jax.device_get(snap))
+      except BaseException as e:  # surfaced by wait_for_checkpoint()
+        self._ckpt_error = e
+
+    self._ckpt_thread = threading.Thread(target=_run, daemon=True)
     self._ckpt_thread.start()
     return path
 
   def wait_for_checkpoint(self):
-    """Join the in-flight non-blocking checkpoint writer, if any."""
+    """Join the in-flight non-blocking checkpoint writer, if any.
+
+    Re-raises any exception the writer thread hit (pickle failure, disk
+    full, ...) so a failed save never passes silently."""
     t = getattr(self, "_ckpt_thread", None)
     if t is not None:
       t.join()
       self._ckpt_thread = None
+    err = getattr(self, "_ckpt_error", None)
+    if err is not None:
+      self._ckpt_error = None
+      raise RuntimeError("async checkpoint write failed") from err
 
   def restore_checkpoint(self, path: Optional[str] = None) -> Optional[TrainState]:
     path = path or (os.path.join(self.logdir, "checkpoint") if self.logdir else None)
@@ -241,66 +257,71 @@ class Trainer:
       train_ds = _iter_fused(train_ds)
       step_fn = fused
     tracing = False
-    for epoch in range(1 << 30):
-      for batch in train_ds:
-        if k == 1:
-          batch = parallel.shard_batch(batch, mesh)
-        if getattr(self, "_trace_remaining", 0) > 0 and not tracing:
-          jax.profiler.start_trace(os.path.join(self.logdir, "profile"))
-          tracing = True
-        state, metrics = step_fn(state, batch)
-        if tracing:
-          self._trace_remaining -= k
-          if self._trace_remaining <= 0:
-            jax.block_until_ready(metrics)
-            jax.profiler.stop_trace()
-            tracing = False
-        it += k
-        steps_since_log += k
-        now = time.time()
-        if now - last_log >= self.logging_interval or it == max_iter or it == 1:
-          m = _to_float(jax.device_get(metrics))
-          m["steps_per_sec"] = steps_since_log / max(now - last_log, 1e-9)
-          for cb in callbacks:
-            out = cb(self, state, m)
-            if isinstance(out, dict):
-              m.update(_to_float(out))
-          self.last_metrics = m
-          self.step = it
-          self._log(m, it)
-          if verbose:
-            msg = " ".join(f"{k}:{v:.4g}" for k, v in m.items())
-            print(f"[{self.log_tag or 'train'}] #{it} {msg}", flush=True)
-          last_log, steps_since_log = now, 0
-          if m.get("nan_gradients", 0) > 0:
-            print("[trainer] non-finite gradients — stopping", flush=True)
-            self._terminate = True
-        # validation
-        if valid_ds is not None and eval_fn is not None and (
-            (valid_freq > 0 and it % valid_freq == 0) or
-            (valid_interval > 0 and now - getattr(self, "_last_valid", 0)
-             >= valid_interval)):
-          self._last_valid = now
-          vm = self.validate(valid_ds, eval_fn, state, mesh)
-          self._log(vm, it, prefix="valid")
-          if verbose:
-            msg = " ".join(f"{k}:{v:.4g}" for k, v in vm.items())
-            print(f"[valid] #{it} {msg}", flush=True)
-          for cb in on_valid_end:
-            out = cb(self, state, vm)
-            if isinstance(out, TrainState):
-              state = out
-        if checkpoint_freq > 0 and self.logdir and it % checkpoint_freq == 0:
-          # non-blocking: snapshot on device, write on a thread — training
-          # never stalls on checkpoint I/O
-          self.save_checkpoint(state, blocking=False)
+    try:
+      for epoch in range(1 << 30):
+        for batch in train_ds:
+          if k == 1:
+            batch = parallel.shard_batch(batch, mesh)
+          if getattr(self, "_trace_remaining", 0) > 0 and not tracing:
+            jax.profiler.start_trace(os.path.join(self.logdir, "profile"))
+            tracing = True
+          state, metrics = step_fn(state, batch)
+          if tracing:
+            self._trace_remaining -= k
+            if self._trace_remaining <= 0:
+              jax.block_until_ready(metrics)
+              jax.profiler.stop_trace()
+              tracing = False
+          it += k
+          steps_since_log += k
+          now = time.time()
+          if now - last_log >= self.logging_interval or it == max_iter or it == 1:
+            m = _to_float(jax.device_get(metrics))
+            m["steps_per_sec"] = steps_since_log / max(now - last_log, 1e-9)
+            for cb in callbacks:
+              out = cb(self, state, m)
+              if isinstance(out, dict):
+                m.update(_to_float(out))
+            self.last_metrics = m
+            self.step = it
+            self._log(m, it)
+            if verbose:
+              msg = " ".join(f"{k}:{v:.4g}" for k, v in m.items())
+              print(f"[{self.log_tag or 'train'}] #{it} {msg}", flush=True)
+            last_log, steps_since_log = now, 0
+            if m.get("nan_gradients", 0) > 0:
+              print("[trainer] non-finite gradients — stopping", flush=True)
+              self._terminate = True
+          # validation
+          if valid_ds is not None and eval_fn is not None and (
+              (valid_freq > 0 and it % valid_freq == 0) or
+              (valid_interval > 0 and now - getattr(self, "_last_valid", 0)
+               >= valid_interval)):
+            self._last_valid = now
+            vm = self.validate(valid_ds, eval_fn, state, mesh)
+            self._log(vm, it, prefix="valid")
+            if verbose:
+              msg = " ".join(f"{k}:{v:.4g}" for k, v in vm.items())
+              print(f"[valid] #{it} {msg}", flush=True)
+            for cb in on_valid_end:
+              out = cb(self, state, vm)
+              if isinstance(out, TrainState):
+                state = out
+          if checkpoint_freq > 0 and self.logdir and it % checkpoint_freq == 0:
+            # non-blocking: snapshot on device, write on a thread — training
+            # never stalls on checkpoint I/O
+            self.save_checkpoint(state, blocking=False)
+          if self._terminate or (0 < max_iter <= it):
+            break
         if self._terminate or (0 < max_iter <= it):
           break
-      if self._terminate or (0 < max_iter <= it):
-        break
-    self.total_time = time.time() - t_start
-    _CURRENT_TRAINER = None
-    self.wait_for_checkpoint()
+    finally:
+      # join the async checkpoint writer even when the loop raises
+      # (KeyboardInterrupt, iterator error) so the daemon thread is never
+      # killed mid-write at interpreter exit; also surfaces writer errors
+      self.total_time = time.time() - t_start
+      _CURRENT_TRAINER = None
+      self.wait_for_checkpoint()
     # pull the final state to host: downstream host-facing use (encode/
     # decode/Gym, op-by-op) must not mix mesh-replicated params with
     # single-device inputs — that deadlocks XLA CPU collectives

@@ -360,3 +360,67 @@ def test_utils_long_tail_helpers():
   assert get_all_files(d) == [os.path.join(d, "a.txt")]
   assert get_all_ext(d) == [".txt"]
   assert select_path("/nonexistent", d) == d
+
+
+def test_remat_policy_validation():
+  """ADVICE r2: a typo'd remat policy name must raise a ValueError listing
+  valid `jax.checkpoint_policies` names (not an opaque AttributeError), and
+  policy callables must be accepted as-is."""
+  import jax
+  from odin_tpu.training.core import build_train_step_fn
+  with pytest.raises(ValueError, match="dots_saveable"):
+    build_train_step_fn([], {}, remat="no_such_policy")
+  with pytest.raises(ValueError, match="bool, str"):
+    build_train_step_fn([], {}, remat=123)
+  # callables pass through without error at build time
+  build_train_step_fn([], {}, remat=jax.checkpoint_policies.dots_saveable)
+
+
+def test_async_checkpoint_error_propagates(tmp_path):
+  """ADVICE r2 (medium): exceptions on the async checkpoint writer thread
+  must surface from wait_for_checkpoint(), not vanish."""
+  from odin_tpu.training.trainer import Trainer
+  tr = Trainer(logdir=str(tmp_path), use_tensorboard=False)
+  unpicklable = {"params": (lambda x: x)}  # lambdas don't pickle
+  tr.save_checkpoint(unpicklable, blocking=False)
+  with pytest.raises(RuntimeError, match="async checkpoint"):
+    tr.wait_for_checkpoint()
+  # the error is consumed: a later good save works
+  tr.save_checkpoint({"params": np.zeros(3)}, blocking=False)
+  tr.wait_for_checkpoint()
+  assert tr.restore_checkpoint() is not None
+
+
+def test_progbar_epoch_reports():
+  """Per-key epoch history surface (reference `progbar.py:90,266,389`):
+  history, get_report, set_summarizer, summary, add_notification."""
+  from odin_tpu.utils import Progbar
+  from odin_tpu.utils.progbar import add_notification as module_notify
+
+  pb = Progbar(target=4, name="demo", print_report=False)
+  pb.set_summarizer("acc", lambda vals: max(vals))
+  for epoch in range(2):
+    for i in range(4):
+      pb.add(1, loss=float(10 * epoch + i), acc=float(i) / 10)
+  assert pb.nb_epoch == 3  # two finished epochs + the fresh one
+  assert pb.epoch_idx == 2
+  # raw history per epoch
+  assert pb.history[0]["loss"] == [0.0, 1.0, 2.0, 3.0]
+  assert pb.get_report(epoch=1, key="loss") == [10.0, 11.0, 12.0, 13.0]
+  # -1 = last finished epoch
+  assert pb.get_report(-1)["loss"] == [10.0, 11.0, 12.0, 13.0]
+  # epoch summaries: mean for plain scalars, custom summarizer for 'acc'
+  assert pb._epoch_summary[0]["loss"] == 1.5
+  assert pb._epoch_summary[1]["acc"] == 0.3
+  s = pb.summary
+  assert "Epoch 0" in s and "Epoch 1" in s and "loss" in s
+  # notifications don't raise and return self for chaining
+  assert pb.add_notification("hello") is pb
+  module_notify("world")
+  # report() falls back to the last finished epoch after rollover
+  assert pb.report()["loss"] == 11.5
+  # numpy-array values are summed per epoch
+  pb2 = Progbar(target=2, print_report=False)
+  pb2.add(1, conf=np.array([1.0, 2.0]))
+  pb2.add(1, conf=np.array([3.0, 4.0]))
+  np.testing.assert_allclose(pb2._epoch_summary[0]["conf"], [4.0, 6.0])
