@@ -35,9 +35,12 @@ from odin_tpu.networks.resnets import (
     MaskedConv2D,
     PixelCNNDecoder,
     ResidualBlock,
+    ResidualBottleneck,
+    ResidualInverted,
     ResidualSequential,
     SqueezeExcitation,
     UpSample,
+    residual_design,
 )
 from odin_tpu.networks.time_delay import (
     StatsPool,

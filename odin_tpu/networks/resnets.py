@@ -15,7 +15,8 @@ import numpy as np
 from odin_tpu.networks.base import get_activation
 
 __all__ = ["SqueezeExcitation", "SigmoidGating", "ResidualBlock",
-           "ResidualUpBlock", "ResidualSequential", "MaskedConv2D",
+           "ResidualUpBlock", "ResidualBottleneck", "ResidualInverted",
+           "residual_design", "ResidualSequential", "MaskedConv2D",
            "DownSample", "UpSample", "PixelCNNDecoder"]
 
 
@@ -102,6 +103,125 @@ class ResidualUpBlock(nn.Module):
       x = nn.ConvTranspose(self.filters, (1, 1), strides=s,
                            padding="SAME")(x)
     return act(x + h)
+
+
+class ResidualBottleneck(nn.Module):
+  """He-style bottleneck residual block (reference
+  ``odin/networks/resnets.py:618-716`` `residual_bottleneck`): squeeze the
+  channel dim by `shrink_ratio` through two kxk convs, then expand back to
+  `filters_out` with a 1x1 projection; optional squeeze-excitation and
+  GLU sigmoid gating on the projection.  The skip connection exists only
+  when shapes are preserved (filters_out == filters_in and stride 1), as in
+  the reference."""
+
+  filters_out: Optional[int] = None
+  shrink_ratio: float = 0.5
+  se_ratio: float = 0.25
+  sigmoid_gating: bool = False
+  batchnorm: bool = True
+  kernel_size: int = 3
+  strides: int = 1
+  activation: str = "swish"
+  dropout: float = 0.0
+
+  @nn.compact
+  def __call__(self, x, training: bool = False):
+    act = get_activation(self.activation)
+    k = (self.kernel_size, self.kernel_size)
+    filters_in = x.shape[-1]
+    filters = max(1, int(filters_in * self.shrink_ratio))
+    filters_out = self.filters_out or filters_in
+    use_bias = not self.batchnorm
+
+    def bn(h):
+      return (nn.BatchNorm(use_running_average=not training)(h)
+              if self.batchnorm else h)
+
+    h = nn.Conv(filters, k, strides=(self.strides, self.strides),
+                padding="SAME", use_bias=use_bias)(x)
+    h = act(bn(h))
+    h = nn.Conv(filters, k, padding="SAME")(h)
+    h = act(bn(h))
+    if self.se_ratio:
+      h = SqueezeExcitation(ratio=max(int(1 / self.se_ratio), 1))(
+          h, training=training)
+    h = nn.Conv(filters_out * (2 if self.sigmoid_gating else 1), (1, 1),
+                use_bias=use_bias)(h)
+    h = bn(h)
+    if self.sigmoid_gating:
+      h = SigmoidGating()(h)
+    if filters_out == filters_in and self.strides == 1:
+      if self.dropout > 0:
+        h = nn.Dropout(self.dropout, deterministic=not training)(h)
+      return x + h
+    return h
+
+
+class ResidualInverted(nn.Module):
+  """MobileNetV2/EfficientNet inverted residual (reference
+  ``odin/networks/resnets.py:718-811`` `residual_inverted`): expand channels
+  by `expand_ratio` with a kxk conv, depthwise kxk conv, optional SE, then a
+  1x1 linear projection back to `filters_out`; skip only when shapes are
+  preserved."""
+
+  filters_out: Optional[int] = None
+  expand_ratio: float = 2.0
+  se_ratio: float = 0.25
+  sigmoid_gating: bool = False
+  batchnorm: bool = True
+  kernel_size: int = 3
+  strides: int = 1
+  activation: str = "swish"
+  dropout: float = 0.0
+
+  @nn.compact
+  def __call__(self, x, training: bool = False):
+    act = get_activation(self.activation)
+    k = (self.kernel_size, self.kernel_size)
+    filters_in = x.shape[-1]
+    filters = max(1, int(filters_in * self.expand_ratio))
+    filters_out = self.filters_out or filters_in
+    use_bias = not self.batchnorm
+
+    def bn(h):
+      return (nn.BatchNorm(use_running_average=not training)(h)
+              if self.batchnorm else h)
+
+    h = nn.Conv(filters, k, strides=(self.strides, self.strides),
+                padding="SAME", use_bias=use_bias)(x)
+    h = act(bn(h))
+    # depthwise: feature_group_count == channels
+    h = nn.Conv(filters, k, padding="SAME", feature_group_count=filters)(h)
+    h = act(bn(h))
+    if self.se_ratio:
+      h = SqueezeExcitation(ratio=max(int(1 / self.se_ratio), 1))(
+          h, training=training)
+    h = nn.Conv(filters_out * (2 if self.sigmoid_gating else 1), (1, 1),
+                use_bias=use_bias)(h)
+    h = bn(h)
+    if self.sigmoid_gating:
+      h = SigmoidGating()(h)
+    if filters_out == filters_in and self.strides == 1:
+      if self.dropout > 0:
+        h = nn.Dropout(self.dropout, deterministic=not training)(h)
+      return x + h
+    return h
+
+
+def residual_design(design: str = "bottleneck", ratio: Optional[float] = None,
+                    **kwargs):
+  """Dispatcher mirroring the reference's `residual` factory
+  (``odin/networks/resnets.py:606-616``): 'bottleneck' -> shrink_ratio,
+  'inverted' -> expand_ratio."""
+  if design == "bottleneck":
+    if ratio is not None:
+      kwargs["shrink_ratio"] = ratio
+    return ResidualBottleneck(**kwargs)
+  if design == "inverted":
+    if ratio is not None:
+      kwargs["expand_ratio"] = ratio
+    return ResidualInverted(**kwargs)
+  raise NotImplementedError(f"no support for residual design: {design!r}")
 
 
 class ResidualSequential(nn.Module):

@@ -305,3 +305,55 @@ def test_subpixel_conv_transpose_exact():
     g2 = jax.grad(loss)(p, fast)["params"]["ConvTranspose_0"]["kernel"]
     np.testing.assert_allclose(np.asarray(g1), np.asarray(g2),
                                rtol=2e-4, atol=2e-4)
+
+
+def test_residual_bottleneck_and_inverted():
+  """Bottleneck/inverted residual variants (reference
+  ``odin/networks/resnets.py:618-811``): channel squeeze/expand shapes,
+  skip rule (identity add only when shapes preserved), depthwise conv in
+  the inverted block, and the design dispatcher."""
+  import jax
+  import jax.numpy as jnp
+  from odin_tpu.networks import (ResidualBottleneck, ResidualInverted,
+                                 residual_design)
+
+  x = jnp.ones((2, 8, 8, 16))
+  rng = jax.random.PRNGKey(0)
+
+  # shape-preserving: output matches input, residual add present
+  blk = ResidualBottleneck(shrink_ratio=0.5, batchnorm=False)
+  params = blk.init(rng, x)
+  y = blk.apply(params, x)
+  assert y.shape == x.shape
+  # squeeze width: first conv has 8 = 16 * 0.5 output channels
+  flat = jax.tree_util.tree_leaves_with_path(params)
+  conv0 = [l for p, l in flat if "Conv_0" in str(p) and l.ndim == 4][0]
+  assert conv0.shape[-1] == 8
+
+  # channel change or stride drops the skip (no error, new shape)
+  blk2 = ResidualBottleneck(filters_out=32, strides=2, batchnorm=False)
+  p2 = blk2.init(rng, x)
+  assert blk2.apply(p2, x).shape == (2, 4, 4, 32)
+
+  inv = ResidualInverted(expand_ratio=2.0, batchnorm=False)
+  pi = inv.init(rng, x)
+  assert inv.apply(pi, x).shape == x.shape
+  # expand width: first conv has 32 = 16 * 2 channels; depthwise kernel has
+  # input-channel dim 1 (feature_group_count == channels)
+  flat = jax.tree_util.tree_leaves_with_path(pi)
+  convs = sorted([(str(p), l) for p, l in flat if l.ndim == 4])
+  assert convs[0][1].shape[-1] == 32            # expand conv
+  assert convs[1][1].shape[-2] == 1             # depthwise: I/g == 1
+
+  # dispatcher mirrors the reference factory
+  assert isinstance(residual_design("bottleneck", ratio=0.25),
+                    ResidualBottleneck)
+  assert isinstance(residual_design("inverted", ratio=3.0), ResidualInverted)
+  import pytest as _pytest
+  with _pytest.raises(NotImplementedError):
+    residual_design("nope")
+
+  # sigmoid gating halves the doubled projection back to filters_out
+  gated = ResidualInverted(sigmoid_gating=True, batchnorm=False)
+  pg = gated.init(rng, x)
+  assert gated.apply(pg, x).shape == x.shape
