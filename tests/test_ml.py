@@ -239,3 +239,30 @@ def test_evaluable_report(tmp_path, capsys):
   assert scores["confusion_matrix"].shape == (3, 3)
   with pytest.raises(ValueError):
     evaluate(y)
+
+
+def test_gmm_embedding_diagnostics(tmp_path):
+  """ProbabilisticEmbedding diagnostic plots (reference
+  ``odin/ml/gmm_embedding.py:284-430``): diagnosis/distribution/boxplot
+  figures render and save."""
+  import matplotlib
+  matplotlib.use("Agg")
+  from odin_tpu.ml import ProbabilisticEmbedding
+
+  rng = np.random.RandomState(0)
+  # two clear modes per dimension
+  X = np.concatenate([rng.randn(100, 3) * 0.3,
+                      rng.randn(100, 3) * 0.3 + 3.0])
+  pe = ProbabilisticEmbedding(n_components_per_class=2).fit(X)
+  pe.plot_diagnosis(X, labels=["a", "b", "c"])
+  pe.plot_distribution(X)
+  pe.boxplot(X)
+  assert set(pe._figures) == {"diagnosis", "distribution", "boxplot"}
+  out = tmp_path / "diag.pdf"
+  pe.save_figures(str(out))
+  assert out.exists() and out.stat().st_size > 0
+  assert pe._figures == {}
+  # input validation: wrong width raises
+  import pytest as _pytest
+  with _pytest.raises(AssertionError):
+    pe.plot_distribution(X[:, :2])
