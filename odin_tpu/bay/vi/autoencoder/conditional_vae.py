@@ -16,6 +16,8 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from odin_tpu.bay.distributions.base import Independent
+from odin_tpu.bay.distributions.continuous import Normal
 from odin_tpu.bay.helpers import kl_divergence
 from odin_tpu.bay.layers.dense_distribution import DistributionDense
 from odin_tpu.bay.random_variable import RVconf
@@ -24,7 +26,8 @@ from odin_tpu.bay.vi.autoencoder.multitask_vae import _unpack_ssl, masked_mean_l
 from odin_tpu.bay.vi.utils import marginalize_categorical_labels
 from odin_tpu.networks.base import Dense, SequentialNetwork
 
-__all__ = ["M2VAE", "ConditionalM2VAE", "StructuredSemiVAE", "reparamsM3VAE"]
+__all__ = ["M2VAE", "ConditionalM2VAE", "StructuredSemiVAE", "PriorRegressor",
+           "reparamsM3VAE"]
 
 
 class M2Core(nn.Module):
@@ -241,20 +244,129 @@ class StructuredSemiVAE(M2VAE):
     super().__init__(latents=latents, **kwargs)
 
 
+class PriorRegressor(nn.Module):
+  """Learnable per-class diag-normal label prior p(z_c | y) (reference
+  ``conditional_vae.py:547-569``): four learnable vectors interpolate the
+  prior's loc/scale between the 'true' and 'false' settings of each class
+  bit, so the prior over the denotation latents is LEARNED per class rather
+  than fixed at N(0, I)."""
+
+  n_classes: int
+
+  @nn.compact
+  def __call__(self, y, training: bool = False):
+    dim = self.n_classes
+    loc_t = self.param("diag_loc_true", nn.initializers.zeros, (dim,))
+    loc_f = self.param("diag_loc_false", nn.initializers.zeros, (dim,))
+    sc_t = self.param("diag_scale_true", nn.initializers.ones, (dim,))
+    sc_f = self.param("diag_scale_false", nn.initializers.ones, (dim,))
+    loc = y * loc_t + (1.0 - y) * loc_f
+    scale = jnp.clip(jax.nn.softplus(y * sc_t + (1.0 - y) * sc_f),
+                     1e-3, 1e12)
+    return Independent(Normal(loc, scale), 1)
+
+
+class M3Core(M2Core):
+  """M2 trunk + the M3 reparameterization pieces (reference
+  ``conditional_vae.py:569-700``): a second 'denotations' latent space z_c
+  of dim n_classes inferred from the encoder features, a classifier that
+  consumes z_c (labels are inferred from latents, not pixels), and the
+  learnable `PriorRegressor` p(z_c|y)."""
+
+  denotations: Any = None
+
+  def setup(self):
+    super().setup()
+    self.regressor = PriorRegressor(self.denotations.event_size)
+
+  def encode_m3(self, x, training: bool = False):
+    """x -> (q(z|x), q(z_c|x)) — shared encoder trunk, two heads."""
+    h = self.encoder(x, training=training)
+    h = h.reshape(h.shape[0], -1)
+    qz = self.latents(h, training=training)
+    qzc = self.denotations(h, training=training)
+    return qz, qzc
+
+  def classify_zc(self, z_c, training: bool = False):
+    """q(y | z_c) — the M3 classifier consumes denotation latents."""
+    h = self.classifier(z_c, training=training)
+    return self.labels(h, training=training)
+
+  def prior_zc(self, y, training: bool = False):
+    """p(z_c | y) from the learnable regressor."""
+    return self.regressor(y, training=training)
+
+  def classify(self, x, training: bool = False):
+    """API-parity single-input classify: x -> z_c mean -> q(y|z_c)."""
+    _, qzc = self.encode_m3(x, training=training)
+    return self.classify_zc(qzc.mean(), training=training)
+
+  def __call__(self, x, training: bool = False):
+    qz, qzc = self.encode_m3(x, training=training)
+    qy = self.classify_zc(qzc.mean(), training=training)
+    # touch the learnable prior so init through __call__ creates its params
+    self.regressor(qy.mean(), training=training)
+    z = jnp.concatenate([qz.mean(), qzc.mean()], axis=-1)
+    px = self.decode_zy(z, qy.mean(), training=training)
+    return px, qz, qy
+
+
 class reparamsM3VAE(M2VAE):
-  """M3 reparameterization (reference ``conditional_vae.py:569``): labels
-  inferred from the latents rather than the raw input — the classifier
-  consumes encoder features; approximated here by sharing the encoder trunk
-  through the classifier MLP."""
+  """M3 reparameterization (reference ``conditional_vae.py:569-700``):
+  labels are inferred from a dedicated 'denotations' latent space z_c
+  (classifier consumes z_c, never pixels), and the prior over z_c is the
+  LEARNABLE per-class `PriorRegressor` p(z_c|y) — its diag-normal loc/scale
+  parameters train jointly with the ELBO (reference ``:547-569``).  The
+  exclusive latents z keep the fixed N(0, I) prior."""
 
   def _build_core(self) -> nn.Module:
     clf = SequentialNetwork(
         tuple(Dense(u, self._classifier_activation)
               for u in self._classifier_units[:2]),
         name="classifier_m3")
-    return M2Core(encoder=self.encoder_net, decoder=self.decoder_net,
+    denotations = RVconf(self.n_classes, "normal", projection=True,
+                         name="denotations").create_posterior()
+    return M3Core(encoder=self.encoder_net, decoder=self.decoder_net,
                   latents=self.latents_head,
                   observation=self.observation_head,
                   labels=self.labels_head,
                   classifier=clf, embed_dim=self.embed_dim,
-                  classify_on_features=True)
+                  denotations=denotations)
+
+  def elbo_components(self, params, batch, rng, step, training=False,
+                      mutables=None):
+    x, y, mask = _unpack_ssl(batch)
+    k1, k2, k3 = jax.random.split(rng, 3)
+    qz, qzc = self._apply(params, "encode_m3", x, rng=k1, training=training,
+                          mutables=mutables)
+    z = qz.sample(k2)
+    z_c = qzc.sample(k3)
+    qy = self._apply(params, "classify_zc", z_c, rng=k1, training=training,
+                     mutables=mutables)
+    y_soft = qy.mean()
+    if y is None:
+      y_mix = y_soft
+    elif mask is None:
+      y_mix = y
+    else:
+      y_mix = mask.reshape(-1, 1) * y + (1 - mask.reshape(-1, 1)) * y_soft
+    # learnable label prior p(z_c|y)
+    pzc_y = self._apply(params, "prior_zc", y_mix, rng=k1, training=training,
+                        mutables=mutables)
+    px = self._apply(params, "decode_zy",
+                     jnp.concatenate([z, z_c], axis=-1), y_mix, rng=k1,
+                     training=training, mutables=mutables)
+    llk_x = px.log_prob(x)
+    kl_z = kl_divergence(qz, self.latents_prior, analytic=self.analytic,
+                         q_sample=z, reverse=self.reverse,
+                         free_bits=self.free_bits)
+    # analytic normal-normal KL keeps gradients flowing into the regressor
+    kl_zc = kl_divergence(qzc, pzc_y, analytic=self.analytic,
+                          q_sample=z_c, reverse=self.reverse,
+                          free_bits=self.free_bits)
+    llk = {"llk_image": llk_x,
+           "H_qy": -jnp.sum(y_soft * jnp.log(y_soft + 1e-6), -1)}
+    if y is not None:
+      llk["llk_qy"] = masked_mean_llk(self.alpha * qy.log_prob(y), mask)
+    kl = {"kl_latents": kl_z, "kl_denotations": kl_zc}
+    return llk, kl, dict(qz=qz, qzc=qzc, px=px, z=z, x=x, y=y, qy=qy)
