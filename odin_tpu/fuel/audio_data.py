@@ -40,13 +40,32 @@ class AudioFeatureLoader(IterableDataset):
                feature: str = "mspec",
                labels: Optional[Sequence] = None,
                max_duration: float = 4.0,
+               compat: str = "odin",
+               log_mels: bool = False,
                seed: int = 1):
     super().__init__(seed=seed)
-    from odin_tpu.ops.features import FeatureConfig
-    self.config = FeatureConfig(sr=sr, frame_length=frame_length,
-                                step_length=frame_step, n_fft=n_fft,
-                                n_mels=n_mels, n_ceps=n_ceps, fmin=fmin,
-                                fmax=fmax, top_db=top_db)
+    from odin_tpu.ops.features import FeatureConfig, TFCompatConfig
+    assert compat in ("odin", "tf"), compat
+    self.compat = compat
+    if compat == "tf":
+      # tf.signal semantics of the reference loader
+      # (``odin/fuel/audio_data.py:54-104``): HTK mel, periodic Hann,
+      # no pre-emphasis, fft_length -> next pow2; feature in
+      # ('mels', 'spec', 'mfcc') as upstream
+      assert feature in ("mels", "spec", "mfcc"), \
+          f"compat='tf' supports mels/spec/mfcc, got {feature!r}"
+      self.config = TFCompatConfig(
+          frame_length=frame_length, frame_step=frame_step,
+          fft_length=n_fft, sample_rate=sr, top_DB=top_db,
+          num_mel_bins=n_mels, num_cepstral=None, log_mels=log_mels,
+          lower_edge_hertz=fmin,
+          upper_edge_hertz=fmax if fmax is not None else sr / 2 - 200.0)
+      self.config.sr = sr  # uniform attribute for _load_audio/pack_batch
+    else:
+      self.config = FeatureConfig(sr=sr, frame_length=frame_length,
+                                  step_length=frame_step, n_fft=n_fft,
+                                  n_mels=n_mels, n_ceps=n_ceps, fmin=fmin,
+                                  fmax=fmax, top_db=top_db)
     self.feature = feature
     self.max_samples = int(max_duration * sr)
     if isinstance(dataset, str):
@@ -65,9 +84,14 @@ class AudioFeatureLoader(IterableDataset):
   @property
   def shape(self):
     n_frames = self.config.n_frames(self.max_samples)
-    dim = {"mspec": self.config.n_mels, "mspec_cmvn": self.config.n_mels,
-           "mfcc": self.config.n_ceps, "mfcc_cmvn": self.config.n_ceps,
-           "spec": self.config.n_fft // 2 + 1}[self.feature]
+    if self.compat == "tf":
+      dim = {"mels": self.config.num_mel_bins,
+             "mfcc": self.config.num_mel_bins,
+             "spec": self.config.fft_length // 2 + 1}[self.feature]
+    else:
+      dim = {"mspec": self.config.n_mels, "mspec_cmvn": self.config.n_mels,
+             "mfcc": self.config.n_ceps, "mfcc_cmvn": self.config.n_ceps,
+             "spec": self.config.n_fft // 2 + 1}[self.feature]
     return (n_frames, dim)
 
   def _load_audio(self, item) -> np.ndarray:
@@ -89,7 +113,7 @@ class AudioFeatureLoader(IterableDataset):
     if self._cache is None:
       import jax
       import jax.numpy as jnp
-      from odin_tpu.ops.features import speech_features
+      from odin_tpu.ops.features import speech_features, tf_signal_features
       T = self.max_samples
       if all(isinstance(i, str) for i in self._items):
         # native ingest: C++ decode + pack straight into the padded block
@@ -104,7 +128,9 @@ class AudioFeatureLoader(IterableDataset):
           y = self._load_audio(item)[:T]
           batch[i, :len(y)] = y
           lengths[i] = len(y)
-      fn = jax.jit(lambda a, l: speech_features(a, self.config, lengths=l))
+      feat_fn = (tf_signal_features if self.compat == "tf"
+                 else speech_features)
+      fn = jax.jit(lambda a, l: feat_fn(a, self.config, lengths=l))
       feats = {}
       bs = 64
       chunks = []

@@ -31,7 +31,8 @@ import numpy as np
 
 from odin_tpu.preprocessing import signal as np_signal
 
-__all__ = ["FeatureConfig", "dft_bases", "frame_signal", "speech_features"]
+__all__ = ["FeatureConfig", "dft_bases", "frame_signal", "speech_features",
+           "TFCompatConfig", "tf_mel_matrix", "tf_signal_features"]
 
 _PREC = jax.lax.Precision.HIGHEST
 
@@ -230,3 +231,157 @@ def speech_features(y: jnp.ndarray,
   if config.delta_width:
     out["mfcc_delta"] = _batch_delta(out["mfcc"], config.delta_width)
   return out
+
+
+# ---------------------------------------------------------------------------
+# tf.signal-compatible path (reference ``odin/fuel/audio_data.py:17-80``)
+# ---------------------------------------------------------------------------
+class TFCompatConfig:
+  """Configuration matching the reference `AudioFeatureLoader`'s tf.signal
+  semantics (``odin/fuel/audio_data.py:54-104``): periodic Hann window, NO
+  pre-emphasis/centering, fft_length = next pow2 of frame_length, HTK mel
+  scale via `tf.signal.linear_to_mel_weight_matrix`, dB conversion with a
+  per-utterance top_dB floor, MFCC via
+  `tf.signal.mfccs_from_log_mel_spectrograms` (orthogonally-scaled DCT-II).
+
+  This is a DISTINCT numeric path from `FeatureConfig` (which matches the
+  reference's NumPy ``signal.py`` kernels: Slaney mel, pre-emphasis,
+  windowed-energy): users migrating models trained on the reference's
+  tf.data audio pipeline get bit-compatible features here
+  (held to fp32 tolerance by ``tests/test_tf_signal_parity.py``).
+  """
+
+  def __init__(self,
+               frame_length: int = 256,
+               frame_step: int = 80,
+               fft_length: Optional[int] = None,
+               sample_rate: int = 8000,
+               power: float = 2.0,
+               top_DB: Optional[float] = 80.0,
+               num_mel_bins: int = 20,
+               num_cepstral: Optional[int] = None,
+               log_mels: bool = False,
+               lower_edge_hertz: float = 125.0,
+               upper_edge_hertz: float = 3800.0):
+    self.frame_length = int(frame_length)
+    self.frame_step = int(frame_step)
+    if fft_length is None:
+      fft_length = frame_length
+    # reference: smallest power of 2 enclosing frame_length (:77-78)
+    self.fft_length = 2 ** int(np.ceil(np.log2(fft_length)))
+    self.sample_rate = int(sample_rate)
+    self.power = float(power)
+    self.top_DB = None if top_DB is None else float(top_DB)
+    self.num_mel_bins = int(num_mel_bins)
+    self.num_cepstral = num_cepstral
+    self.log_mels = bool(log_mels)
+    self.lower_edge_hertz = float(lower_edge_hertz)
+    self.upper_edge_hertz = float(upper_edge_hertz)
+
+  @functools.cached_property
+  def window_fn(self) -> np.ndarray:
+    # tf.signal.hann_window: periodic by default
+    n = self.frame_length
+    return (0.5 - 0.5 * np.cos(2.0 * np.pi * np.arange(n) / n)) \
+        .astype(np.float32)
+
+  @functools.cached_property
+  def mel_weight(self) -> np.ndarray:
+    return tf_mel_matrix(self.num_mel_bins, self.fft_length // 2 + 1,
+                         self.sample_rate, self.lower_edge_hertz,
+                         self.upper_edge_hertz)
+
+  @functools.cached_property
+  def mfcc_basis(self) -> np.ndarray:
+    """`mfccs_from_log_mel_spectrograms` == unnormalized DCT-II scaled by
+    1/sqrt(2*num_mel_bins), as one matmul basis [num_mel_bins, n_out]."""
+    N = self.num_mel_bins
+    n = np.arange(N)[:, None]
+    k = np.arange(N)[None, :]
+    basis = 2.0 * np.cos(np.pi * k * (2.0 * n + 1.0) / (2.0 * N))
+    return (basis / np.sqrt(2.0 * N)).astype(np.float32)
+
+  def n_frames(self, n_samples: int) -> int:
+    # tf.signal.stft pad_end=False
+    return 1 + (n_samples - self.frame_length) // self.frame_step
+
+
+def _hertz_to_mel_htk(f):
+  return 2595.0 * np.log10(1.0 + np.asarray(f, np.float64) / 700.0)
+
+
+def tf_mel_matrix(num_mel_bins: int, num_spectrogram_bins: int,
+                  sample_rate: float, lower_edge_hertz: float,
+                  upper_edge_hertz: float) -> np.ndarray:
+  """NumPy mirror of `tf.signal.linear_to_mel_weight_matrix` (HTK mel scale,
+  first `bands_to_zero=1` spectrogram bin zeroed); shape
+  [num_spectrogram_bins, num_mel_bins]."""
+  bands_to_zero = 1
+  nyquist = sample_rate / 2.0
+  linear_freqs = np.linspace(0.0, nyquist,
+                             num_spectrogram_bins)[bands_to_zero:]
+  spec_mel = _hertz_to_mel_htk(linear_freqs)[:, None]
+  edges = np.linspace(_hertz_to_mel_htk(lower_edge_hertz),
+                      _hertz_to_mel_htk(upper_edge_hertz),
+                      num_mel_bins + 2)
+  lower, center, upper = edges[:-2][None, :], edges[1:-1][None, :], \
+      edges[2:][None, :]
+  lower_slopes = (spec_mel - lower) / (center - lower)
+  upper_slopes = (upper - spec_mel) / (upper - center)
+  w = np.maximum(0.0, np.minimum(lower_slopes, upper_slopes))
+  return np.pad(w, [[bands_to_zero, 0], [0, 0]]).astype(np.float32)
+
+
+def tf_signal_features(y: jnp.ndarray, config: TFCompatConfig,
+                       lengths: Optional[jnp.ndarray] = None
+                       ) -> Dict[str, jnp.ndarray]:
+  """Batched JAX re-implementation of the reference loader's per-utterance
+  map (`stft`/`magnitude`/`melspec`/`mfccs`/`amplitude_to_DB`,
+  ``odin/fuel/audio_data.py:210-269``); same MXU-matmul DFT design as
+  `speech_features`.
+
+  Returns dict with 'stft_re'/'stft_im', 'spec' (dB magnitude^power),
+  'mels' (dB or log mel), 'mfcc', 'frame_mask'.  The per-utterance top_DB
+  floor uses only VALID frames when `lengths` is given (the reference
+  operates on single unpadded utterances)."""
+  if y.ndim == 1:
+    y = y[None]
+  y = y.astype(jnp.float32)
+  B, T = y.shape
+  n_frames = config.n_frames(T)
+  if lengths is None:
+    lengths = jnp.full((B,), T, jnp.int32)
+  frame_ends = jnp.asarray(np.arange(n_frames) * config.frame_step +
+                           config.frame_length)
+  mask = frame_ends[None, :] <= lengths[:, None]
+
+  frames = frame_signal(y, config.frame_length, config.frame_step)
+  frames = frames * jnp.asarray(config.window_fn)
+  cos_b, sin_b = dft_bases(config.frame_length, config.fft_length)
+  re = jnp.matmul(frames, jnp.asarray(cos_b), precision=_PREC)
+  im = jnp.matmul(frames, jnp.asarray(sin_b), precision=_PREC)
+  mag = jnp.sqrt(re * re + im * im)
+  if config.power > 1.0:
+    mag = mag ** config.power
+
+  def amplitude_to_db(s):
+    # reference amplitude_to_DB (:260-269): per-utterance max floor
+    multiplier = 10.0 if config.power == 2.0 else 20.0
+    s_db = multiplier * (jnp.log(jnp.maximum(s, 1e-10)) / np.log(10.0))
+    if config.top_DB is not None:
+      neg = jnp.asarray(-1e30, s_db.dtype)
+      masked = jnp.where(mask[..., None], s_db, neg)
+      ref = jnp.max(masked, axis=(-2, -1), keepdims=True)
+      s_db = jnp.maximum(s_db, ref - config.top_DB)
+    return s_db
+
+  mel = jnp.matmul(mag, jnp.asarray(config.mel_weight), precision=_PREC)
+  if config.log_mels:
+    mels = jnp.log(mel + 1e-6)
+  else:
+    mels = amplitude_to_db(mel)
+  mfcc = jnp.matmul(mels, jnp.asarray(config.mfcc_basis), precision=_PREC)
+  if config.num_cepstral is not None:
+    mfcc = mfcc[..., :int(config.num_cepstral)]
+  return dict(stft_re=re, stft_im=im, spec=amplitude_to_db(mag), mels=mels,
+              mfcc=mfcc, frame_mask=mask)
