@@ -376,6 +376,7 @@ class UnetCore(nn.Module):
   hierarchy: Tuple[Dict[str, int], ...] = ()
   skip_dropout: float = 0.0
   skip_noise: float = 0.0
+  skip_sample_dropout: float = 0.0
   labels: Optional[DistributionDense] = None
 
   def setup(self):
@@ -393,6 +394,18 @@ class UnetCore(nn.Module):
   def decode(self, z, hiddens=None, training: bool = False):
     spec = {h["decoder_layer"]: (i, h) for i, h in enumerate(self.hierarchy)}
     d = z
+    # per-SAMPLE whole-path gate, one draw shared by every rung: with prob
+    # `skip_sample_dropout` a sample sees NO skips at all, so the decoder
+    # must remain a full generative model of x from z alone — per-unit
+    # dropout is too weak (measured: llk still -> 0 through half-dropped
+    # skips on dSprites, results/hierarchical).  No rescaling: the gated
+    # mode IS the generation mode, exactly the no-skip decode path.
+    gate = None
+    if self.skip_sample_dropout > 0 and training and hiddens is not None:
+      B = z.shape[0]
+      gate = jax.random.bernoulli(
+          self.make_rng("dropout"), 1.0 - self.skip_sample_dropout,
+          (B, 1, 1, 1)).astype(z.dtype)
     for li, layer in enumerate(self.decoder.layers):
       d = layer(d, training=training) if isinstance(layer, nn.Module) \
           else layer(d)
@@ -409,6 +422,8 @@ class UnetCore(nn.Module):
         if self.skip_noise > 0 and training:
           e = e + self.skip_noise * jax.random.normal(self.make_rng("sample"),
                                                       e.shape)
+        if gate is not None:
+          e = e * gate
         d = d + e
     return self.observation(d, training=training), ()
 
@@ -431,9 +446,11 @@ class UnetVAE(BetaVAE):
 
   def __init__(self, beta: float = 10.0, free_bits: Optional[float] = 2.0,
                skip_dropout: float = 0.0, skip_noise: float = 0.0,
+               skip_sample_dropout: float = 0.0,
                **kwargs):
     self.skip_dropout = float(skip_dropout)
     self.skip_noise = float(skip_noise)
+    self.skip_sample_dropout = float(skip_sample_dropout)
     kwargs.setdefault("name", "unetvae")
     super().__init__(beta=beta, free_bits=free_bits, **kwargs)
     if not self.hierarchy:
@@ -447,6 +464,7 @@ class UnetVAE(BetaVAE):
                     hierarchy=tuple(dict(h) for h in self.hierarchy),
                     skip_dropout=self.skip_dropout,
                     skip_noise=self.skip_noise,
+                    skip_sample_dropout=self.skip_sample_dropout,
                     labels=self.labels_head)
 
   def elbo_components(self, params, batch, rng, step, training=False,

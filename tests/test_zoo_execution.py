@@ -270,3 +270,31 @@ def test_unetvae_stochastic_skips():
     state, m = step(state, batch)
     losses.append(float(m["loss"]))
   assert np.all(np.isfinite(losses)) and min(losses[1:]) < losses[0]
+
+
+def test_unetvae_skip_sample_gate():
+  """`skip_sample_dropout` gates the ENTIRE skip path per sample (the r3
+  anti-collapse knob — per-unit dropout measured insufficient,
+  results/hierarchical): at rate 1.0 the training decode must equal the
+  no-skip generation decode exactly; at eval the gate is off."""
+  from odin_tpu.bay.vi.autoencoder import UnetVAE
+  nets = _tiny_image_networks()
+  model = UnetVAE(skip_sample_dropout=1.0, **nets).build(seed=0)
+  rng = np.random.RandomState(5)
+  x = (rng.rand(6, 8, 8, 1) < 0.4).astype("f")
+  params = model.state.params
+  key = jax.random.PRNGKey(2)
+  qz, hiddens = model._apply(params, "encode", x, rng=key, training=False)
+  z = qz.mean()
+  # gate always fires at rate 1.0 -> the skip contribution vanishes
+  px_gated, _ = model._apply(params, "decode", z, hiddens, rng=key,
+                             training=True)
+  px_noskip, _ = model._apply(params, "decode", z, None, rng=key,
+                              training=True)
+  np.testing.assert_array_equal(np.asarray(px_gated.mean()),
+                                np.asarray(px_noskip.mean()))
+  # eval mode: the gate is off, skips flow
+  px_eval, _ = model._apply(params, "decode", z, hiddens, rng=key,
+                            training=False)
+  assert not np.allclose(np.asarray(px_eval.mean()),
+                         np.asarray(px_noskip.mean()))
