@@ -10,9 +10,13 @@ reference publishes no numbers (SURVEY.md §6).
 MFU is estimated from XLA's compiled cost analysis (model flops per fused
 call / wall time) against the TPU v5e bf16 peak (197 TFLOP/s/chip,
 jax-ml.github.io/scaling-book).  The batch-64 headline config is
-dispatch/VPU-bound by design (tiny model); set ODIN_BENCH_MXU=1 to also run
-the MXU-bound config (batch 128, device-resident corpus, bf16 matmul
-precision) whose numbers are recorded in BASELINE.md.
+dispatch/VPU-bound by design (tiny model); the JSON line also carries the
+compute-bound story: `mfu_mxu` (batch 128, device-resident corpus, bf16
+matmul precision — the measured throughput peak) and
+`mel_vad_frames_per_sec` (fused mel+VAD extraction incl. host->device
+transfer).  Set ODIN_BENCH_FAST=1 to skip those two extra compiles.
+A FLOPs+wall-clock regression tripwire for the headline kernel lives in
+tests/test_bench_regression.py.
 """
 import json
 import os
@@ -115,6 +119,39 @@ def run_mxu_config(vae_factory, batch: int = 128, n_images: int = 16384,
   return steps_per_sec / max(n_chips, 1), mfu
 
 
+def run_mel_vad_config(batch: int = 64, seconds: float = 4.0,
+                       n_rounds: int = 10) -> float:
+  """mel+VAD extraction frames/s, end-to-end including the host->device
+  transfer of raw audio (the BASELINE north star's second metric; recorded
+  2.1M XLA / 2.7M Pallas frames/s, BASELINE.md).  Uses the Pallas fused
+  core with the XLA path as fallback."""
+  import jax
+  import jax.numpy as jnp
+
+  from odin_tpu.ops.features import FeatureConfig, speech_features
+
+  cfg = FeatureConfig()
+  T = int(seconds * cfg.sr)
+  y = (np.random.RandomState(0).randn(batch, T) * 0.1).astype("f")
+  frames_total = batch * cfg.n_frames(T)
+  best = 0.0
+  for use_pallas in (True, False):
+    try:
+      fn = jax.jit(lambda a, p=use_pallas: {
+          k: v for k, v in speech_features(a, cfg, use_pallas=p).items()
+          if k in ("mspec", "vad")})
+      out = fn(jnp.asarray(y))
+      jax.block_until_ready(out)
+      t0 = time.time()
+      for _ in range(n_rounds):
+        out = fn(jnp.asarray(y))  # includes transfer each round
+      jax.block_until_ready(out)
+      best = max(best, frames_total * n_rounds / (time.time() - t0))
+    except Exception:
+      continue
+  return best
+
+
 def main():
   from odin_tpu.bay.vi import BetaVAE
   from odin_tpu.networks import get_networks
@@ -132,14 +169,20 @@ def main():
   }
   if mfu is not None:
     out["mfu_bf16_peak"] = round(mfu, 4)
-  if os.environ.get("ODIN_BENCH_MXU"):
-    # batch 128 is the measured throughput peak of the device-resident
-    # config (benchmarks/batch_scaling_bench.py: 137k images/s, 15% MFU)
-    mxu_steps, mxu_mfu = run_mxu_config(factory)
-    out["mxu_config"] = {
-        "batch": 128, "steps_per_sec_per_chip": round(mxu_steps, 2),
-        "mfu_bf16_peak": round(mxu_mfu, 4) if mxu_mfu else None,
-    }
+  # compute-bound story in the driver artifact (VERDICT r2 next-step #2):
+  # batch 128 is the measured throughput peak of the device-resident bf16
+  # config (benchmarks/batch_scaling_bench.py: 137k images/s, 15% MFU)
+  if not os.environ.get("ODIN_BENCH_FAST"):
+    try:
+      mxu_steps, mxu_mfu = run_mxu_config(factory)
+      out["mfu_mxu"] = round(mxu_mfu, 4) if mxu_mfu else None
+      out["mxu_steps_per_sec_per_chip"] = round(mxu_steps, 2)
+    except Exception as e:
+      out["mfu_mxu"] = f"failed: {type(e).__name__}"
+    try:
+      out["mel_vad_frames_per_sec"] = round(run_mel_vad_config(), 1)
+    except Exception as e:
+      out["mel_vad_frames_per_sec"] = f"failed: {type(e).__name__}"
   if os.environ.get("ODIN_BENCH_WIDE"):
     # 4x-width trunk (128-128-256-256): contraction dims that actually
     # fill the 128-wide MXU — demonstrates MFU scaling with model width

@@ -1,0 +1,90 @@
+"""Perf-regression tripwire for the bench.py headline kernel (VERDICT r2
+weak #1: the 1299 -> 1262 steps/s drift between rounds had no tripwire).
+
+Runs the EXACT bench code path (make_step_fn -> training.core.scan_steps
+fusion -> donated compiled call) on a tiny dense VAE, CPU-or-TPU, and
+asserts two bands:
+
+1. FLOPs per fused call (deterministic — catches code-level regressions:
+   a lost fusion, an accidental extra forward pass, donation-breaking
+   copies change compiled flops/bytes long before wall-clock noise shows).
+2. A LOOSE wall-clock floor (5x margin: catches order-of-magnitude
+   regressions like per-step dispatch while staying robust to box load).
+
+Recorded on 2026-08-19 (1-core CPU, idle): 2.18M flops/step body
+(halfmoons dense VAE, batch 16), ~2-4k steps/s.  If an intentional model/objective change moves the flops,
+re-record the band here with the new value and the reason.
+"""
+import time
+
+import jax
+import numpy as np
+import pytest
+
+# per-step scan-body flops of the tiny config, recorded 2026-08-19
+RECORDED_FLOPS_PER_STEP = 2_181_650.0
+FLOPS_TOLERANCE = 0.25          # +-25%: XLA version drift, not regressions
+MIN_STEPS_PER_SEC = 400.0       # ~1/10 of recorded idle CPU throughput
+SCAN_STEPS = 50
+BATCH = 16
+
+
+def _tiny_factory():
+  from odin_tpu.bay.random_variable import RVconf
+  from odin_tpu.bay.vi import BetaVAE
+  from odin_tpu.networks import get_networks
+  return BetaVAE(beta=1.0,
+                 **get_networks("halfmoons", zdim=4)).build(seed=1)
+
+
+def test_bench_scan_kernel_bands():
+  from odin_tpu import parallel
+  from odin_tpu.training.core import scan_steps
+
+  vae = _tiny_factory()
+  step = vae.make_step_fn(learning_rate=1e-3, jit=False)
+  fused = jax.jit(scan_steps(step, SCAN_STEPS), donate_argnums=(0,))
+  state = parallel.replicate(vae.state)
+  X = np.random.RandomState(0).randn(SCAN_STEPS, BATCH, 2).astype("f")
+  compiled = fused.lower(state, X).compile()
+
+  # 1. deterministic band: compiled flops per scan-body step
+  cost = compiled.cost_analysis()
+  if isinstance(cost, (list, tuple)):
+    cost = cost[0]
+  flops_per_step = float(cost.get("flops", 0.0))  # scan body counted once
+  assert flops_per_step > 0, "cost_analysis returned no flops"
+  lo = RECORDED_FLOPS_PER_STEP * (1 - FLOPS_TOLERANCE)
+  hi = RECORDED_FLOPS_PER_STEP * (1 + FLOPS_TOLERANCE)
+  assert lo <= flops_per_step <= hi, (
+      f"compiled flops/step {flops_per_step:.0f} outside recorded band "
+      f"[{lo:.0f}, {hi:.0f}] — an unintended change to the train-step "
+      f"computation (or an intended one: re-record the band)")
+
+  # 2. loose wall-clock floor (5x margin vs recorded idle throughput)
+  state, m = compiled(state, X)   # warmup
+  jax.block_until_ready(m)
+  best = 0.0
+  for _ in range(3):              # best-of-3 damps transient box load
+    state, m = compiled(state, X)
+    t0 = time.time()
+    state, m = compiled(state, X)
+    jax.block_until_ready(m)
+    best = max(best, SCAN_STEPS / (time.time() - t0))
+  assert best >= MIN_STEPS_PER_SEC, (
+      f"fused-scan throughput {best:.0f} steps/s below the {MIN_STEPS_PER_SEC}"
+      f" floor — dispatch-per-step or donation regression?")
+
+
+def test_bench_script_has_required_fields():
+  """bench.py must keep emitting the driver contract: ONE JSON line with
+  metric/value/unit/vs_baseline plus the compute-bound fields added in r3
+  (mfu_mxu, mel_vad_frames_per_sec) — checked structurally so a refactor
+  can't silently drop them."""
+  import ast
+  import pathlib
+  src = (pathlib.Path(__file__).parent.parent / "bench.py").read_text()
+  for field in ('"metric"', '"value"', '"unit"', '"vs_baseline"',
+                '"mfu_mxu"', '"mel_vad_frames_per_sec"'):
+    assert field in src, f"bench.py lost the {field} field"
+  ast.parse(src)
