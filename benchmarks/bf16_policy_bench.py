@@ -8,6 +8,11 @@ device-resident corpus, 100-step scans) where HBM traffic and VPU work —
 the two things the policy halves — actually bound the step.
 
 Run:  python benchmarks/bf16_policy_bench.py
+
+Measured 2026-08-19 (TPU v5e 1 chip, batch 128 device-resident, 100-step
+scans): fp32 1125.5 steps/s vs bf16 policy 1152.8 steps/s (+2.4%), same
+loss trajectory (2839.7 vs 2833.2 after 400 steps).  NEGATIVE result at
+reference width — see BASELINE.md "bf16 compute-policy study".
 """
 import json
 import os

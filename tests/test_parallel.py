@@ -590,6 +590,7 @@ print('FSDP-TP EQUALITY OK', loss1, loss2, both, 'doubly-sharded leaves')
 """
 
 
+@pytest.mark.slow
 def test_fsdp_tp_composed_matches_replicated():
   """COMPOSED parallelism (VERDICT r2 next-step #8): FSDP along 'data'
   stacked on megatron TP along 'model' on a (2,2) mesh must produce the
