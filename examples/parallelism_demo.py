@@ -7,6 +7,7 @@ this demonstrates the TPU-native scaling surface end-to-end on a forced
 1. data parallel          — replicated params, sharded batch, GSPMD psum
 2. tensor parallel        — megatron rules on a ('data','model') mesh
 3. FSDP / ZeRO-3          — params + optimizer moments sharded on 'data'
+3b. FSDP x TP composed    — megatron specs on 'model' + FSDP on 'data'
 4. pipeline parallel      — GPipe ppermute stage rotation
 5. expert parallel        — dense psum mixture AND top-k all_to_all routing
 6. ring attention         — K/V rotation + cross-device online softmax
@@ -90,6 +91,21 @@ def main():
   st3, m3 = step3(st3, parallel.shard_batch(x, mesh))
   print(f"[fsdp]     loss {float(m3['loss']):.3f}, "
         f"{n_sharded} param leaves sharded (ZeRO-3 layout)")
+
+  # 3b. FSDP x TP composed (the production stack)
+  from odin_tpu.parallel.fsdp import shard_state_fsdp_tp
+  parallel.set_default_mesh(mesh2)
+  vae3b = make_vae()
+  step3b = vae3b.make_step_fn(learning_rate=1e-3)
+  st3b = shard_state_fsdp_tp(vae3b.state, mesh2, megatron_rules("model"),
+                             min_size=64)
+  n_both = sum(1 for l in jax.tree_util.tree_leaves(st3b.params)
+               if "data" in str(l.sharding.spec)
+               and "model" in str(l.sharding.spec))
+  st3b, m3b = step3b(st3b, parallel.shard_batch(x, mesh2))
+  print(f"[fsdp x tp] loss {float(m3b['loss']):.3f}, "
+        f"{n_both} leaves sharded on BOTH axes")
+  parallel.set_default_mesh(mesh)
 
   # 4. pipeline parallel
   from odin_tpu.parallel.pipeline import (merge_microbatches,
