@@ -191,6 +191,7 @@ def _gom_data():
   return Q, A, K, answers
 
 
+@pytest.mark.slow
 def test_grade_membership_model_executes():
   from odin_tpu.bay.mixed_membership import GradeMembershipModel
   Q, A, K, answers = _gom_data()

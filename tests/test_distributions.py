@@ -364,6 +364,7 @@ def test_batchwise():
   assert bw.log_prob(x).shape == (12,)
 
 
+@pytest.mark.slow
 def test_mixnb_alias_and_mixture_mass_network():
   from odin_tpu.bay.distribution_alias import parse_distribution
   spec = parse_distribution("mixnb")

@@ -111,6 +111,7 @@ def test_groundtruth_sampling():
   assert gt2.factors.max() <= 3
 
 
+@pytest.mark.slow
 def test_gym_integration():
   from odin_tpu.fuel import dSpritesSmall
   from odin_tpu.networks import get_networks
@@ -126,6 +127,7 @@ def test_gym_integration():
   assert np.isfinite(gym.frechet_inception_distance())
 
 
+@pytest.mark.slow
 def test_gym_hierarchical_eval_matches_training_path(tmp_path):
   """The Gym must evaluate hierarchical models through the POSTERIOR path
   (decode with encoder states).  Round-1 bug: generation-mode decode

@@ -145,6 +145,7 @@ print('TP EQUALITY OK', loss1, loss2)
 """
 
 
+@pytest.mark.slow
 def test_dp_tp_step_matches_replicated():
   """A DP x TP (megatron conv+dense rules) train step must produce the SAME
   params and loss as the DP-replicated step — same seed, same batch
@@ -367,6 +368,7 @@ def test_fsdp_step_matches_replicated():
   assert "FSDP EQUALITY OK" in proc.stdout
 
 
+@pytest.mark.slow
 def test_topk_moe_matches_unsharded():
   """Sparse top-k routed MoE: the all_to_all dispatch/combine over the
   'expert' axis must equal the unsharded computation with identical routing
@@ -413,6 +415,7 @@ def test_topk_moe_matches_unsharded():
   assert np.all(np.isfinite(np.asarray(gg)))
 
 
+@pytest.mark.slow
 def test_ring_attention_matches_full():
   """Ring attention (K/V ppermute rotation + cross-device online softmax)
   must equal full unsharded attention exactly, and differentiate through

@@ -194,8 +194,16 @@ def _build_model(cls):
   return model.build(seed=0), batch_fn
 
 
+# the two sequential models compile nn.scan cells — by far the heaviest
+# cases (~50s combined on this box); they run in the slow set, keeping the
+# default zoo sweep inside the driver budget (coverage moved, not deleted)
+_SLOW_ZOO = {"SequentialVAE", "SequentialAttentionVAE"}
+
+
 @pytest.mark.parametrize(
-    "cls", get_all_vae(), ids=lambda c: c.__name__)
+    "cls", [pytest.param(c, marks=pytest.mark.slow)
+            if c.__name__ in _SLOW_ZOO else c for c in get_all_vae()],
+    ids=lambda c: c.__name__)
 def test_zoo_model_executes_and_learns(cls):
   model, batch_fn = _build_model(cls)
   batch = batch_fn()
