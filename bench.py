@@ -122,9 +122,11 @@ def run_mxu_config(vae_factory, batch: int = 128, n_images: int = 16384,
 def run_mel_vad_config(batch: int = 64, seconds: float = 4.0,
                        n_rounds: int = 10) -> float:
   """mel+VAD extraction frames/s, end-to-end including the host->device
-  transfer of raw audio (the BASELINE north star's second metric; recorded
-  2.1M XLA / 2.7M Pallas frames/s, BASELINE.md).  Uses the Pallas fused
-  core with the XLA path as fallback."""
+  transfer of raw audio (the BASELINE north star's second metric).  Audio
+  is ingested as int16 PCM — what wav files actually hold — so the
+  transfer (the end-to-end bottleneck, BASELINE.md) moves half the bytes
+  of an fp32 ingest; `speech_features` scales to [-1, 1) on device.
+  Uses the Pallas fused core with the XLA path as fallback."""
   import jax
   import jax.numpy as jnp
 
@@ -132,7 +134,8 @@ def run_mel_vad_config(batch: int = 64, seconds: float = 4.0,
 
   cfg = FeatureConfig()
   T = int(seconds * cfg.sr)
-  y = (np.random.RandomState(0).randn(batch, T) * 0.1).astype("f")
+  y = (np.random.RandomState(0).randn(batch, T) * 0.1 * 32768.0) \
+      .clip(-32768, 32767).astype(np.int16)
   frames_total = batch * cfg.n_frames(T)
   best = 0.0
   for use_pallas in (True, False):
