@@ -614,3 +614,57 @@ def test_fsdp_tp_composed_matches_replicated():
                         timeout=1200)
   assert proc.returncode == 0, (proc.stdout[-500:], proc.stderr[-2000:])
   assert "FSDP-TP EQUALITY OK" in proc.stdout
+
+
+@pytest.mark.slow
+def test_time_sharded_features_match_unsharded():
+  """Sequence-parallel speech front-end (SURVEY §5's halo-exchange design):
+  the time axis sharded over the mesh with ppermute halos + psum/pmax
+  statistics must equal the unsharded `speech_features` on every valid
+  frame slot — including the per-utterance top-dB clip, masked CMVN, VAD,
+  and (away from the global tail) deltas."""
+  from odin_tpu.ops.features import FeatureConfig, speech_features
+  from odin_tpu.parallel.sequence_features import (
+      n_valid_frames, speech_features_time_sharded)
+
+  n = len(jax.devices())
+  mesh = parallel.get_mesh()
+  cfg = FeatureConfig(sr=8000, frame_length=64, step_length=32, n_fft=64,
+                      n_mels=8, n_ceps=4)
+  S, L = cfg.step_length, cfg.frame_length
+  T = n * S * 16  # Floc = 16 frames per shard
+  rng = np.random.RandomState(0)
+  y = rng.randn(2, T).astype("f") * 0.1
+  pad_at = 3 * T // 4  # second utterance padded well short of the end
+  y[1, pad_at:] = 0.0
+  lengths = np.array([T, pad_at], np.int32)
+
+  ref = jax.jit(lambda a, l: speech_features(a, cfg, lengths=l))(
+      jnp.asarray(y), jnp.asarray(lengths))
+  out = jax.jit(lambda a, l: speech_features_time_sharded(
+      a, cfg, mesh, axis="data", lengths=l))(
+          jnp.asarray(y), jnp.asarray(lengths))
+  jax.block_until_ready(out)
+
+  F = n_valid_frames(cfg, T)          # unsharded slot count
+  assert F == ref["mspec"].shape[1]
+  assert out["mspec"].shape[1] == T // S  # sharded keeps T/S slots
+  assert tuple(out["mspec"].sharding.spec)[:2] == (None, "data")
+
+  np.testing.assert_array_equal(np.asarray(out["frame_mask"])[:, :F],
+                                np.asarray(ref["frame_mask"]))
+  # slots beyond F overrun T and must be masked on BOTH utterances
+  assert not np.asarray(out["frame_mask"])[:, F:].any()
+  for key, tol in [("spec", 1e-5), ("mspec", 1e-4), ("mfcc", 1e-4),
+                   ("energy", 1e-4), ("mspec_cmvn", 1e-3),
+                   ("mfcc_cmvn", 1e-3)]:
+    a, b = np.asarray(out[key])[:, :F], np.asarray(ref[key])
+    np.testing.assert_allclose(a, b, rtol=1e-4, atol=tol, err_msg=key)
+  np.testing.assert_array_equal(np.asarray(out["vad"])[:, :F],
+                                np.asarray(ref["vad"]))
+  # deltas: exact except within delta_width of the GLOBAL tail, where the
+  # unsharded path edge-replicates and the sharded path sees masked slots
+  w = cfg.delta_width
+  np.testing.assert_allclose(np.asarray(out["mfcc_delta"])[:, :F - w],
+                             np.asarray(ref["mfcc_delta"])[:, :F - w],
+                             rtol=1e-4, atol=1e-4)
