@@ -163,6 +163,19 @@ def main():
     return BetaVAE(beta=1.0,
                    **get_networks("dsprites", zdim=10)).build(seed=1)
 
+  # the mel/VAD metric is transfer-bound and MUST run FIRST: the MXU
+  # config's large device_put + donated scans degrade the remote tunnel's
+  # transfer path for the rest of the process (probed 2026-08-19: blocked
+  # 8.2 MB transfers go 67 ms -> 240 ms and stop pipelining after
+  # run_mxu_config — 3.8M frames/s measured clean vs 55-90k after; the
+  # headline's own 0.5 GB/call transfers stay healthy when it runs next)
+  mel_fps = None
+  if not os.environ.get("ODIN_BENCH_FAST"):
+    try:
+      mel_fps = round(run_mel_vad_config(), 1)
+    except Exception as e:
+      mel_fps = f"failed: {type(e).__name__}"
+
   per_chip, mfu = run_scan_config(factory, BATCH, SCAN_STEPS, CALLS)
   out = {
       "metric": "betavae_dsprites_train_steps_per_sec_per_chip",
@@ -182,10 +195,7 @@ def main():
       out["mxu_steps_per_sec_per_chip"] = round(mxu_steps, 2)
     except Exception as e:
       out["mfu_mxu"] = f"failed: {type(e).__name__}"
-    try:
-      out["mel_vad_frames_per_sec"] = round(run_mel_vad_config(), 1)
-    except Exception as e:
-      out["mel_vad_frames_per_sec"] = f"failed: {type(e).__name__}"
+    out["mel_vad_frames_per_sec"] = mel_fps
   if os.environ.get("ODIN_BENCH_WIDE"):
     # 4x-width trunk (128-128-256-256): contraction dims that actually
     # fill the 128-wide MXU — demonstrates MFU scaling with model width
