@@ -101,3 +101,46 @@ def test_int16_ingestion_matches_float32():
   assert len(feats) == 2
   np.testing.assert_allclose(feats[0]["mspec"], np.asarray(a["mspec"][0]),
                              rtol=1e-5, atol=1e-4)
+
+
+def test_streaming_matches_offline():
+  """Chunked streaming extraction == offline `speech_features` on every
+  valid frame slot, including the finalize-time top-dB clip and CMVN
+  (the whole-utterance statistics carried in the stream state)."""
+  from odin_tpu.ops.streaming_features import (carry_samples, streaming_init,
+                                               streaming_finalize,
+                                               streaming_step)
+  cfg = FeatureConfig(cmvn=True, delta_width=0)
+  S_, L = cfg.step_length, cfg.frame_length
+  C = 10 * S_                      # chunk = 1600 samples (0.1 s)
+  K = 8                            # chunks
+  T = K * C
+  y = (RNG.randn(2, T) * 0.1).astype("f")
+
+  ref = speech_features(jnp.asarray(y), cfg)
+
+  step = jax.jit(lambda s, c: streaming_step(cfg, s, c))
+  state = streaming_init(cfg, batch=2)
+  outs = []
+  for k in range(K):
+    state, o = step(state, jnp.asarray(y[:, k * C:(k + 1) * C]))
+    outs.append(o)
+  fin = streaming_finalize(cfg, state, outs)
+
+  lead = carry_samples(cfg) // S_  # masked lead-in slots of chunk 1
+  F = ref["mspec"].shape[1]        # offline frame count
+  mask = np.asarray(fin["frame_mask"])
+  assert not mask[:, :lead].any()          # pre-stream slots masked
+  assert mask[:, lead:lead + F].all()      # every offline frame emitted
+  for key, tol in [("spec", 1e-5), ("mspec", 1e-4), ("mfcc", 1e-4),
+                   ("energy", 1e-4), ("mspec_cmvn", 1e-3),
+                   ("mfcc_cmvn", 1e-3)]:
+    a = np.asarray(fin[key])[:, lead:lead + F]
+    b = np.asarray(ref[key])
+    np.testing.assert_allclose(a, b, rtol=1e-4, atol=tol, err_msg=key)
+
+  # int16 chunks take the same path as the offline int16 ingest
+  state16 = streaming_init(cfg, batch=2)
+  y16 = (y * 32768.0).clip(-32768, 32767).astype(np.int16)
+  st, o0 = step(state16, jnp.asarray(y16[:, :C]))
+  assert np.isfinite(np.asarray(o0["mspec_raw"])).all()
