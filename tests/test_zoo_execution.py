@@ -9,6 +9,8 @@ per-op dispatch dominates tiny models).
 Reference bar: every model in ``odin/bay/vi/autoencoder/__init__.py:28``
 trains in its examples.
 """
+import zlib
+
 import numpy as np
 import pytest
 import jax
@@ -104,7 +106,10 @@ def _tiny_image_networks():
 def _build_model(cls):
   """-> (model, batch_fn) on the family-matched tiny architecture."""
   name = cls.__name__
-  rng = np.random.RandomState(hash(name) % (2 ** 31))
+  # zlib.crc32, NOT hash(): str hash is randomized per process
+  # (PYTHONHASHSEED), which made each class's data a fresh draw every
+  # run — the 8-step learning assertion flaked (~1/300 runs)
+  rng = np.random.RandomState(zlib.crc32(name.encode()) % (2 ** 31))
   kwargs = dict(EXTRA_KWARGS.get(name, {}))
 
   if name in SEQUENTIAL:
