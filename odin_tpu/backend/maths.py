@@ -161,3 +161,44 @@ def tril_mask(shape):
 
 __all__ += ["l2_normalize", "calc_white_mat", "reduce_logexp", "apply_mask",
             "tril_mask"]
+
+
+def softmin(x, axis=None):
+  """``exp(-x_i) / sum_j exp(-x_j)`` (reference ``maths.py:204``)."""
+  return jax.nn.softmax(-jnp.asarray(x), axis=-1 if axis is None else axis)
+
+
+def upsample(x, scale, axes, method: str = "nn"):
+  """Integer upsampling along `axes` (reference ``maths.py:617``).
+
+  'nn' repeats each element (``[1, 2] -> [1, 1, 2, 2]``), 'repeat' tiles
+  the whole axis (``[1, 2] -> [1, 2, 1, 2]``), 'pad_margin' zero-pads
+  around the existing content (ceil/floor split as the reference).
+  """
+  x = jnp.asarray(x)
+  axes = [a % x.ndim for a in (axes if isinstance(axes, (list, tuple))
+                               else (axes,))]
+  scales = list(scale) if isinstance(scale, (list, tuple)) \
+      else [int(scale)] * len(axes)
+  if method == "nn":
+    for a, s in zip(axes, scales):
+      x = jnp.repeat(x, s, axis=a)
+  elif method == "repeat":
+    for a, s in zip(axes, scales):
+      x = jnp.tile(x, [s if i == a else 1 for i in range(x.ndim)])
+  elif method == "pad_margin":
+    smap = dict(zip(axes, scales))
+    pads = []
+    for i in range(x.ndim):
+      if i in smap:
+        extra = x.shape[i] * (smap[i] - 1)
+        pads.append((int(np.ceil(extra / 2)), int(np.floor(extra / 2))))
+      else:
+        pads.append((0, 0))
+    x = jnp.pad(x, pads)
+  else:
+    raise ValueError(f"no support for method={method!r}")
+  return x
+
+
+__all__ += ["softmin", "upsample"]

@@ -873,3 +873,21 @@ def test_async_checkpoint_is_donation_safe(tmp_path):
   # and the live state moved on
   assert int(jax.device_get(state.step)) == int(expected.step) + 3
   tr.wait_for_checkpoint()  # idempotent no-op
+
+
+def test_softmin_and_upsample():
+  from odin_tpu.backend.maths import softmin, upsample
+  x = np.array([[1.0, 2.0, 3.0]], "f")
+  sm = np.asarray(softmin(x, axis=-1))
+  np.testing.assert_allclose(sm, np.exp(-x) / np.exp(-x).sum(), rtol=1e-6)
+  # 'nn' repeats elements; 'repeat' tiles the axis (reference maths.py:617)
+  v = np.array([1, 2], "f")
+  np.testing.assert_array_equal(np.asarray(upsample(v, 2, 0, "nn")),
+                                [1, 1, 2, 2])
+  np.testing.assert_array_equal(np.asarray(upsample(v, 2, 0, "repeat")),
+                                [1, 2, 1, 2])
+  img = np.ones((1, 2, 2), "f")
+  up = np.asarray(upsample(img, 2, axes=(1, 2), method="nn"))
+  assert up.shape == (1, 4, 4) and up.sum() == 16
+  pm = np.asarray(upsample(img, 3, axes=(1,), method="pad_margin"))
+  assert pm.shape == (1, 6, 2) and pm.sum() == 4  # content centered
