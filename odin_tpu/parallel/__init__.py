@@ -139,7 +139,12 @@ def initialize_distributed(coordinator_address: Optional[str] = None,
 
   import jax
 
-  if jax.process_count() > 1:
+  # NB: do NOT probe `jax.process_count()` here — it initializes the XLA
+  # backend, after which `jax.distributed.initialize` is a no-op and every
+  # process comes up as a single-process runtime (bug found by the
+  # tests/test_multihost.py probe).  `is_initialized` only inspects the
+  # distributed client.
+  if jax.distributed.is_initialized():
     return jax.process_index()  # already initialized
   explicit = any(a is not None for a in
                  (coordinator_address, num_processes, process_id))
