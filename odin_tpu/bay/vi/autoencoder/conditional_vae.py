@@ -301,6 +301,16 @@ class M3Core(M2Core):
     _, qzc = self.encode_m3(x, training=training)
     return self.classify_zc(qzc.mean(), training=training)
 
+  def encode(self, x, training: bool = False):
+    """Joint posterior over [z, z_c] as ONE diag-normal — its zdim +
+    n_classes width is exactly what decode_zy consumes.  M2's inherited
+    ``encode_xy`` path must NOT be used here: M3 never traces the
+    x_to_qz/y_to_qz modules, so their params do not exist."""
+    qz, qzc = self.encode_m3(x, training=training)
+    loc = jnp.concatenate([qz.mean(), qzc.mean()], -1)
+    scale = jnp.sqrt(jnp.concatenate([qz.variance(), qzc.variance()], -1))
+    return Independent(Normal(loc, scale), 1)
+
   def __call__(self, x, training: bool = False):
     qz, qzc = self.encode_m3(x, training=training)
     qy = self.classify_zc(qzc.mean(), training=training)

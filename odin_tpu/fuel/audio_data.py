@@ -57,7 +57,9 @@ class AudioFeatureLoader(IterableDataset):
       self.config = TFCompatConfig(
           frame_length=frame_length, frame_step=frame_step,
           fft_length=n_fft, sample_rate=sr, top_DB=top_db,
-          num_mel_bins=n_mels, num_cepstral=None, log_mels=log_mels,
+          num_mel_bins=n_mels,
+          num_cepstral=n_ceps if feature == "mfcc" else None,
+          log_mels=log_mels,
           lower_edge_hertz=fmin,
           upper_edge_hertz=fmax if fmax is not None else sr / 2 - 200.0)
       self.config.sr = sr  # uniform attribute for _load_audio/pack_batch
@@ -86,7 +88,7 @@ class AudioFeatureLoader(IterableDataset):
     n_frames = self.config.n_frames(self.max_samples)
     if self.compat == "tf":
       dim = {"mels": self.config.num_mel_bins,
-             "mfcc": self.config.num_mel_bins,
+             "mfcc": self.config.num_cepstral or self.config.num_mel_bins,
              "spec": self.config.fft_length // 2 + 1}[self.feature]
     else:
       dim = {"mspec": self.config.n_mels, "mspec_cmvn": self.config.n_mels,

@@ -16,9 +16,11 @@ slots equal the offline `speech_features` on the concatenated waveform —
 including the per-utterance top-dB clip, which depends on the utterance
 max and is therefore applied at `streaming_finalize` from the running
 max carried in the state (the raw per-chunk outputs are unclipped).
-CMVN is likewise a whole-utterance statistic: `streaming_finalize`
-applies it from the running moment accumulators.  Deltas need ±width
-future frames; apply `ops.features._batch_delta` to the finalized
+CMVN and the energy VAD are likewise whole-utterance statistics:
+`streaming_finalize` recomputes them from the finalized (clipped)
+features — exact by construction, and the latency-critical
+`streaming_step` carries no moment accumulators for them.  Deltas need
+±width future frames; apply `ops.features._batch_delta` to the finalized
 feature matrix (or accept a `delta_width`-frame latency downstream).
 
 Mechanics: the state carries the last ``ceil((L - S)/S) * S`` samples so
@@ -57,27 +59,16 @@ class StreamState(NamedTuple):
   pre_last: jnp.ndarray    # (B, 1) last raw sample (pre-emphasis continuity)
   n_consumed: jnp.ndarray  # () int32 samples consumed so far
   ref_max: jnp.ndarray     # (B, 1, 1) running max of raw log-mel (top-dB)
-  m_cnt: jnp.ndarray       # (B, 1, 1) valid frame count (CMVN)
-  m_sum: jnp.ndarray       # (B, 1, n_mels) CMVN sum
-  m_sq: jnp.ndarray        # (B, 1, n_mels) CMVN sum of squares
-  c_sum: jnp.ndarray       # (B, 1, n_ceps) MFCC CMVN sum
-  c_sq: jnp.ndarray        # (B, 1, n_ceps) MFCC CMVN sum of squares
 
 
 def streaming_init(config: FeatureConfig, batch: int) -> StreamState:
   Cr = carry_samples(config)
-  n_ceps = config.n_ceps if config.remove_first_coef else config.n_ceps + 1
   f32 = jnp.float32
   return StreamState(
       carry=jnp.zeros((batch, Cr), f32),
       pre_last=jnp.zeros((batch, 1), f32),
       n_consumed=jnp.zeros((), jnp.int32),
-      ref_max=jnp.full((batch, 1, 1), -1e30, f32),
-      m_cnt=jnp.zeros((batch, 1, 1), f32),
-      m_sum=jnp.zeros((batch, 1, config.n_mels), f32),
-      m_sq=jnp.zeros((batch, 1, config.n_mels), f32),
-      c_sum=jnp.zeros((batch, 1, n_ceps), f32),
-      c_sq=jnp.zeros((batch, 1, n_ceps), f32))
+      ref_max=jnp.full((batch, 1, 1), -1e30, f32))
 
 
 def streaming_step(config: FeatureConfig, state: StreamState,
@@ -148,12 +139,7 @@ def streaming_step(config: FeatureConfig, state: StreamState,
       n_consumed=state.n_consumed + C,
       ref_max=jnp.maximum(state.ref_max,
                           jnp.max(jnp.where(m > 0, mspec_raw, neg),
-                                  axis=(-2, -1), keepdims=True)),
-      m_cnt=state.m_cnt + jnp.sum(m, axis=1, keepdims=True),
-      m_sum=state.m_sum + jnp.sum(mspec_raw * m, axis=1, keepdims=True),
-      m_sq=state.m_sq + jnp.sum(mspec_raw ** 2 * m, axis=1, keepdims=True),
-      c_sum=state.c_sum + jnp.sum(mfcc_raw * m, axis=1, keepdims=True),
-      c_sq=state.c_sq + jnp.sum(mfcc_raw ** 2 * m, axis=1, keepdims=True))
+                                  axis=(-2, -1), keepdims=True)))
   out = dict(mspec_raw=mspec_raw, mfcc_raw=mfcc_raw, energy=energy[..., None],
              frame_mask=mask, spec=spec)
   return new_state, out
@@ -163,8 +149,10 @@ def streaming_finalize(config: FeatureConfig, state: StreamState,
                        outputs: List[Dict[str, jnp.ndarray]]
                        ) -> Dict[str, jnp.ndarray]:
   """Concatenate per-chunk outputs and apply the whole-utterance
-  statistics (top-dB clip, CMVN) from the carried accumulators.  Returns
-  the offline `speech_features` keys restricted to emitted slots."""
+  statistics: the top-dB clip from the running max carried in the state,
+  then CMVN and the energy VAD recomputed from the finalized (clipped)
+  features — exactly the offline semantics.  Returns the offline
+  `speech_features` keys restricted to emitted slots."""
   cat = {k: jnp.concatenate([o[k] for o in outputs], axis=1)
          for k in outputs[0]}
   mask = cat.pop("frame_mask")
@@ -175,13 +163,19 @@ def streaming_finalize(config: FeatureConfig, state: StreamState,
   mfcc = jnp.matmul(mspec, dct_T, precision=_PREC)
   if config.remove_first_coef:
     mfcc = mfcc[..., 1:]
+  # energy-threshold VAD over the whole stream (same rule as the offline
+  # `speech_features`)
+  energy = cat["energy"][..., 0]
+  e_valid = jnp.where(mask, energy, jnp.nan)
+  e_mean = jnp.nanmean(e_valid, axis=1, keepdims=True)
+  e_std = jnp.sqrt(jnp.nanmean((e_valid - e_mean) ** 2, axis=1,
+                               keepdims=True))
+  vad = (energy > (e_mean - 0.5 * e_std)) & mask
   out = dict(mspec=mspec, mfcc=mfcc, energy=cat["energy"],
-             frame_mask=mask, spec=cat["spec"])
+             frame_mask=mask, vad=vad, spec=cat["spec"])
   if config.cmvn:
-    # NOTE: the accumulators track the RAW (unclipped) features; offline
-    # CMVN normalizes the CLIPPED ones.  Where the clip never bites
-    # (typical for speech-scale dynamics within top_db) they coincide;
-    # for exactness recompute the moments from the finalized features.
+    # offline CMVN normalizes the CLIPPED features — recompute the moments
+    # from the finalized features for exactness
     m = mask[..., None].astype(mspec.dtype)
     denom = jnp.maximum(jnp.sum(m, axis=1, keepdims=True), 1.0)
     for key, f in (("mspec", mspec), ("mfcc", mfcc)):

@@ -14,6 +14,7 @@ from __future__ import annotations
 import json
 import os
 import pickle
+import sys
 import time
 from typing import Any, Callable, Dict, List, Optional, Sequence, Tuple, Union
 
@@ -318,10 +319,19 @@ class Trainer:
     finally:
       # join the async checkpoint writer even when the loop raises
       # (KeyboardInterrupt, iterator error) so the daemon thread is never
-      # killed mid-write at interpreter exit; also surfaces writer errors
+      # killed mid-write at interpreter exit; also surfaces writer errors —
+      # but never REPLACE an exception already propagating (a Ctrl-C must
+      # stay a KeyboardInterrupt for callers doing graceful shutdown)
       self.total_time = time.time() - t_start
       _CURRENT_TRAINER = None
-      self.wait_for_checkpoint()
+      if sys.exc_info()[0] is None:
+        self.wait_for_checkpoint()
+      else:
+        try:
+          self.wait_for_checkpoint()
+        except Exception as ckpt_err:
+          print(f"[trainer] async checkpoint write failed during teardown: "
+                f"{ckpt_err!r}", flush=True)
     # pull the final state to host: downstream host-facing use (encode/
     # decode/Gym, op-by-op) must not mix mesh-replicated params with
     # single-device inputs — that deadlocks XLA CPU collectives

@@ -138,6 +138,9 @@ def test_streaming_matches_offline():
     a = np.asarray(fin[key])[:, lead:lead + F]
     b = np.asarray(ref[key])
     np.testing.assert_allclose(a, b, rtol=1e-4, atol=tol, err_msg=key)
+  # the energy VAD is part of the offline contract too
+  np.testing.assert_array_equal(np.asarray(fin["vad"])[:, lead:lead + F],
+                                np.asarray(ref["vad"]))
 
   # int16 chunks take the same path as the offline int16 ingest
   state16 = streaming_init(cfg, batch=2)

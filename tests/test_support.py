@@ -391,6 +391,29 @@ def test_async_checkpoint_error_propagates(tmp_path):
   assert tr.restore_checkpoint() is not None
 
 
+def test_fit_teardown_keeps_original_exception(tmp_path):
+  """A failed async checkpoint writer must not REPLACE an exception already
+  propagating out of the fit loop (e.g. KeyboardInterrupt): the finally
+  block logs the writer error instead of raising over it."""
+  from odin_tpu.training.trainer import Trainer
+  tr = Trainer(logdir=str(tmp_path), use_tensorboard=False)
+
+  def step_fn(state, batch):
+    return state, {"loss": np.float32(0.0)}
+
+  def bad_iter():
+    # queue a checkpoint that will fail on the writer thread, then raise
+    tr.save_checkpoint({"params": (lambda x: x)}, blocking=False)
+    yield np.zeros((8, 4), "f")
+    raise KeyboardInterrupt
+
+  with pytest.raises(KeyboardInterrupt):
+    tr.fit(bad_iter(), step_fn, {"params": np.zeros(3)}, max_iter=10,
+           verbose=False)
+  # the writer error was consumed during teardown, not left pending
+  tr.wait_for_checkpoint()
+
+
 def test_progbar_epoch_reports():
   """Per-key epoch history surface (reference `progbar.py:90,266,389`):
   history, get_report, set_summarizer, summary, add_notification."""

@@ -60,6 +60,14 @@ def test_audio_feature_loader():
   xb, yb = next(iter(loader.create_dataset("train", batch_size=4,
                                            inc_labels=True, epochs=1)))
   assert xb.shape == (4,) + loader.shape
+  # compat='tf' + mfcc must honor n_ceps (regression: it was hardcoded to
+  # None, silently returning num_mel_bins coefficients)
+  tf_loader = AudioFeatureLoader(utts[:2], feature="mfcc", n_mels=24,
+                                 n_ceps=13, max_duration=1.0, compat="tf")
+  assert tf_loader.config.num_cepstral == 13
+  assert tf_loader.shape[1] == 13
+  x2 = tf_loader.numpy("train")
+  assert x2.shape[1:] == tf_loader.shape
 
 
 def test_gmm_embedding_helpers():

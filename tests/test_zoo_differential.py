@@ -229,3 +229,24 @@ def test_reparams_m3_prior_regressor_learns():
   assert not np.allclose(np.asarray(kl_a["kl_denotations"]),
                          np.asarray(kl_b["kl_denotations"])), \
       "p(z_c|y) does not depend on y"
+
+
+def test_reparams_m3_encode_decode_roundtrip():
+  """Host-facing encode/decode must work for reparamsM3VAE: M3 never
+  traces M2's encode_xy modules (their params don't exist), so encode()
+  must return the joint [z, z_c] posterior whose width matches what
+  decode_zy consumes (regression: ScopeParamNotFoundError in x_to_qz,
+  then a width mismatch in z_to_px)."""
+  model, batch_fn = _build_model(reparamsM3VAE)
+  x = jnp.asarray(batch_fn()[0])
+  qz = model.encode(x, jit=False)
+  zdim_joint = model.zdim + model.n_classes
+  assert qz.event_shape == (zdim_joint,), qz.event_shape
+  px = model.decode(qz.mean())
+  assert px.mean().shape == x.shape
+  # the M2 parent keeps its own conditional encode path working too
+  m2, batch_fn2 = _build_model(M2VAE)
+  x2 = jnp.asarray(batch_fn2()[0])
+  q2 = m2.encode(x2, jit=False)
+  p2 = m2.decode(q2.mean())
+  assert p2.mean().shape == x2.shape
