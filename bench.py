@@ -134,8 +134,13 @@ def run_mel_vad_config(batch: int = 64, seconds: float = 4.0,
 
   cfg = FeatureConfig()
   T = int(seconds * cfg.sr)
-  y = (np.random.RandomState(0).randn(batch, T) * 0.1 * 32768.0) \
-      .clip(-32768, 32767).astype(np.int16)
+  rs = np.random.RandomState(0)
+  # one distinct buffer per round: the axon backend memoizes dispatches on
+  # bit-identical args (CLAUDE.md), so benchmark loops must vary the input
+  # (probed 2026-08-19: constant-input rounds measure the same as varied
+  # ones here — the metric is transfer-bound — but vary anyway)
+  ys = [(rs.randn(batch, T) * 0.1 * 32768.0).clip(-32768, 32767)
+        .astype(np.int16) for _ in range(n_rounds)]
   frames_total = batch * cfg.n_frames(T)
   best = 0.0
   for use_pallas in (True, False):
@@ -143,10 +148,10 @@ def run_mel_vad_config(batch: int = 64, seconds: float = 4.0,
       fn = jax.jit(lambda a, p=use_pallas: {
           k: v for k, v in speech_features(a, cfg, use_pallas=p).items()
           if k in ("mspec", "vad")})
-      out = fn(jnp.asarray(y))
+      out = fn(jnp.asarray(ys[-1]))
       jax.block_until_ready(out)
       t0 = time.time()
-      for _ in range(n_rounds):
+      for y in ys:
         out = fn(jnp.asarray(y))  # includes transfer each round
       jax.block_until_ready(out)
       best = max(best, frames_total * n_rounds / (time.time() - t0))

@@ -39,10 +39,16 @@ ROUNDS = 50
 
 
 def bench_fn(fn, x, rounds=ROUNDS):
+  # one distinct input per round: the axon backend memoizes dispatches on
+  # bit-identical args (CLAUDE.md) — vary the content so every round does
+  # real compute, not a memo lookup
+  rs = np.random.RandomState(7)
+  xs = [np.where(rs.rand(*x.shape) < 1.0 / x.size, 1.0 - x, x).astype(x.dtype)
+        for _ in range(rounds)]
   out = jax.block_until_ready(fn(jnp.asarray(x)))  # compile
   t0 = time.time()
-  for _ in range(rounds):
-    out = fn(jnp.asarray(x))  # includes host->device transfer
+  for xi in xs:
+    out = fn(jnp.asarray(xi))  # includes host->device transfer
   jax.block_until_ready(out)
   return (time.time() - t0) / rounds
 

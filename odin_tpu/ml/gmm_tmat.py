@@ -184,6 +184,21 @@ class GMM:
         in_specs=P("data", None),
         out_specs=(P(), P(), P(), P())))
     X = np.asarray(X, np.float32)
+    if jax.process_count() > 1:
+      # multi-HOST corpus: X is this process's LOCAL frame slice; the
+      # global Z/F/S/llk are psum-reduced across every process's devices
+      # (tests/test_multihost.py).  No cross-process remainder protocol:
+      # local rows must divide the local device count.
+      from jax.sharding import NamedSharding
+      n_loc = mesh.local_mesh.devices.size
+      if len(X) % n_loc:
+        raise ValueError(
+            f"multi-process E-step: local rows {len(X)} must be divisible "
+            f"by the {n_loc} local devices")
+      Xg = jax.make_array_from_process_local_data(
+          NamedSharding(mesh, P("data", None)), X)
+      Z, F, S, llk = (np.asarray(a, np.float64) for a in sharded(Xg))
+      return Z, F, S, float(llk)
     pad = (-len(X)) % n_dev
     if pad:
       # padding frames are given zero weight by appending -inf-energy rows?

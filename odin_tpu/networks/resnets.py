@@ -105,107 +105,88 @@ class ResidualUpBlock(nn.Module):
     return act(x + h)
 
 
-class ResidualBottleneck(nn.Module):
+class _ResidualConvBlock(nn.Module):
+  """Shared body of `ResidualBottleneck` / `ResidualInverted`: a kxk conv
+  resizing channels by the subclass ratio, a middle kxk conv (plain or
+  depthwise per subclass), optional squeeze-excitation, then a 1x1
+  projection back to `filters_out` (optionally GLU sigmoid-gated).  The
+  identity skip exists only when shapes are preserved (filters_out ==
+  filters_in and stride 1), as in the reference."""
+
+  filters_out: Optional[int] = None
+  se_ratio: float = 0.25
+  sigmoid_gating: bool = False
+  batchnorm: bool = True
+  kernel_size: int = 3
+  strides: int = 1
+  activation: str = "swish"
+  dropout: float = 0.0
+
+  def _channel_ratio(self) -> float:
+    raise NotImplementedError
+
+  def _mid_groups(self, filters: int) -> int:
+    return 1  # plain conv; inverted overrides with `filters` (depthwise)
+
+  @nn.compact
+  def __call__(self, x, training: bool = False):
+    act = get_activation(self.activation)
+    k = (self.kernel_size, self.kernel_size)
+    filters_in = x.shape[-1]
+    filters = max(1, int(filters_in * self._channel_ratio()))
+    filters_out = self.filters_out or filters_in
+    use_bias = not self.batchnorm
+
+    def bn(h):
+      return (nn.BatchNorm(use_running_average=not training)(h)
+              if self.batchnorm else h)
+
+    h = nn.Conv(filters, k, strides=(self.strides, self.strides),
+                padding="SAME", use_bias=use_bias)(x)
+    h = act(bn(h))
+    h = nn.Conv(filters, k, padding="SAME",
+                feature_group_count=self._mid_groups(filters))(h)
+    h = act(bn(h))
+    if self.se_ratio:
+      h = SqueezeExcitation(ratio=max(int(1 / self.se_ratio), 1))(
+          h, training=training)
+    h = nn.Conv(filters_out * (2 if self.sigmoid_gating else 1), (1, 1),
+                use_bias=use_bias)(h)
+    h = bn(h)
+    if self.sigmoid_gating:
+      h = SigmoidGating()(h)
+    if filters_out == filters_in and self.strides == 1:
+      if self.dropout > 0:
+        h = nn.Dropout(self.dropout, deterministic=not training)(h)
+      return x + h
+    return h
+
+
+class ResidualBottleneck(_ResidualConvBlock):
   """He-style bottleneck residual block (reference
   ``odin/networks/resnets.py:618-716`` `residual_bottleneck`): squeeze the
   channel dim by `shrink_ratio` through two kxk convs, then expand back to
-  `filters_out` with a 1x1 projection; optional squeeze-excitation and
-  GLU sigmoid gating on the projection.  The skip connection exists only
-  when shapes are preserved (filters_out == filters_in and stride 1), as in
-  the reference."""
+  `filters_out` with a 1x1 projection."""
 
-  filters_out: Optional[int] = None
   shrink_ratio: float = 0.5
-  se_ratio: float = 0.25
-  sigmoid_gating: bool = False
-  batchnorm: bool = True
-  kernel_size: int = 3
-  strides: int = 1
-  activation: str = "swish"
-  dropout: float = 0.0
 
-  @nn.compact
-  def __call__(self, x, training: bool = False):
-    act = get_activation(self.activation)
-    k = (self.kernel_size, self.kernel_size)
-    filters_in = x.shape[-1]
-    filters = max(1, int(filters_in * self.shrink_ratio))
-    filters_out = self.filters_out or filters_in
-    use_bias = not self.batchnorm
-
-    def bn(h):
-      return (nn.BatchNorm(use_running_average=not training)(h)
-              if self.batchnorm else h)
-
-    h = nn.Conv(filters, k, strides=(self.strides, self.strides),
-                padding="SAME", use_bias=use_bias)(x)
-    h = act(bn(h))
-    h = nn.Conv(filters, k, padding="SAME")(h)
-    h = act(bn(h))
-    if self.se_ratio:
-      h = SqueezeExcitation(ratio=max(int(1 / self.se_ratio), 1))(
-          h, training=training)
-    h = nn.Conv(filters_out * (2 if self.sigmoid_gating else 1), (1, 1),
-                use_bias=use_bias)(h)
-    h = bn(h)
-    if self.sigmoid_gating:
-      h = SigmoidGating()(h)
-    if filters_out == filters_in and self.strides == 1:
-      if self.dropout > 0:
-        h = nn.Dropout(self.dropout, deterministic=not training)(h)
-      return x + h
-    return h
+  def _channel_ratio(self) -> float:
+    return self.shrink_ratio
 
 
-class ResidualInverted(nn.Module):
+class ResidualInverted(_ResidualConvBlock):
   """MobileNetV2/EfficientNet inverted residual (reference
   ``odin/networks/resnets.py:718-811`` `residual_inverted`): expand channels
   by `expand_ratio` with a kxk conv, depthwise kxk conv, optional SE, then a
-  1x1 linear projection back to `filters_out`; skip only when shapes are
-  preserved."""
+  1x1 linear projection back to `filters_out`."""
 
-  filters_out: Optional[int] = None
   expand_ratio: float = 2.0
-  se_ratio: float = 0.25
-  sigmoid_gating: bool = False
-  batchnorm: bool = True
-  kernel_size: int = 3
-  strides: int = 1
-  activation: str = "swish"
-  dropout: float = 0.0
 
-  @nn.compact
-  def __call__(self, x, training: bool = False):
-    act = get_activation(self.activation)
-    k = (self.kernel_size, self.kernel_size)
-    filters_in = x.shape[-1]
-    filters = max(1, int(filters_in * self.expand_ratio))
-    filters_out = self.filters_out or filters_in
-    use_bias = not self.batchnorm
+  def _channel_ratio(self) -> float:
+    return self.expand_ratio
 
-    def bn(h):
-      return (nn.BatchNorm(use_running_average=not training)(h)
-              if self.batchnorm else h)
-
-    h = nn.Conv(filters, k, strides=(self.strides, self.strides),
-                padding="SAME", use_bias=use_bias)(x)
-    h = act(bn(h))
-    # depthwise: feature_group_count == channels
-    h = nn.Conv(filters, k, padding="SAME", feature_group_count=filters)(h)
-    h = act(bn(h))
-    if self.se_ratio:
-      h = SqueezeExcitation(ratio=max(int(1 / self.se_ratio), 1))(
-          h, training=training)
-    h = nn.Conv(filters_out * (2 if self.sigmoid_gating else 1), (1, 1),
-                use_bias=use_bias)(h)
-    h = bn(h)
-    if self.sigmoid_gating:
-      h = SigmoidGating()(h)
-    if filters_out == filters_in and self.strides == 1:
-      if self.dropout > 0:
-        h = nn.Dropout(self.dropout, deterministic=not training)(h)
-      return x + h
-    return h
+  def _mid_groups(self, filters: int) -> int:
+    return filters  # depthwise: feature_group_count == channels
 
 
 def residual_design(design: str = "bottleneck", ratio: Optional[float] = None,

@@ -33,6 +33,7 @@ def main():
   ap.add_argument("--local-devices", type=int, default=2)
   ap.add_argument("--global-batch", type=int, default=16)
   ap.add_argument("--steps", type=int, default=4)
+  ap.add_argument("--mode", choices=("train", "gmm"), default="train")
   ap.add_argument("--out", required=True)
   args = ap.parse_args()
 
@@ -54,6 +55,9 @@ def main():
   from odin_tpu.networks.base import Dense, Flatten, SequentialNetwork
 
   assert len(jax.devices()) == args.num_processes * args.local_devices
+
+  if args.mode == "gmm":
+    return _run_gmm(args)
 
   enc = SequentialNetwork((Flatten(), Dense(64, "relu"), Dense(64, None)),
                           name="encoder")
@@ -92,6 +96,39 @@ def main():
     out["__losses__"] = np.asarray(losses, "f")
     np.savez(args.out, **out)
   print(f"[p{args.process_id}] done, losses={losses}", flush=True)
+
+
+def _run_gmm(args):
+  """GMM E-step over a multi-host corpus: each process feeds its LOCAL
+  frame slice into `expectation_sharded`; the Z/F/S/llk sufficient stats
+  psum-reduce across every process's devices (the classical-ML pillar's
+  version of the multi-host contract; SURVEY §2.1 TPU mapping)."""
+  import numpy as np
+  import jax
+  from odin_tpu import parallel
+  from odin_tpu.ml import GMM
+
+  rng = np.random.RandomState(0)
+  N, D, M = 1024, 6, 4
+  X = np.concatenate([rng.randn(N // 2, D) * 0.5 + 2.0,
+                      rng.randn(N // 2, D) * 0.8 - 1.0]).astype("f")
+  gmm = GMM(nmix=M)
+  init = np.random.RandomState(1)
+  gmm.mu = init.randn(M, D).astype("f")
+  gmm.sigma = (init.rand(M, D) * 0.5 + 0.5).astype("f")
+  gmm.w = np.full(M, 1.0 / M, "f")
+  gmm.ndim = D
+  mesh = parallel.get_mesh()
+  parallel.set_default_mesh(mesh)
+  if args.num_processes > 1:
+    per = N // args.num_processes
+    local = X[args.process_id * per:(args.process_id + 1) * per]
+  else:
+    local = X
+  Z, F, S, llk = gmm.expectation_sharded(local, mesh)
+  if args.process_id == 0:
+    np.savez(args.out, Z=Z, F=F, S=S, llk=np.float64(llk))
+  print(f"[p{args.process_id}] gmm done, llk={llk:.3f}", flush=True)
 
 
 if __name__ == "__main__":

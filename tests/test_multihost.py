@@ -73,3 +73,33 @@ def test_multihost_training_matches_single_process(tmp_path):
   for k in mh.files:
     np.testing.assert_allclose(mh[k], sp[k], rtol=1e-5, atol=1e-5,
                                err_msg=k)
+
+
+def test_multihost_gmm_estep_matches_single_process(tmp_path):
+  """GMM sufficient statistics (Z/F/S/llk) from per-process corpus slices
+  psum-reduce to the single-process full-corpus E-step."""
+  port = _free_port()
+  env = _clean_env()
+  out_mh = tmp_path / "gmm_mh.npz"
+  out_sp = tmp_path / "gmm_sp.npz"
+  procs = [
+      subprocess.Popen(
+          [sys.executable, WORKER, "--mode", "gmm",
+           "--process-id", str(i), "--num-processes", "2",
+           "--port", str(port), "--local-devices", "2",
+           "--out", str(out_mh if i == 0 else tmp_path / "junk.npz")],
+          cwd=REPO, env=env,
+          stdout=subprocess.PIPE, stderr=subprocess.PIPE, text=True)
+      for i in (0, 1)]
+  outs = [p.communicate(timeout=420) for p in procs]
+  for p, (so, se) in zip(procs, outs):
+    assert p.returncode == 0, f"worker failed:\n{so[-1000:]}\n{se[-3000:]}"
+  ref = subprocess.run(
+      [sys.executable, WORKER, "--mode", "gmm", "--num-processes", "1",
+       "--local-devices", "4", "--out", str(out_sp)],
+      cwd=REPO, env=env, capture_output=True, text=True, timeout=420)
+  assert ref.returncode == 0, ref.stderr[-3000:]
+  mh, sp = np.load(out_mh), np.load(out_sp)
+  for k in ("Z", "F", "S", "llk"):
+    np.testing.assert_allclose(mh[k], sp[k], rtol=1e-5, atol=1e-4,
+                               err_msg=k)
