@@ -441,9 +441,11 @@ class Tmatrix:
     return self
 
   def _build_estep(self):
+    return jax.jit(self._estep_body())
+
+  def _estep_body(self):
     R = self.tv_dim
 
-    @jax.jit
     def estep(Z, F, T, sigma_inv):
       # T: (R, MD); per utterance i:
       #   L_i = I + sum_m Z[i,m] * T_m Sigma_m^-1 T_m^T
@@ -500,6 +502,55 @@ class Tmatrix:
         _drain_oldest()
     while pending:
       _drain_oldest()
+    return LU, RU, llk
+
+  def expectation_sharded(self, Z: np.ndarray, F: np.ndarray, mesh=None):
+    """Mesh-parallel E-step: utterances sharded over the 'data' axis,
+    LU/RU/llk psum-reduced across chips — the TPU-native replacement for
+    the reference's multiprocess+GPU LU/RU split (``gmm_tmat.py:1727``).
+    In a multi-process run each process passes its LOCAL utterance slice
+    (same contract as `GMM.expectation_sharded`)."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+    try:
+      from jax import shard_map
+    except ImportError:  # older jax
+      from jax.experimental.shard_map import shard_map
+    mesh = mesh or parallel.default_mesh()
+    n_dev = mesh.devices.size
+    body = self._estep_body()
+    sigma_inv = jnp.asarray(1.0 / self._sigma_flat(), jnp.float32)
+    T = jnp.asarray(self.Tm, jnp.float32)
+
+    def local_stats(z, f):
+      lu, ru, llk, _ = body(z, f, T, sigma_inv)
+      return (jax.lax.psum(lu, "data"), jax.lax.psum(ru, "data"),
+              jax.lax.psum(llk, "data"))
+
+    sharded = jax.jit(shard_map(
+        local_stats, mesh=mesh,
+        in_specs=(P("data", None), P("data", None)),
+        out_specs=(P(), P(), P())))
+    Z = np.asarray(Z, np.float32)
+    F = np.asarray(F, np.float32)
+    if jax.process_count() > 1:
+      n_loc = mesh.local_mesh.devices.size
+      if len(Z) % n_loc:
+        raise ValueError(
+            f"multi-process E-step: local rows {len(Z)} must be divisible "
+            f"by the {n_loc} local devices")
+      sh = NamedSharding(mesh, P("data", None))
+      LU, RU, llk = (np.asarray(a, np.float64) for a in sharded(
+          jax.make_array_from_process_local_data(sh, Z),
+          jax.make_array_from_process_local_data(sh, F)))
+      return LU, RU, float(llk)
+    cut = len(Z) - (len(Z) % n_dev)
+    LU, RU, llk = (np.asarray(a, np.float64)
+                   for a in sharded(jnp.asarray(Z[:cut]),
+                                    jnp.asarray(F[:cut])))
+    llk = float(llk)
+    if cut < len(Z):
+      lu2, ru2, l2 = self.expectation(Z[cut:], F[cut:])
+      LU, RU, llk = LU + lu2, RU + ru2, llk + l2
     return LU, RU, llk
 
   def maximization(self, LU: np.ndarray, RU: np.ndarray,

@@ -126,9 +126,25 @@ def _run_gmm(args):
   else:
     local = X
   Z, F, S, llk = gmm.expectation_sharded(local, mesh)
+
+  # T-matrix E-step under the same per-process-slice contract
+  from odin_tpu.ml import Tmatrix
+  tmat = Tmatrix(tv_dim=8, gmm=gmm).initialize()
+  B = 64
+  Zu = init.rand(B, M).astype("f") * 50.0
+  Fu = init.randn(B, M * D).astype("f")
+  if args.num_processes > 1:
+    per_u = B // args.num_processes
+    sl = slice(args.process_id * per_u, (args.process_id + 1) * per_u)
+    LU, RU, tllk = tmat.expectation_sharded(Zu[sl], Fu[sl], mesh)
+  else:
+    LU, RU, tllk = tmat.expectation_sharded(Zu, Fu, mesh)
+
   if args.process_id == 0:
-    np.savez(args.out, Z=Z, F=F, S=S, llk=np.float64(llk))
-  print(f"[p{args.process_id}] gmm done, llk={llk:.3f}", flush=True)
+    np.savez(args.out, Z=Z, F=F, S=S, llk=np.float64(llk),
+             LU=LU, RU=RU, tllk=np.float64(tllk))
+  print(f"[p{args.process_id}] gmm done, llk={llk:.3f} tllk={tllk:.3f}",
+        flush=True)
 
 
 if __name__ == "__main__":

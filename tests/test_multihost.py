@@ -100,6 +100,6 @@ def test_multihost_gmm_estep_matches_single_process(tmp_path):
       cwd=REPO, env=env, capture_output=True, text=True, timeout=420)
   assert ref.returncode == 0, ref.stderr[-3000:]
   mh, sp = np.load(out_mh), np.load(out_sp)
-  for k in ("Z", "F", "S", "llk"):
+  for k in ("Z", "F", "S", "llk", "LU", "RU", "tllk"):
     np.testing.assert_allclose(mh[k], sp[k], rtol=1e-5, atol=1e-4,
                                err_msg=k)

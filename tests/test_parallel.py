@@ -58,6 +58,27 @@ def test_gmm_sharded_expectation_matches():
   np.testing.assert_allclose(Z1, Z2, rtol=1e-5, atol=1e-4)
   np.testing.assert_allclose(F1, F2, rtol=1e-5, atol=1e-4)
   np.testing.assert_allclose(S1, S2, rtol=1e-5, atol=1e-4)
+
+
+def test_tmatrix_sharded_expectation_matches():
+  """T-matrix LU/RU/llk from the mesh-parallel E-step == the chunked
+  single-device accumulation (utterances sharded, psum-reduced)."""
+  from odin_tpu.ml import GMM, Tmatrix
+  rng = np.random.RandomState(1)
+  M, D, R, B = 4, 3, 6, 67  # 67 utterances: exercises the remainder path
+  gmm = GMM(nmix=M)
+  gmm.mu = rng.randn(M, D).astype("f")
+  gmm.sigma = (rng.rand(M, D) * 0.5 + 0.5).astype("f")
+  gmm.w = np.full(M, 1.0 / M, "f")
+  gmm.ndim = D
+  tmat = Tmatrix(tv_dim=R, gmm=gmm, batch_size=32).initialize()
+  Z = rng.rand(B, M).astype("f") * 50.0
+  F = rng.randn(B, M * D).astype("f")
+  LU1, RU1, llk1 = tmat.expectation(Z, F)
+  LU2, RU2, llk2 = tmat.expectation_sharded(Z, F)
+  np.testing.assert_allclose(LU1, LU2, rtol=1e-4, atol=1e-3)
+  np.testing.assert_allclose(RU1, RU2, rtol=1e-4, atol=1e-3)
+  np.testing.assert_allclose(llk1, llk2, rtol=1e-4)
   assert abs(llk1 - llk2) < 1e-2
 
 
