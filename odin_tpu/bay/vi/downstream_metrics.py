@@ -31,9 +31,15 @@ def _to_numpy(x) -> np.ndarray:
 
 def importance_matrix(repr_train, factor_train, repr_test=None,
                       factor_test=None, test_size: float = 0.2, seed: int = 1,
-                      n_estimators: int = 10) -> Tuple[np.ndarray, list, list]:
+                      n_estimators: int = 10,
+                      **gbt_kwargs) -> Tuple[np.ndarray, list, list]:
   """[n_latents, n_factors] gradient-boosted-tree importances + accuracies
-  (reference :81)."""
+  (reference :81).  Extra kwargs reach the GradientBoostingClassifier —
+  the reference's effective sklearn config is ``learning_rate=1.0,
+  n_estimators=100, subsample=0.8, max_depth=None`` (``ml/tree.py:23-76``);
+  the default here is the lighter ``n_estimators=10`` (the importance
+  ranking is stable far below the reference's 100 estimators —
+  tests/test_metrics_parity.py holds the exact-config equality)."""
   from sklearn.ensemble import GradientBoostingClassifier
   from sklearn.model_selection import train_test_split
   repr_train = _to_numpy(repr_train)
@@ -55,7 +61,7 @@ def importance_matrix(repr_train, factor_train, repr_test=None,
       test_acc.append(1.0)
       continue
     model = GradientBoostingClassifier(n_estimators=n_estimators,
-                                       random_state=seed)
+                                       random_state=seed, **gbt_kwargs)
     model.fit(repr_train, y)
     matrix[:, j] = np.abs(model.feature_importances_)
     train_acc.append(float(np.mean(model.predict(repr_train) == y)))
@@ -98,10 +104,14 @@ def dci_scores(repr_train, factor_train, repr_test=None, factor_test=None,
 def separated_attr_predictability(repr_train, factor_train, repr_test=None,
                                   factor_test=None, test_size: float = 0.2,
                                   continuous_factors: bool = False,
-                                  seed: int = 1) -> float:
+                                  seed: int = 1,
+                                  max_iter: int = 4000) -> float:
   """SAP score (Kumar et al. 2018; reference :213): mean gap between the two
-  most predictive latents per factor."""
+  most predictive latents per factor.  Discrete factors use the reference's
+  exact recipe (:269-283): StandardScaler-normalized single latent into a
+  balanced LinearSVC(C=0.01, max_iter=4000)."""
   from sklearn.model_selection import train_test_split
+  from sklearn.preprocessing import StandardScaler
   from sklearn.svm import LinearSVC
   repr_train = _to_numpy(repr_train)
   factor_train = np.asarray(factor_train)
@@ -125,10 +135,13 @@ def separated_attr_predictability(repr_train, factor_train, repr_test=None,
       else:
         if len(np.unique(y_j)) < 2:
           continue
-        svc = LinearSVC(C=0.01, class_weight="balanced", random_state=seed)
-        svc.fit(x_i[:, None], y_j)
+        svc = LinearSVC(C=0.01, max_iter=max_iter, class_weight="balanced",
+                        random_state=seed)
+        scaler = StandardScaler()
+        svc.fit(scaler.fit_transform(x_i[:, None]), y_j)
         score_matrix[i, j] = np.mean(
-            svc.predict(repr_test[:, i][:, None]) == factor_test[:, j])
+            svc.predict(scaler.transform(repr_test[:, i][:, None]))
+            == factor_test[:, j])
   sorted_scores = np.sort(score_matrix, axis=0)
   return float(np.mean(sorted_scores[-1, :] - sorted_scores[-2, :]))
 
