@@ -32,6 +32,7 @@ import numpy as np
 from odin_tpu.preprocessing import signal as np_signal
 
 __all__ = ["FeatureConfig", "dft_bases", "frame_signal", "speech_features",
+           "ulaw_expand_device",
            "TFCompatConfig", "tf_mel_matrix", "tf_signal_features"]
 
 _PREC = jax.lax.Precision.HIGHEST
@@ -143,6 +144,22 @@ def _batch_delta(x: jnp.ndarray, width: int) -> jnp.ndarray:
   return jax.lax.dynamic_slice_in_dim(conv, start, x.shape[1], axis=1)
 
 
+def ulaw_expand_device(u: jnp.ndarray) -> jnp.ndarray:
+  """ITU-T G.711 mu-law expansion on device (uint8 codewords -> float32 in
+  [-1, 1)); bit-exact vs the host `preprocessing.speech._ulaw_expand`.
+  Telephony corpora (NIST SPHERE mu-law — the reference's speaker-
+  recognition domain, ``odin/preprocessing/speech.py:345``) hold 1-byte
+  codes: ingesting them raw moves 4x fewer bytes than fp32 over the
+  host->device link and is EXACT for those files."""
+  u = jnp.invert(u.astype(jnp.uint8)).astype(jnp.int32)
+  sign = u & 0x80
+  exponent = (u >> 4) & 0x07
+  mantissa = u & 0x0F
+  magnitude = (((mantissa << 3) + 0x84) << exponent) - 0x84
+  pcm = jnp.where(sign != 0, -magnitude, magnitude)
+  return pcm.astype(jnp.float32) * (1.0 / 32768.0)
+
+
 def speech_features(y: jnp.ndarray,
                     config: FeatureConfig,
                     lengths: Optional[jnp.ndarray] = None,
@@ -150,7 +167,10 @@ def speech_features(y: jnp.ndarray,
   """Fused pipeline on a padded batch.
 
   Args:
-    y: (B, T) float32 audio, zero-padded to common length T.
+    y: (B, T) audio, zero-padded to common length T.  float32 in [-1, 1];
+      int16 raw PCM (scaled on device, half the transfer bytes); or uint8
+      G.711 mu-law codewords (expanded on device — exact for telephony
+      corpora, a quarter of the fp32 transfer).
     lengths: (B,) valid sample counts (defaults to full length).
     use_pallas: route the window+DFT+mel core through the Pallas kernel.
 
@@ -164,6 +184,8 @@ def speech_features(y: jnp.ndarray,
     # bottleneck, BASELINE.md) moves half the bytes; scaling to [-1, 1)
     # happens on device and is exact for wav-sourced audio
     y = y.astype(jnp.float32) * (1.0 / 32768.0)
+  elif y.dtype == jnp.uint8:
+    y = ulaw_expand_device(y)
   B, T = y.shape
   n_frames = config.n_frames(T)
   if lengths is None:

@@ -103,6 +103,30 @@ def test_int16_ingestion_matches_float32():
                              rtol=1e-5, atol=1e-4)
 
 
+def test_ulaw_device_ingestion():
+  """uint8 G.711 mu-law codewords: the device expansion must be bit-exact
+  vs the host decoder over all 256 codes, and the fused pipeline on raw
+  codes must equal the pipeline on host-expanded floats (the telephony
+  ingest path — a quarter of the fp32 transfer bytes)."""
+  import jax.numpy as jnp
+
+  from odin_tpu.ops.features import (FeatureConfig, speech_features,
+                                     ulaw_expand_device)
+  from odin_tpu.preprocessing.speech import _ulaw_expand
+
+  codes = np.arange(256, dtype=np.uint8)
+  np.testing.assert_array_equal(np.asarray(ulaw_expand_device(codes)),
+                                _ulaw_expand(codes))
+  rng = np.random.RandomState(1)
+  u = rng.randint(0, 256, (2, 4000)).astype(np.uint8)
+  conf = FeatureConfig(sr=8000, frame_length=200, step_length=80, n_fft=256,
+                       n_mels=20)
+  a = speech_features(jnp.asarray(u), conf)
+  b = speech_features(jnp.asarray(_ulaw_expand(u)), conf)
+  np.testing.assert_allclose(np.asarray(a["mspec"]), np.asarray(b["mspec"]),
+                             rtol=1e-5, atol=1e-4)
+
+
 def test_streaming_matches_offline():
   """Chunked streaming extraction == offline `speech_features` on every
   valid frame slot, including the finalize-time top-dB clip and CMVN
