@@ -181,12 +181,15 @@ def batch_speech_features(utterances: Sequence[np.ndarray],
   The TPU replacement for the reference's per-file multiprocess map — the
   host only decodes/pads; all DSP runs in one jit per batch shape.
 
-  `transfer_dtype=np.int16` ships raw PCM and rescales on device.
-  Measured 2026-08-17 on the TPU v5e tunnel: the int16 transfer path is
-  ~40x SLOWER than float32 (no native int16 DMA in this runtime) and a
-  bitcast-in-float32 workaround still loses to plain float32 (383 vs 240
-  ms/call at 256x10 s) — so int16 inputs are converted on the host by
-  default and the raw path is opt-in only.
+  Raw-transfer policy: when every utterance is already int16 PCM (or uint8
+  G.711 mu-law codewords), the batch ships in that dtype and is rescaled/
+  expanded ON DEVICE — 2x (4x for mu-law) fewer bytes over the link, exact
+  for the source format.  Pass ``transfer_dtype=np.float32`` to force the
+  old host-side conversion, or ``np.int16`` to force raw PCM for float
+  inputs.  (An r2-era note here claimed the int16 transfer was ~40x slower
+  on this runtime; re-measured 2026-08-19 the raw path is decisively
+  FASTER in every paired run — bench.py's int16 mel metric and
+  benchmarks/ingest_bench.py record the numbers.)
   """
   import jax
   import jax.numpy as jnp
@@ -195,19 +198,33 @@ def batch_speech_features(utterances: Sequence[np.ndarray],
   out: List[Dict[str, np.ndarray]] = []
   if pad_to is None:
     pad_to = max(len(u) for u in utterances)
-  as_i16 = transfer_dtype == np.int16
+  if transfer_dtype is None:
+    dtypes = {np.asarray(u).dtype for u in utterances}
+    transfer_dtype = dtypes.pop() if len(dtypes) == 1 and dtypes.issubset(
+        {np.dtype(np.int16), np.dtype(np.uint8)}) else np.float32
+  transfer_dtype = np.dtype(transfer_dtype)
+  # mu-law code 0xFF decodes to exactly 0 — the correct pad value
+  pad_value = 0xFF if transfer_dtype == np.uint8 else 0
   fn = jax.jit(lambda y, l: speech_features(y, config, lengths=l))
   for i in range(0, len(utterances), batch_size):
     chunk = utterances[i:i + batch_size]
     lengths = np.array([min(len(u), pad_to) for u in chunk], np.int32)
-    batch = np.zeros((len(chunk), pad_to),
-                     np.int16 if as_i16 else np.float32)
+    batch = np.full((len(chunk), pad_to), pad_value, transfer_dtype)
     for j, u in enumerate(chunk):
       u = np.asarray(u)[:pad_to]
-      if as_i16 and u.dtype != np.int16:
-        u = np.clip(u * 32768.0, -32768, 32767).astype(np.int16)
-      elif not as_i16 and u.dtype == np.int16:
-        u = u.astype(np.float32) * (1.0 / 32768.0)
+      if u.dtype != transfer_dtype:
+        if transfer_dtype == np.uint8:
+          raise ValueError("uint8 (mu-law) transfer requires every "
+                           "utterance to already hold G.711 codewords")
+        if transfer_dtype == np.int16:
+          u = np.clip(u * 32768.0, -32768, 32767).astype(np.int16)
+        elif u.dtype == np.int16:
+          u = u.astype(np.float32) * (1.0 / 32768.0)
+        elif u.dtype == np.uint8:
+          from odin_tpu.preprocessing.speech import _ulaw_expand
+          u = _ulaw_expand(u)
+        else:
+          u = u.astype(transfer_dtype)
       batch[j, :lengths[j]] = u
     res = fn(jnp.asarray(batch), jnp.asarray(lengths))
     res = {k: np.asarray(v) for k, v in res.items() if k in features or

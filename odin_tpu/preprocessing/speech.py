@@ -102,13 +102,18 @@ def read_pcm(path_or_bytes, encode: Optional[str] = None
   return y, sr
 
 
-def read_sphere(path_or_bytes) -> Tuple[np.ndarray, int]:
+def read_sphere(path_or_bytes, raw: bool = False) -> Tuple[np.ndarray, int]:
   """NIST SPHERE (.sph) reader: parses the 1024-byte ASCII header
   (sample_rate / channel_count / sample_n_bytes / sample_byte_format /
   sample_coding) and decodes pcm or mu-law payloads.  The reference memmaps
   sphere files headers-and-all through `_read_pcm` (``speech.py:148-160``);
   this is the corrected, self-contained decode (shorten-compressed payloads
-  are rejected explicitly)."""
+  are rejected explicitly).
+
+  ``raw=True`` returns mu-law payloads as their uint8 G.711 codewords
+  (mono only) instead of expanding on host — feed them straight to
+  `ops.features.speech_features` / `batch_speech_features`, which expand
+  ON DEVICE at a quarter of the fp32 transfer bytes (exact)."""
   data = (path_or_bytes if isinstance(path_or_bytes, bytes)
           else open(path_or_bytes, "rb").read())
   if not data.startswith(b"NIST_1A"):
@@ -133,6 +138,8 @@ def read_sphere(path_or_bytes) -> Tuple[np.ndarray, int]:
     raise ValueError(f"shorten-compressed sphere not supported: {coding}")
   payload = np.frombuffer(data, np.uint8, offset=header_size)
   if "ulaw" in coding or n_bytes == 1:
+    if raw and channels == 1:
+      return payload.copy(), sr
     y = _ulaw_expand(payload)
   else:
     y = payload[: len(payload) // 2 * 2].view(np.int16)

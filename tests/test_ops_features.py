@@ -125,6 +125,15 @@ def test_ulaw_device_ingestion():
   b = speech_features(jnp.asarray(_ulaw_expand(u)), conf)
   np.testing.assert_allclose(np.asarray(a["mspec"]), np.asarray(b["mspec"]),
                              rtol=1e-5, atol=1e-4)
+  # corpus API: an all-uint8 corpus auto-selects the raw mu-law transfer
+  # (ragged lengths exercise the 0xFF pad, which decodes to exactly 0)
+  from odin_tpu.preprocessing.processor import batch_speech_features
+  utts = [u[0], u[1][:3000]]
+  feats = batch_speech_features(utts, conf, features=("mspec",))
+  ref = batch_speech_features([_ulaw_expand(x) for x in utts], conf,
+                              features=("mspec",))
+  for f, r in zip(feats, ref):
+    np.testing.assert_allclose(f["mspec"], r["mspec"], rtol=1e-5, atol=1e-4)
 
 
 def test_streaming_matches_offline():

@@ -117,6 +117,12 @@ def test_sphere_and_pcm_ingest(tmp_path):
       np.int16).astype(np.float32) / 32768.0
   np.testing.assert_allclose(y, ref, atol=1e-7)
 
+  # raw=True hands back the uint8 codewords for the device ingest path
+  from odin_tpu.preprocessing.speech import _ulaw_expand
+  codes, sr = read_sphere(p, raw=True)
+  assert codes.dtype == np.uint8 and sr == 8000
+  np.testing.assert_allclose(_ulaw_expand(codes), y, atol=1e-7)
+
   # headerless PCM
   praw = str(tmp_path / "b.pcm")
   pcm16.astype("<i2").tofile(praw)
