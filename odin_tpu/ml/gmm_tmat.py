@@ -82,6 +82,8 @@ class GMM:
     self.ndim: Optional[int] = None
     self._estep_fn = None
     self._estep_masked = None
+    self._estep_sharded = None
+    self._estep_sharded_mesh = None
 
   @property
   def is_fitted(self) -> bool:
@@ -153,36 +155,49 @@ class GMM:
       _drain_oldest()
     return Z, F, S, llk
 
-  def expectation_sharded(self, X: np.ndarray,
-                          mesh=None) -> Tuple[np.ndarray, ...]:
-    """Mesh-parallel E-step: frames sharded over the 'data' axis, sufficient
-    statistics psum-reduced across chips — the TPU-native replacement for
-    the reference's CPU-process/GPU `_split_jobs` dispatch
-    (``gmm_tmat.py:102-133``; see SURVEY.md §2.1 TPU mapping)."""
+  def _build_estep_sharded(self, mesh):
+    """jit(shard_map) E-step over `mesh`'s 'data' axis; GMM params are
+    ARGUMENTS (replicated specs), not closure captures — the same compiled
+    callable serves every EM iteration and never embeds a stale mu/sigma
+    as a program constant (a remote-compile payload hazard, CLAUDE.md)."""
     from jax.sharding import PartitionSpec as P
     try:
       from jax import shard_map
     except ImportError:  # older jax
       from jax.experimental.shard_map import shard_map
+    estep = self._estep_fn or self._build_estep()
+
+    def local_stats(x, mu, sigma, logw):
+      z, f, s, llk = estep(x, mu, sigma, logw)
+      return (jax.lax.psum(z, "data"), jax.lax.psum(f, "data"),
+              jax.lax.psum(s, "data"), jax.lax.psum(llk, "data"))
+
+    return jax.jit(shard_map(
+        local_stats, mesh=mesh,
+        in_specs=(P("data", None), P(), P(), P()),
+        out_specs=(P(), P(), P(), P())))
+
+  def expectation_sharded(self, X, mesh=None) -> Tuple[np.ndarray, ...]:
+    """Mesh-parallel E-step: frames sharded over the 'data' axis, sufficient
+    statistics psum-reduced across chips — the TPU-native replacement for
+    the reference's CPU-process/GPU `_split_jobs` dispatch
+    (``gmm_tmat.py:102-133``; see SURVEY.md §2.1 TPU mapping).  `X` may be
+    a host array or an already-sharded `jax.Array` (the `fit(mesh=...)`
+    path parks the corpus sharded once and reuses it every iteration)."""
+    from jax.sharding import PartitionSpec as P
     mesh = mesh or parallel.default_mesh()
     n_dev = mesh.devices.size
     mu = jnp.asarray(self.mu, jnp.float32)
     sigma = jnp.asarray(self.sigma, jnp.float32)
     logw = jnp.log(jnp.asarray(self.w, jnp.float32))[None, :]
-    estep = self._estep_fn or self._build_estep()
-
-    def local_stats(x):
-      z, f, s, llk = estep(x, mu, sigma, logw)
-      z = jax.lax.psum(z, "data")
-      f = jax.lax.psum(f, "data")
-      s = jax.lax.psum(s, "data")
-      llk = jax.lax.psum(llk, "data")
-      return z, f, s, llk
-
-    sharded = jax.jit(shard_map(
-        local_stats, mesh=mesh,
-        in_specs=P("data", None),
-        out_specs=(P(), P(), P(), P())))
+    if self._estep_sharded is None or self._estep_sharded_mesh is not mesh:
+      self._estep_sharded = self._build_estep_sharded(mesh)
+      self._estep_sharded_mesh = mesh
+    sharded = self._estep_sharded
+    if isinstance(X, jax.Array):
+      Z, F, S, llk = (np.asarray(a, np.float64)
+                      for a in sharded(X, mu, sigma, logw))
+      return Z, F, S, float(llk)
     X = np.asarray(X, np.float32)
     if jax.process_count() > 1:
       # multi-HOST corpus: X is this process's LOCAL frame slice; the
@@ -197,7 +212,8 @@ class GMM:
             f"by the {n_loc} local devices")
       Xg = jax.make_array_from_process_local_data(
           NamedSharding(mesh, P("data", None)), X)
-      Z, F, S, llk = (np.asarray(a, np.float64) for a in sharded(Xg))
+      Z, F, S, llk = (np.asarray(a, np.float64)
+                      for a in sharded(Xg, mu, sigma, logw))
       return Z, F, S, float(llk)
     pad = (-len(X)) % n_dev
     if pad:
@@ -207,7 +223,7 @@ class GMM:
     else:
       X_main, X_rest = X, X[:0]
     Z, F, S, llk = (np.asarray(a, np.float64)
-                    for a in sharded(jnp.asarray(X_main)))
+                    for a in sharded(jnp.asarray(X_main), mu, sigma, logw))
     llk = float(llk)
     if len(X_rest):
       z2, f2, s2, l2 = self.expectation(X_rest)
@@ -246,36 +262,61 @@ class GMM:
     return self
 
   def fit(self, X, verbose: bool = False, tol: float = 1e-5,
-          max_final_iter: int = 50) -> "GMM":
+          max_final_iter: int = 50, mesh=None) -> "GMM":
     """Binary-mixup EM schedule 1 -> 2 -> ... -> nmix (reference :625-700);
     the final level additionally iterates to convergence (llk improvement
-    below `tol` per frame), bounded by `max_final_iter`."""
+    below `tol` per frame), bounded by `max_final_iter`.
+
+    With ``mesh``, the corpus is parked SHARDED over the mesh's 'data'
+    axis once and every E-step runs as one psum-reduced shard_map — the
+    multi-chip EM for corpora beyond a single chip's HBM (per-chip
+    footprint = corpus bytes / n_devices)."""
     if isinstance(X, (tuple, list)):
       X = np.concatenate([np.asarray(x) for x in X], 0)
     self.initialize(X)
-    # EM re-reads the SAME corpus every iteration: park it in HBM once when
-    # it fits (<= ~2 GB) so every E-step is pure compute — on the
-    # remote-attached chip the per-iteration transfer otherwise dominates
-    # (156k vs 69k frames/s was just async dispatch; device-resident
-    # removes the transfer entirely).
-    try:
-      if np.asarray(X).nbytes <= 2 << 30:
-        X = jax.device_put(np.asarray(X, np.float32))
-    except Exception:
-      pass  # fall back to host-chunked transfers
+    X_rest = np.asarray(X[:0], np.float32)
+    n_frames = len(X)
+    if mesh is not None:
+      from jax.sharding import NamedSharding, PartitionSpec as P
+      Xnp = np.asarray(X, np.float32)
+      cut = len(Xnp) - (len(Xnp) % mesh.devices.size)
+      X_rest = Xnp[cut:]
+      X = jax.device_put(Xnp[:cut],
+                         NamedSharding(mesh, P("data", None)))
+    else:
+      # EM re-reads the SAME corpus every iteration: park it in HBM once
+      # when it fits (<= ~2 GB) so every E-step is pure compute — on the
+      # remote-attached chip the per-iteration transfer otherwise dominates
+      # (156k vs 69k frames/s was just async dispatch; device-resident
+      # removes the transfer entirely).
+      try:
+        if np.asarray(X).nbytes <= 2 << 30:
+          X = jax.device_put(np.asarray(X, np.float32))
+      except Exception:
+        pass  # fall back to host-chunked transfers
+
+    def _estep_full():
+      if mesh is None:
+        return self.expectation(X)
+      Z, F, S, llk = self.expectation_sharded(X, mesh)
+      if len(X_rest):
+        z2, f2, s2, l2 = self.expectation(X_rest)
+        Z, F, S, llk = Z + z2, F + f2, S + s2, llk + l2
+      return Z, F, S, llk
+
     level = 0
     while True:
       final = len(self.w) >= self.nmix
       n_iter = max_final_iter if final else self.niter[level]
       prev_llk = -np.inf
       for it in range(n_iter):
-        Z, F, S, llk = self.expectation(X)
+        Z, F, S, llk = _estep_full()
         self.maximization(Z, F, S)
         if verbose:
           print(f"[GMM] nmix={len(self.w):4d} iter={it} "
-                f"llk/frame={llk / len(X):.4f}")
+                f"llk/frame={llk / n_frames:.4f}")
         if final and it >= self.niter[level] and \
-            (llk - prev_llk) / len(X) < tol:
+            (llk - prev_llk) / n_frames < tol:
           break
         prev_llk = llk
       if final:

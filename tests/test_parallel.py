@@ -60,6 +60,22 @@ def test_gmm_sharded_expectation_matches():
   np.testing.assert_allclose(S1, S2, rtol=1e-5, atol=1e-4)
 
 
+def test_gmm_fit_mesh_matches_plain():
+  """The whole EM run with the corpus parked SHARDED over the mesh
+  (`fit(mesh=...)`, remainder path included) must land on the same GMM as
+  the single-device fit."""
+  from odin_tpu.ml import GMM
+  rng = np.random.RandomState(3)
+  X = np.concatenate([rng.randn(501, 3) * 0.4 + m
+                      for m in ([0, 0, 0], [3, 3, 3])]).astype("f")  # 1002
+  g1 = GMM(nmix=2, batch_size=512).fit(X)
+  g2 = GMM(nmix=2, batch_size=512).fit(
+      X, mesh=parallel.get_mesh(devices=jax.devices()[:4]))
+  np.testing.assert_allclose(g1.mu, g2.mu, rtol=1e-4, atol=1e-4)
+  np.testing.assert_allclose(g1.sigma, g2.sigma, rtol=1e-4, atol=1e-4)
+  np.testing.assert_allclose(g1.w, g2.w, rtol=1e-4, atol=1e-5)
+
+
 def test_tmatrix_sharded_expectation_matches():
   """T-matrix LU/RU/llk from the mesh-parallel E-step == the chunked
   single-device accumulation (utterances sharded, psum-reduced)."""
