@@ -610,14 +610,20 @@ class Tmatrix:
     return self
 
   def fit(self, stats: Tuple[np.ndarray, np.ndarray],
-          verbose: bool = False) -> "Tmatrix":
+          verbose: bool = False, mesh=None) -> "Tmatrix":
+    """EM over the utterance stats; with ``mesh``, every E-step runs
+    mesh-parallel (utterances sharded, LU/RU psum-reduced — see
+    `expectation_sharded`)."""
     Z, F = stats
     Z = np.asarray(Z)
     F = np.asarray(F)
     if self.Tm is None:
       self.initialize()
     for it in range(self.niter):
-      LU, RU, llk = self.expectation(Z, F)
+      if mesh is not None:
+        LU, RU, llk = self.expectation_sharded(Z, F, mesh)
+      else:
+        LU, RU, llk = self.expectation(Z, F)
       self.maximization(LU, RU)
       if verbose:
         print(f"[Tmatrix] iter={it} aux-llk={llk / len(Z):.4f}")
