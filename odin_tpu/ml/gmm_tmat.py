@@ -462,6 +462,8 @@ class Tmatrix:
     self.seed = int(seed)
     self.Tm: Optional[np.ndarray] = None  # (tv_dim, M*D)
     self._fns = {}
+    self._estep_sharded = None
+    self._estep_sharded_mesh = None
 
   @property
   def nmix(self):
@@ -545,6 +547,29 @@ class Tmatrix:
       _drain_oldest()
     return LU, RU, llk
 
+  def _build_estep_sharded(self, mesh):
+    """jit(shard_map) E-step over `mesh`'s 'data' axis; T and sigma_inv are
+    ARGUMENTS (replicated specs), not closure captures — one compile serves
+    every EM iteration and the (potentially huge) T-matrix is never embedded
+    as a program constant (same design as `GMM._build_estep_sharded`;
+    remote-compile payload hazard, CLAUDE.md / ADVICE r3)."""
+    from jax.sharding import PartitionSpec as P
+    try:
+      from jax import shard_map
+    except ImportError:  # older jax
+      from jax.experimental.shard_map import shard_map
+    body = self._estep_body()
+
+    def local_stats(z, f, T, sigma_inv):
+      lu, ru, llk, _ = body(z, f, T, sigma_inv)
+      return (jax.lax.psum(lu, "data"), jax.lax.psum(ru, "data"),
+              jax.lax.psum(llk, "data"))
+
+    return jax.jit(shard_map(
+        local_stats, mesh=mesh,
+        in_specs=(P("data", None), P("data", None), P(), P()),
+        out_specs=(P(), P(), P())))
+
   def expectation_sharded(self, Z: np.ndarray, F: np.ndarray, mesh=None):
     """Mesh-parallel E-step: utterances sharded over the 'data' axis,
     LU/RU/llk psum-reduced across chips — the TPU-native replacement for
@@ -552,25 +577,14 @@ class Tmatrix:
     In a multi-process run each process passes its LOCAL utterance slice
     (same contract as `GMM.expectation_sharded`)."""
     from jax.sharding import NamedSharding, PartitionSpec as P
-    try:
-      from jax import shard_map
-    except ImportError:  # older jax
-      from jax.experimental.shard_map import shard_map
     mesh = mesh or parallel.default_mesh()
     n_dev = mesh.devices.size
-    body = self._estep_body()
     sigma_inv = jnp.asarray(1.0 / self._sigma_flat(), jnp.float32)
     T = jnp.asarray(self.Tm, jnp.float32)
-
-    def local_stats(z, f):
-      lu, ru, llk, _ = body(z, f, T, sigma_inv)
-      return (jax.lax.psum(lu, "data"), jax.lax.psum(ru, "data"),
-              jax.lax.psum(llk, "data"))
-
-    sharded = jax.jit(shard_map(
-        local_stats, mesh=mesh,
-        in_specs=(P("data", None), P("data", None)),
-        out_specs=(P(), P(), P())))
+    if self._estep_sharded is None or self._estep_sharded_mesh is not mesh:
+      self._estep_sharded = self._build_estep_sharded(mesh)
+      self._estep_sharded_mesh = mesh
+    sharded = self._estep_sharded
     Z = np.asarray(Z, np.float32)
     F = np.asarray(F, np.float32)
     if jax.process_count() > 1:
@@ -582,12 +596,12 @@ class Tmatrix:
       sh = NamedSharding(mesh, P("data", None))
       LU, RU, llk = (np.asarray(a, np.float64) for a in sharded(
           jax.make_array_from_process_local_data(sh, Z),
-          jax.make_array_from_process_local_data(sh, F)))
+          jax.make_array_from_process_local_data(sh, F), T, sigma_inv))
       return LU, RU, float(llk)
     cut = len(Z) - (len(Z) % n_dev)
     LU, RU, llk = (np.asarray(a, np.float64)
                    for a in sharded(jnp.asarray(Z[:cut]),
-                                    jnp.asarray(F[:cut])))
+                                    jnp.asarray(F[:cut]), T, sigma_inv))
     llk = float(llk)
     if cut < len(Z):
       lu2, ru2, l2 = self.expectation(Z[cut:], F[cut:])

@@ -72,6 +72,14 @@ def fsdp_tp_shardings(params: Any, mesh: Mesh,
   `tests/test_parallel.py::test_fsdp_tp_composed_matches_replicated` holds
   the composed step equal to the replicated step."""
   from odin_tpu.parallel.tensor_parallel import param_shardings
+  # the TP axis name comes from `rules`; a mismatched model_axis argument
+  # would otherwise be silently ignored (ADVICE r3)
+  rule_axes = {a for _, spec in rules for a in spec if a is not None}
+  if rule_axes and model_axis not in rule_axes:
+    raise ValueError(
+        f"model_axis={model_axis!r} does not appear in the rules' specs "
+        f"(rules shard over {sorted(rule_axes)}); pass rules built with "
+        f"megatron_rules(axis=model_axis)")
   tp = param_shardings(params, mesh, rules)
   n = mesh.shape[data_axis]
 

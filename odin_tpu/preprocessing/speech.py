@@ -23,7 +23,7 @@ from odin_tpu.utils import as_tuple
 
 __all__ = [
     "read_wave", "save_wave", "read_sphere", "read_pcm", "read",
-    "AudioReader", "Dithering", "PreEmphasis", "Framing",
+    "audio_segmenter", "AudioReader", "Dithering", "PreEmphasis", "Framing",
     "CalculateEnergy", "STFTExtractor", "PowerSpecExtractor",
     "MelsSpecExtractor", "MFCCsExtractor", "SpectraExtractor", "Power2Db",
     "SADthreshold", "SADgmm", "RASTAfilter", "AcousticNorm", "Read3ColSAD",
@@ -173,6 +173,51 @@ def read(path_or_file, encode: Optional[str] = None
   if magic.startswith(b"RIFF"):
     return read_wave(path)
   return read_pcm(path, encode=encode)
+
+
+def audio_segmenter(files, outpath, max_duration,
+                    sr: Optional[int] = None, sr_new: Optional[int] = None,
+                    override: bool = False) -> str:
+  """Split each file into chunks of at most `max_duration` seconds and save
+  them as ``<name>.<ID>.wav`` under `outpath`, plus a ``segments.csv``
+  manifest (columns: segment origin start end, seconds).
+
+  Reference: ``odin/preprocessing/speech.py:245-337`` — equal-size chunking
+  via rounded ``np.linspace`` so every chunk is <= max_duration and the last
+  chunk is not a sliver; if `outpath` already exists and ``override`` is
+  False the existing manifest path is returned untouched (the reference's
+  once-for-all contract: segment once, try many feature configs)."""
+  import shutil
+  info_path = os.path.join(str(outpath), "segments.csv")
+  max_duration = int(max_duration)
+  files = [files] if isinstance(files, str) else list(files)
+  files = [f for f in files if os.path.isfile(f)]
+  if os.path.isfile(outpath):
+    raise ValueError(f"outpath at: {outpath} is a file.")
+  if os.path.isdir(outpath):
+    if not override:
+      return info_path
+    shutil.rmtree(outpath)
+  os.makedirs(outpath)
+  reader = AudioReader(sr=sr, sr_new=sr_new, remove_dc=False)
+  seg_rows = []
+  for f in files:
+    out = reader.transform(f)
+    y, file_sr = out["raw"], out["sr"]
+    n_seg = int(np.ceil(y.shape[0] / (file_sr * max_duration)))
+    cuts = [int(np.round(i)) for i in
+            np.linspace(0, y.shape[0], num=n_seg + 1, endpoint=True)]
+    base = os.path.basename(f)
+    stem = base.rsplit(".", 1)[0]
+    for idx, (s, e) in enumerate(zip(cuts, cuts[1:])):
+      seg_name = f"{stem}.{idx}.wav"
+      save_wave(os.path.join(outpath, seg_name), y[s:e], file_sr)
+      seg_rows.append((seg_name, base, s / file_sr, e / file_sr))
+  with open(info_path, "w") as fo:
+    fo.write("segment origin start end\n")
+    for seg, origin, s, e in seg_rows:
+      fo.write(f"{seg} {origin} {s} {e}\n")
+  return info_path
 
 
 class AudioReader(Extractor):

@@ -152,7 +152,10 @@ class Progbar:
 
   @property
   def throughput(self) -> float:
-    return self.seen / max(time.time() - self._start, 1e-9)
+    # per-EPOCH rate: `seen` resets at each rollover, so the denominator
+    # must too (ADVICE r3 — dividing by time-since-construction collapsed
+    # the reported rate toward 0 after the first epoch)
+    return self.seen / max(time.time() - self._epoch_start, 1e-9)
 
   # -- reports --------------------------------------------------------------
   def get_report(self, epoch: int = -1, key: Optional[str] = None):
