@@ -518,6 +518,7 @@ class VariationalAutoencoder(VariationalModel):
                          steps_per_call: int = 1000,
                          seed: int = 0,
                          verbose: bool = True,
+                         sample_fn: Optional[Callable] = None,
                          **opt_kwargs) -> "VariationalAutoencoder":
     """Train with the ENTIRE dataset device-resident and batches sampled on
     device — zero per-step host traffic (see
@@ -539,7 +540,8 @@ class VariationalAutoencoder(VariationalModel):
     state = parallel.replicate(self.state)
     k = min(int(steps_per_call), int(n_steps))
     fused = jax.jit(device_dataset_steps(raw, int(batch_size), k,
-                                         seed=seed), donate_argnums=(0,))
+                                         seed=seed, sample_fn=sample_fn),
+                    donate_argnums=(0,))
     done = 0
     t0 = _time.time()
     while done < n_steps:

@@ -49,7 +49,8 @@ __all__ = [
     "mnist_networks", "fashionmnist_networks", "binarizedmnist_networks",
     "omniglot_networks", "cifar_networks", "cifar10_networks",
     "cifar20_networks", "cifar100_networks", "svhn_networks",
-    "dsprites_networks", "shapes3d_networks", "celeba_networks",
+    "dsprites_networks", "vq_dsprites_networks", "shapes3d_networks",
+    "celeba_networks",
     "halfmoons_networks", "cortex_networks", "pbmc_networks",
     "get_networks", "get_optimizer_info", "PackImageParams",
 ]
@@ -308,6 +309,40 @@ def dsprites_networks(
 
 dspritessmall_networks = dsprites_networks
 dsprites0_networks = dsprites_networks
+
+
+def vq_dsprites_networks(
+    activation: Union[str, Callable] = "elu",
+    centerize_image: bool = True,
+    **kwargs,
+) -> Dict[str, Any]:
+  """Map-preserving networks for the SPATIAL VQ-VAE (the reference's actual
+  design quantizes the conv feature map, not one bottleneck vector —
+  ``odin/bay/vi/autoencoder/vq_vae.py:60-247``): the encoder stops at the
+  8x8 feature map (no Flatten/Dense), the decoder consumes the quantized
+  8x8 code map.  Pass to ``VQVAE(spatial=True, ema=True, ...)``."""
+  n_channels = int(kwargs.get("n_channels", 1))
+  input_shape = (64, 64, n_channels)
+  w = int(kwargs.get("width", 1))
+  n_params, observation = _obs_distribution(
+      input_shape, kwargs.get("distribution", "bernoulli"))
+  encoder = SequentialNetwork((
+      CenterAt0(enable=centerize_image),
+      Conv(32 * w, 4, 2, activation),   # 32, 32, 32w
+      Conv(32 * w, 4, 2, activation),   # 16, 16, 32w
+      Conv(64 * w, 4, 2, activation),   # 8, 8, 64w
+      Conv(64 * w, 3, 1, activation),   # 8, 8, 64w (map kept: no Flatten)
+  ), name="encoder")
+  decoder = _decoder_network((
+      Conv(64 * w, 3, 1, activation),           # 8, 8, 64w
+      ConvTranspose(64 * w, 4, 2, activation),  # 16, 16, 64w
+      ConvTranspose(32 * w, 4, 2, activation),  # 32, 32, 32w
+      ConvTranspose(32 * w, 4, 2, activation),  # 64, 64, 32w
+      Conv(n_channels * n_params, 1, 1, None),
+      PackImageParams(n_params),
+  ))
+  return dict(encoder=encoder, decoder=decoder, latents=None,
+              observation=observation, input_shape=input_shape)
 
 
 def shapes3d_networks(qz: str = "mvndiag", zdim: Optional[int] = None,

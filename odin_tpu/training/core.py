@@ -357,7 +357,8 @@ def scan_steps(step_fn: Callable, n_steps: int) -> Callable:
 
 
 def device_dataset_steps(step_fn: Callable, batch_size: int,
-                         n_steps: int, seed: int = 0) -> Callable:
+                         n_steps: int, seed: int = 0,
+                         sample_fn: Optional[Callable] = None) -> Callable:
   """Fuse `n_steps` updates whose batches are SAMPLED ON DEVICE from a
   device-resident dataset — zero host->device traffic per step.
 
@@ -370,16 +371,32 @@ def device_dataset_steps(step_fn: Callable, batch_size: int,
   the same stream.  This is how small/medium corpora (dSprites fits in a
   fraction of HBM) should train on TPU: the host dispatches one call per
   `n_steps` with zero per-step traffic.
+
+  `sample_fn(key, data) -> batch` overrides the default uniform gather —
+  e.g. paired weak-supervision batches gathered from (grid, pair_indices)
+  structures whose leaves have different leading axes.
   """
   data_key = jax.random.PRNGKey(seed)
 
+  def _dequantize(a):
+    # corpora may sit in HBM as uint8 (e.g. the full 737k dSprites grid is
+    # 2.9 GB uint8 vs 11.6 GB fp32): cast per BATCH after the gather, so
+    # only batch_size images ever exist in fp32
+    if a.dtype == jnp.uint8:
+      return a.astype(jnp.float32) / 255.0
+    return a
+
   def fused(state, data):
-    n = jax.tree_util.tree_leaves(data)[0].shape[0]
+    n = None if sample_fn is not None else \
+        jax.tree_util.tree_leaves(data)[0].shape[0]
 
     def body(s, _):
       key = jax.random.fold_in(data_key, s.step)
-      idx = jax.random.randint(key, (batch_size,), 0, n)
-      batch = jax.tree_util.tree_map(lambda a: a[idx], data)
+      if sample_fn is not None:
+        batch = sample_fn(key, data)
+      else:
+        idx = jax.random.randint(key, (batch_size,), 0, n)
+        batch = jax.tree_util.tree_map(lambda a: _dequantize(a[idx]), data)
       s, metrics = step_fn(s, batch)
       return s, metrics
 

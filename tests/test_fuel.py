@@ -222,3 +222,76 @@ def test_make_halfmoons_image_dataset():
   x, y = ds.numpy("train")
   assert x.shape == (64, 64, 64, 3) and 0.0 <= x.min() and x.max() <= 1.0
   assert ds.labels == ["pos_x", "pos_y", "label", "color", "shape"]
+
+
+def test_dsprites_full_grid(tmp_path, monkeypatch):
+  """full_grid mode: complete cartesian factor grid, uint8 {0,255} disk
+  cache, seeded 90/5/5 split (VERDICT r3 task 1; reference protocol
+  ``image_networks.py:936-1013``).  Uses a shrunken grid so the test renders
+  in milliseconds; the split arithmetic is size-independent."""
+  from odin_tpu.fuel.image_data.datasets import dSprites
+
+  class TinySprites(dSprites):
+    factor_sizes = [2, 2, 4, 4, 4]
+    _image_size = 16
+
+    @property
+    def name(self):
+      return "tinysprites"
+
+  ds = TinySprites(full_grid=True, seed=3)
+  monkeypatch.setattr(
+      ds, "_grid_cache_path", lambda: str(tmp_path / "grid.npy"))
+  total = int(np.prod(ds.factor_sizes))
+  xs, ys, all_y = {}, {}, []
+  for part, frac in (("train", 0.9), ("valid", 0.05), ("test", 0.05)):
+    x, y = ds.numpy(part)
+    xs[part], ys[part] = x, y
+    all_y.append(y)
+    assert x.dtype == np.uint8 and set(np.unique(x)) <= {0, 255}
+    assert x.shape[1:] == (16, 16, 1) and y.shape[1] == 5
+  n_train = int(0.9 * total)
+  assert len(xs["train"]) == n_train
+  assert len(xs["valid"]) == (total - n_train) // 2
+  assert sum(len(v) for v in xs.values()) == total
+  # partitions are disjoint and cover the full grid exactly once
+  combined = np.concatenate(all_y).astype(np.int64)
+  keys = [tuple(r) for r in combined]
+  assert len(set(keys)) == total
+  # images match a fresh render of their factor rows
+  rerender = (ds.render(ys["test"][:8].astype(np.int64)) * 255).astype(
+      np.uint8)
+  np.testing.assert_array_equal(xs["test"][:8], rerender)
+  # second instance reuses the cache (no re-render): same data
+  ds2 = TinySprites(full_grid=True, seed=3)
+  monkeypatch.setattr(
+      ds2, "_grid_cache_path", lambda: str(tmp_path / "grid.npy"))
+  x2, y2 = ds2.numpy("test")
+  np.testing.assert_array_equal(x2, xs["test"])
+
+
+def test_device_dataset_uint8_dequantize():
+  """uint8 device-resident corpora are cast to fp32/255 per BATCH inside
+  the fused scan (full-grid HBM budget: 2.9 GB vs 11.6 GB)."""
+  import jax
+  import jax.numpy as jnp
+  from odin_tpu.training.core import device_dataset_steps
+
+  seen = {}
+  data = (np.arange(32, dtype=np.uint8).reshape(8, 4) * 8).astype(np.uint8)
+  import flax.struct
+
+  @flax.struct.dataclass
+  class St:
+    step: int
+    acc: float
+
+  def step2(s, batch):
+    seen["dtype"] = batch.dtype
+    return St(step=s.step + 1, acc=s.acc + jnp.mean(batch)), \
+        {"m": jnp.mean(batch)}
+
+  fused = jax.jit(device_dataset_steps(step2, 4, 3, seed=0))
+  out, metrics = fused(St(step=0, acc=0.0), jnp.asarray(data))
+  assert seen["dtype"] == jnp.float32
+  assert float(metrics["m"]) <= 1.0  # values scaled into [0, 1]
