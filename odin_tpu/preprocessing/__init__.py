@@ -29,6 +29,7 @@ from odin_tpu.preprocessing.base import (
     make_pipeline,
 )
 from odin_tpu.preprocessing.processor import (
+    DeviceCorpusProcessor,
     FeatureProcessor,
     batch_speech_features,
     calculate_pca,
@@ -56,5 +57,7 @@ from odin_tpu.preprocessing.speech import (
     SADthreshold,
     SpectraExtractor,
     STFTExtractor,
+    audio_segmenter,
     read_wave,
+    read_wave_raw,
 )

@@ -26,8 +26,8 @@ from odin_tpu.fuel.dataset import Dataset
 from odin_tpu.preprocessing.base import ExtractorSignal, Pipeline
 from odin_tpu.utils.mpi import MPI
 
-__all__ = ["FeatureProcessor", "validate_features", "calculate_pca",
-           "batch_speech_features"]
+__all__ = ["FeatureProcessor", "DeviceCorpusProcessor", "validate_features",
+           "calculate_pca", "batch_speech_features"]
 
 
 class FeatureProcessor:
@@ -233,3 +233,159 @@ def batch_speech_features(utterances: Sequence[np.ndarray],
       n = int(res["frame_mask"][j].sum())
       out.append({k: v[j][:n] for k, v in res.items() if k != "frame_mask"})
   return out
+
+
+class DeviceCorpusProcessor:
+  """Corpus-scale TPU feature extraction with the FeatureProcessor on-disk
+  contract (VERDICT r3 task 6; reference ``processor.py:557-740``).
+
+  The end-to-end production path: files are decoded on host to RAW int16
+  PCM (or uint8 G.711 mu-law codewords — `read_sphere(raw=True)`), padded
+  into fixed-shape batches, shipped raw (2-4x fewer bytes over the link),
+  rescaled/expanded ON DEVICE, and run through the fused
+  framing->window->rFFT->mel->DCT->delta->CMVN->VAD kernel; per-utterance
+  slices are appended to MmapArray with ``indices_<feat>`` (start, end)
+  MmapDicts and float64 sum1/sum2 corpus statistics — byte-compatible with
+  `FeatureProcessor` outputs, so `validate_features`/`calculate_pca` and
+  the `Dataset` container work unchanged.
+
+  Host decode/pad of batch k+1 overlaps device compute of batch k
+  (jax dispatch is async; `pipeline_depth` bounds in-flight buffers).
+  """
+
+  def __init__(self,
+               files: Sequence[Any],
+               path: str,
+               config=None,
+               features: Sequence[str] = ("mspec", "mfcc_cmvn", "vad"),
+               batch_size: int = 64,
+               pad_seconds: Optional[float] = None,
+               reader: Optional[Callable] = None,
+               override: bool = False,
+               pipeline_depth: int = 3):
+    from odin_tpu.ops.features import FeatureConfig
+    self.files = list(files)
+    self.path = str(path)
+    self.config = config or FeatureConfig()
+    self.features = tuple(features)
+    self.batch_size = int(batch_size)
+    self.pad_seconds = pad_seconds
+    self.reader = reader
+    self.pipeline_depth = int(pipeline_depth)
+    if override and os.path.exists(self.path):
+      import shutil
+      shutil.rmtree(self.path)
+    os.makedirs(self.path, exist_ok=True)
+
+  def _read(self, f):
+    """-> (name, samples int16/uint8/float32).  Dispatches on extension;
+    .sph ships raw mu-law codewords, .wav raw int16 PCM."""
+    if self.reader is not None:
+      return self.reader(f)
+    from odin_tpu.preprocessing.speech import read_sphere, read_wave_raw
+    name = os.path.basename(f) if isinstance(f, str) else str(f[0])
+    if not isinstance(f, str):
+      return name, np.asarray(f[1])
+    if f.lower().endswith(".sph"):
+      y, _ = read_sphere(f, raw=True)
+    else:
+      y, _ = read_wave_raw(f)
+    return name, y
+
+  def run(self, verbose: bool = False) -> Dataset:
+    import time as _time
+    import jax
+    import jax.numpy as jnp
+    from odin_tpu.ops.features import speech_features
+
+    cfg = self.config
+    writers: Dict[str, MmapArrayWriter] = {}
+    indices: Dict[str, MmapDict] = {}
+    sum1: Dict[str, np.ndarray] = {}
+    sum2: Dict[str, np.ndarray] = {}
+    frame_counts: Dict[str, int] = defaultdict(int)
+
+    keep = tuple(self.features) + ("frame_mask",)
+    fn = jax.jit(lambda y, l: {k: v for k, v in
+                               speech_features(y, cfg, lengths=l).items()
+                               if k in keep})
+
+    def _drain(entry):
+      names, res = entry
+      res = {k: np.asarray(v) for k, v in res.items()}
+      mask = res.pop("frame_mask")
+      n_frames = mask.sum(axis=1).astype(int)
+      for key, batch_vals in res.items():
+        for j, name in enumerate(names):
+          value = batch_vals[j][:n_frames[j]]
+          if value.dtype == bool:
+            value = value[:, None].astype("uint8") if value.ndim == 1 \
+                else value.astype("uint8")
+          elif value.ndim == 1:
+            value = value[:, None]
+          if key not in writers:
+            writers[key] = MmapArrayWriter(
+                os.path.join(self.path, key),
+                shape=(0,) + value.shape[1:], dtype=value.dtype.name)
+            indices[key] = MmapDict(os.path.join(self.path,
+                                                 f"indices_{key}"))
+          w = writers[key]
+          start = w.n_rows
+          w.write(value)
+          indices[key][name] = (start, w.n_rows)
+          frame_counts[key] += len(value)
+          if value.dtype.kind == "f":
+            s1 = value.sum(axis=0, dtype=np.float64)
+            s2 = (value.astype(np.float64) ** 2).sum(axis=0)
+            if key in sum1:
+              sum1[key] += s1
+              sum2[key] += s2
+            else:
+              sum1[key] = s1
+              sum2[key] = s2
+
+    t0 = _time.time()
+    pending: List[Any] = []
+    total_frames = 0
+    pad_to = (int(self.pad_seconds * cfg.sr) if self.pad_seconds else None)
+    for i in range(0, len(self.files), self.batch_size):
+      chunk = [self._read(f) for f in self.files[i:i + self.batch_size]]
+      names = [c[0] for c in chunk]
+      ys = [c[1] for c in chunk]
+      T = pad_to or max(len(y) for y in ys)
+      dt = ys[0].dtype if all(y.dtype == ys[0].dtype for y in ys) \
+          else np.float32
+      pad_value = 0xFF if dt == np.uint8 else 0  # mu-law 0xFF decodes to 0
+      batch = np.full((len(ys), T), pad_value, dt)
+      lengths = np.empty(len(ys), np.int32)
+      for j, y in enumerate(ys):
+        y = y[:T]
+        lengths[j] = len(y)
+        batch[j, :len(y)] = y if y.dtype == dt else y.astype(dt)
+      total_frames += int(np.sum(cfg.n_frames(lengths)))
+      pending.append((names, fn(jnp.asarray(batch), jnp.asarray(lengths))))
+      if len(pending) >= self.pipeline_depth:
+        _drain(pending.pop(0))
+      if verbose and (i // self.batch_size) % 20 == 0:
+        rate = total_frames / max(_time.time() - t0, 1e-9)
+        print(f"[DeviceCorpusProcessor] {i + len(names)}/{len(self.files)} "
+              f"files, {rate / 1e6:.2f}M frames/s sustained", flush=True)
+    while pending:
+      _drain(pending.pop(0))
+    wall = _time.time() - t0
+
+    ds = Dataset(self.path)
+    for key, w in writers.items():
+      w.close()
+      indices[key].close()
+    for key in sum1:
+      np.save(os.path.join(self.path, f"{key}_sum1.npy"), sum1[key])
+      np.save(os.path.join(self.path, f"{key}_sum2.npy"), sum2[key])
+    with open(os.path.join(self.path, "log.txt"), "w") as f:
+      f.write(f"files: {len(self.files)}\nframes: {total_frames}\n"
+              f"wallclock_sec: {wall:.1f}\n"
+              f"frames_per_sec: {total_frames / max(wall, 1e-9):.0f}\n")
+    ds._scan()
+    ds.attrs = dict(frames=total_frames, wallclock_sec=wall,
+                    frames_per_sec=total_frames / max(wall, 1e-9))
+    return ds

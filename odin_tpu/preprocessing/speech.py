@@ -22,8 +22,8 @@ from odin_tpu.preprocessing.base import Extractor, ExtractorSignal
 from odin_tpu.utils import as_tuple
 
 __all__ = [
-    "read_wave", "save_wave", "read_sphere", "read_pcm", "read",
-    "audio_segmenter", "AudioReader", "Dithering", "PreEmphasis", "Framing",
+    "read_wave", "read_wave_raw", "save_wave", "read_sphere", "read_pcm",
+    "read", "audio_segmenter", "AudioReader", "Dithering", "PreEmphasis", "Framing",
     "CalculateEnergy", "STFTExtractor", "PowerSpecExtractor",
     "MelsSpecExtractor", "MFCCsExtractor", "SpectraExtractor", "Power2Db",
     "SADthreshold", "SADgmm", "RASTAfilter", "AcousticNorm", "Read3ColSAD",
@@ -54,6 +54,26 @@ def read_wave(path_or_bytes) -> Tuple[np.ndarray, int]:
   if channels > 1:
     y = y.reshape(-1, channels)
   return y, sr
+
+
+def read_wave_raw(path_or_bytes) -> Tuple[np.ndarray, int]:
+  """PCM16 wav -> (int16 samples, sr) WITHOUT the float conversion — the
+  raw-transfer ingest path (ship 2 bytes/sample to the device, rescale
+  there; see `processor.batch_speech_features` raw policy).  Multi-channel
+  audio falls back to the float reader (channel mixing needs floats)."""
+  if isinstance(path_or_bytes, bytes):
+    fobj = io.BytesIO(path_or_bytes)
+  else:
+    fobj = path_or_bytes
+  with wave.open(fobj, "rb") as w:
+    if w.getsampwidth() != 2 or w.getnchannels() != 1:
+      y, sr = read_wave(path_or_bytes)
+      if y.ndim > 1:
+        y = y.mean(-1)
+      return np.clip(y * 32768.0, -32768, 32767).astype(np.int16), sr
+    sr = w.getframerate()
+    raw = w.readframes(w.getnframes())
+  return np.frombuffer(raw, dtype=np.int16), sr
 
 
 def save_wave(path, y: np.ndarray, sr: int) -> str:

@@ -88,3 +88,58 @@ def test_bench_script_has_required_fields():
                 '"mfu_mxu"', '"mel_vad_frames_per_sec"'):
     assert field in src, f"bench.py lost the {field} field"
   ast.parse(src)
+
+
+# extraction kernel (batch 8 x 4 s @ FeatureConfig defaults), recorded
+# 2026-08-20 on CPU XLA: 1.387 GFLOP / 76.7 MB per call, ~87k frames/s idle
+RECORDED_EXTRACT_FLOPS = 1_387_004_416.0
+RECORDED_EXTRACT_BYTES = 76_731_056.0
+MIN_EXTRACT_FRAMES_PER_SEC = 8_000.0  # ~1/10 of recorded idle CPU rate
+
+
+def test_extraction_kernel_bands():
+  """Compiled-cost tripwire for the fused mel+VAD extraction kernel — the
+  driver's `mel_vad_frames_per_sec` metric rides a transfer channel with up
+  to 4x day-scale variance (BASELINE.md), so a single-draw wall-clock
+  regression smaller than that is invisible; the compiled flops/bytes of
+  the kernel are deterministic and catch code-level regressions exactly
+  (VERDICT r3 weak #5).  Same pattern as the train-step band above."""
+  import jax.numpy as jnp
+  from odin_tpu.ops.features import FeatureConfig, speech_features
+
+  cfg = FeatureConfig()
+  T = int(4.0 * cfg.sr)
+  y = (np.random.RandomState(0).randn(8, T) * 3000).astype(np.int16)
+  fn = jax.jit(lambda a: {
+      k: v for k, v in speech_features(a, cfg, use_pallas=False).items()
+      if k in ("mspec", "vad")})
+  compiled = fn.lower(jnp.asarray(y)).compile()
+  cost = compiled.cost_analysis()
+  if isinstance(cost, (list, tuple)):
+    cost = cost[0]
+  flops = float(cost.get("flops", 0.0))
+  nbytes = float(cost.get("bytes accessed", 0.0))
+  assert flops > 0, "cost_analysis returned no flops"
+  assert RECORDED_EXTRACT_FLOPS * 0.75 <= flops <= \
+      RECORDED_EXTRACT_FLOPS * 1.25, (
+      f"extraction flops {flops:.3e} outside the recorded band "
+      f"({RECORDED_EXTRACT_FLOPS:.3e} +-25%) — unintended change to the "
+      f"fused kernel (or intended: re-record)")
+  if nbytes > 0:  # bytes accessed is backend-dependent; band when present
+    assert RECORDED_EXTRACT_BYTES * 0.5 <= nbytes <= \
+        RECORDED_EXTRACT_BYTES * 2.0, (
+        f"extraction bytes {nbytes:.3e} outside 2x band of "
+        f"{RECORDED_EXTRACT_BYTES:.3e} — a fusion/layout regression")
+
+  out = compiled(jnp.asarray(y))
+  jax.block_until_ready(out)
+  frames = 8 * cfg.n_frames(T)
+  best = 0.0
+  for _ in range(3):
+    t0 = time.time()
+    out = compiled(jnp.asarray(y))
+    jax.block_until_ready(out)
+    best = max(best, frames / (time.time() - t0))
+  assert best >= MIN_EXTRACT_FRAMES_PER_SEC, (
+      f"extraction throughput {best:.0f} frames/s below the "
+      f"{MIN_EXTRACT_FRAMES_PER_SEC} floor")

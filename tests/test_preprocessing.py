@@ -335,3 +335,57 @@ def test_audio_segmenter(tmp_path):
   # override re-segments
   info2 = audio_segmenter(src, out, max_duration=1, sr=sr, override=True)
   assert len(open(info2).read().strip().splitlines()) == 1 + 6
+
+
+@pytest.mark.slow
+def test_device_corpus_processor(tmp_path):
+  """Scaled-down drive of the EXACT corpus-extraction production path
+  (VERDICT r3 task 6): wav files on disk -> raw int16 ingest -> fused
+  device kernel -> MmapArray + indices_<feat> + sum1/sum2 on disk; outputs
+  must agree with batch_speech_features and the FeatureProcessor layout."""
+  import jax
+  from odin_tpu.ops.features import FeatureConfig
+  from odin_tpu.preprocessing import (DeviceCorpusProcessor,
+                                      batch_speech_features)
+  from odin_tpu.preprocessing.speech import save_wave
+  from odin_tpu.fuel import Dataset
+
+  sr = 16000
+  rng = np.random.RandomState(0)
+  files, raw = [], []
+  for i in range(7):  # uneven lengths exercise per-utterance trimming
+    y = (rng.randn(sr + i * 2048) * 0.05).astype(np.float32)
+    p = str(tmp_path / f"utt{i}.wav")
+    save_wave(p, y, sr)
+    files.append(p)
+    raw.append(np.clip(y * 32768.0, -32768, 32767).astype(np.int16))
+
+  cfg = FeatureConfig(n_mels=20, n_ceps=12)
+  out = str(tmp_path / "corpus")
+  ds = DeviceCorpusProcessor(files, out, config=cfg,
+                             features=("mspec", "mfcc_cmvn", "vad"),
+                             batch_size=3).run()
+  assert ds.attrs["frames"] > 0 and ds.attrs["frames_per_sec"] > 0
+
+  # on-disk layout identical to FeatureProcessor's
+  loaded = Dataset(out)
+  ref = batch_speech_features(raw, cfg, batch_size=4,
+                              features=("mspec", "mfcc_cmvn", "vad"))
+  for feat in ("mspec", "mfcc_cmvn"):
+    arr, idx = loaded[feat], loaded[f"indices_{feat}"]
+    assert len(idx) == 7
+    for i in range(7):
+      s, e = idx[f"utt{i}.wav"]
+      got = np.asarray(arr[s:e])
+      # batch pad lengths differ between the two runs (3-file vs 4-file
+      # batches) -> fp32 reduction noise; the kernels are the same
+      np.testing.assert_allclose(got, ref[i][feat], rtol=5e-3, atol=5e-3)
+    s1 = np.load(os.path.join(out, f"{feat}_sum1.npy"))
+    expected = np.sum(np.concatenate([r[feat] for r in ref], 0),
+                      axis=0, dtype=np.float64)
+    # cmvn sums are ~0 by construction: absolute tolerance only
+    np.testing.assert_allclose(s1, expected, rtol=1e-3,
+                               atol=1e-2 * ds.attrs["frames"] ** 0.5)
+  # vad persisted as uint8 column
+  v = loaded["vad"]
+  assert np.asarray(v[:4]).dtype == np.uint8
