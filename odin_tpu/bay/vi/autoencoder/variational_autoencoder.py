@@ -396,6 +396,7 @@ class VariationalAutoencoder(VariationalModel):
                    compute_dtype=None,
                    ema_decay: Optional[float] = None,
                    remat: Union[bool, str] = False,
+                   keep_opt_states: bool = False,
                    jit: bool = True, **opt_kwargs):
     """Build (and jit) the fused multi-TrainStep update function; also
     initializes optimizer states on self.state.
@@ -431,7 +432,10 @@ class VariationalAutoencoder(VariationalModel):
           clipnorm=spec.get("clipnorm", clipnorm),
           global_clipnorm=spec.get("global_clipnorm", global_clipnorm),
           **{**opt_kwargs, **spec.get("kwargs", {})})
-    opt_states = {}
+    # keep_opt_states=True resumes from checkpointed optimizer moments
+    # (crash/stall recovery in long runs); missing partitions still init
+    opt_states = dict(self.state.opt_states) \
+        if keep_opt_states and self.state.opt_states else {}
     for ts in steps:
       opt_name = ts.optimizer or ts.partitions[0]
       if opt_name not in opt_states:
@@ -519,6 +523,9 @@ class VariationalAutoencoder(VariationalModel):
                          seed: int = 0,
                          verbose: bool = True,
                          sample_fn: Optional[Callable] = None,
+                         keep_opt_states: bool = False,
+                         checkpoint_path: Optional[str] = None,
+                         checkpoint_freq: int = 0,
                          **opt_kwargs) -> "VariationalAutoencoder":
     """Train with the ENTIRE dataset device-resident and batches sampled on
     device — zero per-step host traffic (see
@@ -531,7 +538,7 @@ class VariationalAutoencoder(VariationalModel):
     from odin_tpu.training.core import device_dataset_steps
     raw = self.make_step_fn(optimizer=optimizer,
                             learning_rate=learning_rate, jit=False,
-                            **opt_kwargs)
+                            keep_opt_states=keep_opt_states, **opt_kwargs)
     # X may be a pytree (x, y, mask) for semi-supervised families
     data = jax.device_put(
         jax.tree_util.tree_map(jnp.asarray,
@@ -543,6 +550,7 @@ class VariationalAutoencoder(VariationalModel):
                                          seed=seed, sample_fn=sample_fn),
                     donate_argnums=(0,))
     done = 0
+    last_ckpt = 0
     t0 = _time.time()
     while done < n_steps:
       state, metrics = fused(state, data)
@@ -553,6 +561,20 @@ class VariationalAutoencoder(VariationalModel):
         print(f"[{self.name}] #{done} " +
               " ".join(f"{key}:{v:.4g}" for key, v in m.items()) +
               f" steps_per_sec:{rate:.1f}", flush=True)
+      # periodic full-state checkpoints WITHOUT leaving the compiled loop
+      # (a tunnel stall mid-run then loses at most checkpoint_freq steps;
+      # the pickle holds params + optimizer moments + step, so
+      # load_weights + keep_opt_states=True resumes exactly)
+      if (checkpoint_path and checkpoint_freq > 0 and
+          (done - last_ckpt >= checkpoint_freq or done >= n_steps)):
+        host = jax.device_get(state)
+        with open(checkpoint_path + ".tmp", "wb") as f:
+          pickle.dump(host, f)
+        os.replace(checkpoint_path + ".tmp", checkpoint_path)
+        last_ckpt = done
+        if verbose:
+          print(f"[{self.name}] checkpoint @ step {int(host.step)} -> "
+                f"{checkpoint_path}", flush=True)
     self.state = jax.device_get(state)
     self.step = int(self.state.step)
     return self

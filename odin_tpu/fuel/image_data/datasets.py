@@ -255,7 +255,65 @@ def _render_shapes2d(shape_id, scale, orientation, pos_x, pos_y,
   return out.reshape(n, image_size, image_size, 1)
 
 
-class dSprites(ImageDataset):
+class FullGridMixin:
+  """Complete-cartesian-factor-grid protocol for procedural factor datasets
+  (the reference's actual benchmark setting: budgets sized to 90% of the
+  grid, ``odin/networks/image_networks.py:936-1013``).  Requires
+  `factor_sizes`, `shape`, `render(factors)`, `seed`, `_cache`, `name`.
+  Images render once to a uint8 .npy memmap cache; partitions are a seeded
+  90/5/5 permutation split."""
+
+  def grid_factors(self) -> np.ndarray:
+    """The complete cartesian factor grid, (prod(factor_sizes), n_factors)
+    int64, in C order (first factor slowest — flat index = mixed radix)."""
+    return np.indices(self.factor_sizes).reshape(
+        len(self.factor_sizes), -1).T.astype(np.int64)
+
+  def _grid_cache_path(self) -> str:
+    return os.path.join(get_data_path(),
+                        f"{self.name}_fullgrid_u8_{self._image_size}.npy")
+
+  def _render_grid_cached(self) -> np.ndarray:
+    """Render (or memmap-load) the full grid as uint8 {0,255} images in
+    grid order."""
+    cache = self._grid_cache_path()
+    total = int(np.prod(self.factor_sizes))
+    shape = (total,) + tuple(self.shape)
+    if os.path.exists(cache):
+      return np.lib.format.open_memmap(cache, mode="r")
+    grid = self.grid_factors()
+    out = np.lib.format.open_memmap(cache + ".tmp", mode="w+",
+                                    dtype=np.uint8, shape=shape)
+    chunk = 16384
+    for i in range(0, total, chunk):
+      out[i:i + chunk] = (self.render(grid[i:i + chunk]) * 255).astype(
+          np.uint8)
+    out.flush()
+    os.replace(cache + ".tmp", cache)
+    return np.lib.format.open_memmap(cache, mode="r")
+
+  def _load_full_grid(self, partition: str):
+    key = get_partition(partition, train="train", valid="valid", test="test")
+    if key in self._cache:
+      return self._cache[key]
+    total = int(np.prod(self.factor_sizes))
+    imgs = self._render_grid_cached()
+    grid = self.grid_factors().astype("float32")
+    perm = np.random.RandomState(self.seed).permutation(total)
+    n_train = int(0.9 * total)  # dSprites: 663,552 — the reference budget
+    n_valid = (total - n_train) // 2
+    sl = {"train": perm[:n_train],
+          "valid": perm[n_train:n_train + n_valid],
+          "test": perm[n_train + n_valid:]}[key]
+    x = imgs[np.sort(sl)]  # sorted gather: sequential memmap reads
+    y = grid[np.sort(sl)]
+    # re-shuffle within the partition so x[:n] is a uniform draw
+    order = np.random.RandomState(self.seed + 7).permutation(len(sl))
+    self._cache[key] = (x[order], y[order])
+    return self._cache[key]
+
+
+class dSprites(FullGridMixin, ImageDataset):
   """dSprites (Matthey et al.): 3 shapes x 6 scales x 40 orientations x
   32 x 32 positions (reference ``shapes.py:24-135``).  Without the official
   .npz on disk the images are rendered procedurally — same factor structure,
@@ -312,55 +370,6 @@ class dSprites(ImageDataset):
     """factors (n, 5) integer indices -> images (n, 64, 64, 1)."""
     return _render_shapes2d(*self._factors_to_values(np.asarray(factors)),
                             image_size=self._image_size)
-
-  def grid_factors(self) -> np.ndarray:
-    """The complete cartesian factor grid, (prod(factor_sizes), 5) int64,
-    in C order (shape-major)."""
-    return np.indices(self.factor_sizes).reshape(
-        len(self.factor_sizes), -1).T.astype(np.int64)
-
-  def _grid_cache_path(self) -> str:
-    return os.path.join(get_data_path(),
-                        f"{self.name}_fullgrid_u8_{self._image_size}.npy")
-
-  def _render_grid_cached(self) -> np.ndarray:
-    """Render (or memmap-load) the full grid as uint8 {0,255} images in
-    grid order."""
-    cache = self._grid_cache_path()
-    total = int(np.prod(self.factor_sizes))
-    shape = (total,) + tuple(self.shape)
-    if os.path.exists(cache):
-      return np.lib.format.open_memmap(cache, mode="r")
-    grid = self.grid_factors()
-    out = np.lib.format.open_memmap(cache + ".tmp", mode="w+",
-                                    dtype=np.uint8, shape=shape)
-    chunk = 16384
-    for i in range(0, total, chunk):
-      out[i:i + chunk] = (self.render(grid[i:i + chunk]) * 255).astype(
-          np.uint8)
-    out.flush()
-    os.replace(cache + ".tmp", cache)
-    return np.lib.format.open_memmap(cache, mode="r")
-
-  def _load_full_grid(self, partition: str):
-    key = get_partition(partition, train="train", valid="valid", test="test")
-    if key in self._cache:
-      return self._cache[key]
-    total = int(np.prod(self.factor_sizes))
-    imgs = self._render_grid_cached()
-    grid = self.grid_factors().astype("float32")
-    perm = np.random.RandomState(self.seed).permutation(total)
-    n_train = int(0.9 * total)          # 663,552 — the reference budget base
-    n_valid = (total - n_train) // 2
-    sl = {"train": perm[:n_train],
-          "valid": perm[n_train:n_train + n_valid],
-          "test": perm[n_train + n_valid:]}[key]
-    x = imgs[np.sort(sl)]  # sorted gather: sequential memmap reads
-    y = grid[np.sort(sl)]
-    # re-shuffle within the partition so x[:n] is a uniform draw
-    order = np.random.RandomState(self.seed + 7).permutation(len(sl))
-    self._cache[key] = (x[order], y[order])
-    return self._cache[key]
 
   def _load(self, partition: str):
     if self.full_grid:
@@ -431,10 +440,12 @@ class dSprites0(dSprites):
     return x, np.eye(3, dtype="float32")[f[:, 0].astype(int)]
 
 
-class Shapes3D(ImageDataset):
+class Shapes3D(FullGridMixin, ImageDataset):
   """Shapes3D (Burgess & Kim): 6 factors (reference ``shapes.py:192``).
   Without the official file, a procedural colored-sprite stand-in renders
-  object hue / wall hue / floor hue / scale / shape / orientation."""
+  object hue / wall hue / floor hue / scale / shape / orientation.
+  ``full_grid=True`` uses the complete 480,000-combination cartesian grid
+  (the published benchmark protocol) instead of `n_samples` random draws."""
 
   factor_names = ["orientation", "scale", "shape", "floor_hue", "wall_hue",
                   "object_hue"]
@@ -442,10 +453,11 @@ class Shapes3D(ImageDataset):
   _image_size = 64
 
   def __init__(self, n_samples: int = 8192, path: Optional[str] = None,
-               seed: int = 1):
+               seed: int = 1, full_grid: bool = False):
     super().__init__(seed=seed)
     self.n_samples = int(n_samples)
     self.path = path or os.path.join(get_data_path(), "shapes3d.npz")
+    self.full_grid = bool(full_grid)
     self._cache = {}
 
   @property
@@ -494,6 +506,8 @@ class Shapes3D(ImageDataset):
     return np.stack([rng.randint(0, k, n) for k in self.factor_sizes], -1)
 
   def _load(self, partition: str):
+    if self.full_grid:
+      return self._load_full_grid(partition)
     if os.path.exists(self.path):
       arr = dict(np.load(self.path, allow_pickle=False))
       return arr["x_train"], arr["y_train"]

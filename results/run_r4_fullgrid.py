@@ -132,10 +132,26 @@ def main():
   print(f"[{args.model}] setup {time.time() - t_setup:.0f}s; "
         f"{steps} steps @ batch {batch}", flush=True)
 
+  # in-loop full-state checkpoints: a tunnel stall or crash loses at most
+  # 250k steps (the 06:46 stall cost 3.4M un-checkpointed steps), and the
+  # whole run still compiles its fused step exactly ONCE; the pickle holds
+  # params + optimizer moments + step, `keep_opt_states=True` resumes the
+  # Adam moments exactly
+  ckpt = os.path.join(OUT, f"{args.model}_fullgrid.ckpt.pkl")
+  done = 0
+  if os.path.exists(ckpt):
+    vae.load_weights(ckpt)
+    done = int(vae.state.step)
+    print(f"[{args.model}] resuming from checkpoint at step {done}",
+          flush=True)
   t0 = time.time()
-  vae.fit_device_dataset(X, **fit_kw)
-  dt = time.time() - t0
-  rate = steps / dt
+  if done < steps:
+    vae.fit_device_dataset(X, **{**fit_kw, "n_steps": steps - done,
+                                 "keep_opt_states": done > 0,
+                                 "checkpoint_path": ckpt,
+                                 "checkpoint_freq": 250_000})
+  dt = max(time.time() - t0, 1e-9)
+  rate = (steps - done) / dt
   print(f"[{args.model}] {steps} steps in {dt:.0f}s = {rate:.0f} steps/s",
         flush=True)
   vae.save_weights(os.path.join(OUT, f"{args.model}_fullgrid.pkl"))

@@ -295,3 +295,32 @@ def test_device_dataset_uint8_dequantize():
   out, metrics = fused(St(step=0, acc=0.0), jnp.asarray(data))
   assert seen["dtype"] == jnp.float32
   assert float(metrics["m"]) <= 1.0  # values scaled into [0, 1]
+
+
+def test_shapes3d_full_grid(tmp_path, monkeypatch):
+  """Shapes3D shares the FullGridMixin: complete 6-factor cartesian grid,
+  uint8 RGB cache, seeded disjoint 90/5/5 split (shrunken grid for speed)."""
+  from odin_tpu.fuel.image_data.datasets import Shapes3D
+
+  class TinyShapes3D(Shapes3D):
+    factor_sizes = [3, 2, 2, 3, 3, 3]
+    _image_size = 16
+
+    @property
+    def name(self):
+      return "tinyshapes3d"
+
+  ds = TinyShapes3D(full_grid=True, seed=5)
+  monkeypatch.setattr(
+      ds, "_grid_cache_path", lambda: str(tmp_path / "grid3d.npy"))
+  total = int(np.prod(ds.factor_sizes))
+  parts = {p: ds.numpy(p) for p in ("train", "valid", "test")}
+  assert parts["train"][0].dtype == np.uint8
+  assert parts["train"][0].shape[1:] == (16, 16, 3)
+  assert sum(len(x) for x, _ in parts.values()) == total
+  combined = np.concatenate([y for _, y in parts.values()]).astype(np.int64)
+  assert len({tuple(r) for r in combined}) == total
+  # images match a fresh render of their factor rows
+  x_test, y_test = parts["test"]
+  rerender = (ds.render(y_test[:4].astype(np.int64)) * 255).astype(np.uint8)
+  np.testing.assert_array_equal(x_test[:4], rerender)

@@ -311,3 +311,40 @@ def test_remat_recomputes_forward_in_compiled_program():
   flops_remat, nb_remat = compile_stats(True)
   assert nb_plain == 0 and nb_remat >= 1
   assert flops_remat > 1.1 * flops_plain, (flops_plain, flops_remat)
+
+
+def test_fit_device_dataset_checkpoint_resume(tmp_path):
+  """`fit_device_dataset(checkpoint_path=..., checkpoint_freq=...)` writes
+  full-TrainState pickles inside the compiled loop (params + optimizer
+  moments + step), and `load_weights` + `keep_opt_states=True` resumes the
+  run exactly where it stopped — the crash-recovery path of the round-4
+  full-grid benchmark runner (results/run_r4_fullgrid.py)."""
+  from odin_tpu.bay.vi import BetaVAE
+
+  X = RNG.rand(256, 2).astype("float32")
+  ck = str(tmp_path / "ck.pkl")
+
+  def build():
+    return BetaVAE(beta=1.0, **get_networks("halfmoons", zdim=2)).build(
+        seed=0)
+
+  # interrupted run: 40 of 60 steps, checkpoints every 20
+  v1 = build()
+  v1.fit_device_dataset(X, n_steps=40, batch_size=32, steps_per_call=10,
+                        checkpoint_path=ck, checkpoint_freq=20, seed=3,
+                        verbose=False)
+  # resume: the checkpoint restores step AND Adam moments
+  v2 = build()
+  v2.load_weights(ck)
+  assert int(v2.state.step) == 40
+  assert v2.state.opt_states
+  m0 = jax.tree_util.tree_leaves(v2.state.opt_states)
+  assert any(float(jnp.max(jnp.abs(l))) > 0 for l in m0
+             if hasattr(l, "dtype") and jnp.issubdtype(l.dtype, jnp.floating))
+  v2.fit_device_dataset(X, n_steps=20, batch_size=32, steps_per_call=10,
+                        keep_opt_states=True, checkpoint_path=ck,
+                        checkpoint_freq=20, seed=3, verbose=False)
+  assert int(v2.state.step) == 60
+  # the final checkpoint was refreshed at the end of the resumed run
+  v3 = build().load_weights(ck)
+  assert int(v3.state.step) == 60
