@@ -348,3 +348,65 @@ def test_fit_device_dataset_checkpoint_resume(tmp_path):
   # the final checkpoint was refreshed at the end of the resumed run
   v3 = build().load_weights(ck)
   assert int(v3.state.step) == 60
+
+
+def test_fit_device_dataset_pair_sample_fn():
+  """`fit_device_dataset(sample_fn=...)` routes batch construction through a
+  custom in-graph sampler — the Ada-GVAE full-grid path gathers (x1, x2)
+  pairs from a (uint8 corpus, pair-index) structure whose leaves have
+  different leading axes (results/run_r4_fullgrid.py)."""
+  from odin_tpu.bay.vi import AdaptiveVAE
+
+  corpus = (RNG.rand(128, 2) * 255).astype(np.uint8)
+  pairs = np.stack([RNG.randint(0, 128, 500),
+                    RNG.randint(0, 128, 500)], -1).astype(np.int32)
+
+  def sample_fn(key, data):
+    grid_u8, pr = data
+    idx = jax.random.randint(key, (16,), 0, pr.shape[0])
+    p = pr[idx]
+    x1 = grid_u8[p[:, 0]].astype(jnp.float32) / 255.0
+    x2 = grid_u8[p[:, 1]].astype(jnp.float32) / 255.0
+    return (x1, x2)
+
+  vae = AdaptiveVAE(**get_networks("halfmoons", zdim=2)).build(seed=0)
+  vae.fit_device_dataset((corpus, pairs), n_steps=20, batch_size=16,
+                         steps_per_call=10, sample_fn=sample_fn, seed=1,
+                         verbose=False)
+  assert int(vae.state.step) == 20
+  assert all(np.isfinite(np.ravel(l)).all()
+             for l in jax.tree_util.tree_leaves(
+                 jax.device_get(vae.state.params)))
+
+
+def test_fullgrid_build_pairs_protocol():
+  """The full-grid Ada-GVAE pair builder (results/run_r4_fullgrid.py):
+  every pair has BOTH members inside the 90% train split and differs in
+  EXACTLY one factor (n_changed=1, Locatello et al. 2020)."""
+  import importlib.util
+  import os
+  spec = importlib.util.spec_from_file_location(
+      "run_r4_fullgrid",
+      os.path.join(os.path.dirname(__file__), "..", "results",
+                   "run_r4_fullgrid.py"))
+  mod = importlib.util.module_from_spec(spec)
+  spec.loader.exec_module(mod)
+
+  class TinyGrid:
+    factor_sizes = [3, 4, 5]
+    seed = 1
+
+    def grid_factors(self):
+      return np.indices(self.factor_sizes).reshape(
+          len(self.factor_sizes), -1).T.astype(np.int64)
+
+  ds = TinyGrid()
+  pairs = mod.build_pairs(ds, n_pairs=2000, seed=5)
+  assert pairs.shape == (2000, 2) and pairs.dtype == np.int32
+  total = int(np.prod(ds.factor_sizes))
+  train = set(np.random.RandomState(ds.seed).permutation(total)
+              [:int(0.9 * total)].tolist())
+  grid = ds.grid_factors()
+  assert set(pairs.ravel().tolist()) <= train
+  diff = (grid[pairs[:, 0]] != grid[pairs[:, 1]]).sum(1)
+  assert np.all(diff == 1)
