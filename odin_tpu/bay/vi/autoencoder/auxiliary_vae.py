@@ -25,6 +25,7 @@ from odin_tpu.bay.vi.autoencoder.multitask_vae import (
     masked_mean_llk,
 )
 from odin_tpu.networks.base import Dense, Flatten, SequentialNetwork
+from odin_tpu.networks.conditional_embedding import get_embedding
 
 __all__ = ["auxiliaryVAE", "AuxiliaryVAE"]
 
@@ -38,19 +39,24 @@ class _ADGMCore(nn.Module):
   qa_head: DistributionDense
   pa_head: DistributionDense
   embed_dim: int = 128
+  n_classes: int = 10
+  embedding_method: str = "projection"
 
   def setup(self):
     e = self.embed_dim
+    # label embedder family (reference ``auxiliary_vae.py:78-99`` routes
+    # embedding_method into the conditional trunk)
+    emb_cls = get_embedding(self.embedding_method)
     self.enc_a = SequentialNetwork((Flatten(), Dense(512, "relu"),
                                     Dense(512, "relu")), name="enc_a")
     self.x_to_qy = nn.Dense(e)
     self.a_to_qy = nn.Dense(e)
     self.qy_net = Dense(e, "relu")
     self.a_to_qz = nn.Dense(e)
-    self.y_to_qz = nn.Dense(e)
+    self.y_to_qz = emb_cls(n_classes=self.n_classes, event_shape=(e,))
     self.axy_to_qz = Dense(e, "relu")
     self.z_to_px = nn.Dense(e)
-    self.y_to_px = nn.Dense(e)
+    self.y_to_px = emb_cls(n_classes=self.n_classes, event_shape=(e,))
     self.zy_to_px = Dense(e, "relu")
     self.dec_a = Dense(512, "relu")
 
@@ -112,6 +118,7 @@ class auxiliaryVAE(BetaVAE):
                auxiliary: Optional[RVconf] = None,
                alpha: float = 1.0,
                embed_dim: int = 128,
+               embedding_method: str = "projection",
                **kwargs):
     if labels is None:
       labels = RVconf(10, "onehot", projection=True, name="digits")
@@ -119,6 +126,7 @@ class auxiliaryVAE(BetaVAE):
       auxiliary = RVconf(64, "mvndiag", projection=True, name="auxiliary")
     self.alpha = float(alpha)
     self.embed_dim = int(embed_dim)
+    self.embedding_method = str(embedding_method)
     self.auxiliary_conf = auxiliary
     kwargs["labels"] = labels
     super().__init__(**kwargs)
@@ -135,7 +143,9 @@ class auxiliaryVAE(BetaVAE):
                      labels=self.labels_head,
                      qa_head=self.auxiliary_conf.create_posterior(name="qa_x"),
                      pa_head=self.auxiliary_conf.create_posterior(name="pa_zy"),
-                     embed_dim=self.embed_dim)
+                     embed_dim=self.embed_dim,
+                     n_classes=self.labels_conf.event_size,
+                     embedding_method=self.embedding_method)
 
   def elbo_components(self, params, batch, rng, step, training=False,
                       mutables=None):

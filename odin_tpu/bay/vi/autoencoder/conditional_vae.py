@@ -25,6 +25,7 @@ from odin_tpu.bay.vi.autoencoder.beta_vae import BetaGammaVAE, BetaVAE
 from odin_tpu.bay.vi.autoencoder.multitask_vae import _unpack_ssl, masked_mean_llk
 from odin_tpu.bay.vi.utils import marginalize_categorical_labels
 from odin_tpu.networks.base import Dense, SequentialNetwork
+from odin_tpu.networks.conditional_embedding import get_embedding
 
 __all__ = ["M2VAE", "ConditionalM2VAE", "StructuredSemiVAE", "PriorRegressor",
            "reparamsM3VAE"]
@@ -42,16 +43,22 @@ class M2Core(nn.Module):
   classifier: Any
   embed_dim: int = 128
   classify_on_features: bool = False
+  n_classes: int = 10
+  embedding_method: str = "projection"
 
   def setup(self):
     # submodules used across several methods must be declared in setup()
     e = self.embed_dim
+    # label embedder selected from the conditional_embedding family
+    # (reference ``conditional_vae.py:382-392`` builds y_to_qz / y_to_px
+    # via get_embedding(embedding_method))
+    emb_cls = get_embedding(self.embedding_method)
     self.x_to_qz = nn.Dense(e)
-    self.y_to_qz = nn.Dense(e)
+    self.y_to_qz = emb_cls(n_classes=self.n_classes, event_shape=(e,))
     self.xy_to_qz_net = SequentialNetwork(
         (Dense(e, "relu"), Dense(e, "relu")), name="xy_to_qz")
     self.z_to_px = nn.Dense(e)
-    self.y_to_px = nn.Dense(e)
+    self.y_to_px = emb_cls(n_classes=self.n_classes, event_shape=(e,))
     self.zy_to_px_net = SequentialNetwork(
         (Dense(e, "relu"), Dense(e, "relu")), name="zy_to_px")
 
@@ -106,12 +113,16 @@ class M2VAE(BetaGammaVAE):
                activation: str = "relu",
                alpha: float = 10.0,
                embed_dim: int = 128,
+               embedding_method: str = "projection",
                **kwargs):
     if labels is None:
       labels = RVconf(10, "onehot", projection=True, name="digits")
     self.alpha = float(alpha)
     self.n_classes = labels.event_size
     self.embed_dim = int(embed_dim)
+    # label-embedder choice (reference ConditionalM2VAE ``:324-345``);
+    # 'projection' preserves soft-label gradients (the M2 relaxed path)
+    self.embedding_method = str(embedding_method)
     self._classifier_units = tuple(int(u) for u in classifier)
     self._classifier_activation = activation
     kwargs["labels"] = labels
@@ -132,7 +143,9 @@ class M2VAE(BetaGammaVAE):
                   latents=self.latents_head,
                   observation=self.observation_head,
                   labels=self.labels_head,
-                  classifier=clf, embed_dim=self.embed_dim)
+                  classifier=clf, embed_dim=self.embed_dim,
+                  n_classes=self.n_classes,
+                  embedding_method=self.embedding_method)
 
   def classify(self, x, params=None, seed: int = 0):
     params = params or self._params_of()
@@ -203,7 +216,14 @@ class M2VAE(BetaGammaVAE):
 class ConditionalM2VAE(M2VAE):
   """M2 with exact marginalization over y for unlabelled rows
   (Kingma et al. 2014, Eq. 7; reference ``conditional_vae.py:235-533``):
-  ``-U(x) = Σ_y q(y|x) (-L(x,y)) - H(q(y|x))``."""
+  ``-U(x) = Σ_y q(y|x) (-L(x,y)) - H(q(y|x))``.
+
+  The reference defaults to the 'sequential' label embedder here
+  (``conditional_vae.py:325``): the marginalized path always feeds exact
+  one-hot labels, so the argmax-folding lookup embedders are safe."""
+
+  def __init__(self, embedding_method: str = "sequential", **kwargs):
+    super().__init__(embedding_method=embedding_method, **kwargs)
 
   def elbo_components(self, params, batch, rng, step, training=False,
                       mutables=None):
@@ -341,6 +361,8 @@ class reparamsM3VAE(M2VAE):
                   observation=self.observation_head,
                   labels=self.labels_head,
                   classifier=clf, embed_dim=self.embed_dim,
+                  n_classes=self.n_classes,
+                  embedding_method=self.embedding_method,
                   denotations=denotations)
 
   def elbo_components(self, params, batch, rng, step, training=False,

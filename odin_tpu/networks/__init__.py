@@ -50,6 +50,16 @@ from odin_tpu.networks.time_delay import (
     TimeDelayDense,
     XVectorNet,
 )
+from odin_tpu.networks.conditional_embedding import (
+    DictionaryEmbedding,
+    Embedder,
+    IdentityEmbedding,
+    ProjectionEmbedding,
+    RepetitionEmbedding,
+    SequentialEmbedding,
+    all_embedder,
+    get_embedding,
+)
 from odin_tpu.networks.util_layers import (
     GRU,
     LSTM,
@@ -66,6 +76,5 @@ from odin_tpu.networks.util_layers import (
     Resampling2D,
     SimpleRNN,
     SkipConnection,
-    get_embedding,
 )
 from odin_tpu.networks.dropout import DiscreteDropout, DropBlock

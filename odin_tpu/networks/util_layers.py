@@ -21,7 +21,6 @@ from odin_tpu.networks.base import get_activation
 __all__ = ["Identity", "ExpandDims", "Reduce", "Conv1DTranspose",
            "BatchRenormalization", "ParallelNetwork", "PositionalEncoder",
            "SkipConnection", "ConditionalEmbedding", "ConditionalProjection",
-           "get_embedding",
            "LSTM", "GRU", "SimpleRNN", "DepthToSpace", "Resampling2D"]
 
 
@@ -233,24 +232,6 @@ class SimpleRNN(nn.Module):
                    split_rngs={"params": False}, in_axes=1, out_axes=1)
     carry, ys = scan(self.units, name="cell")(carry, x)
     return ys if self.return_sequences else ys[:, -1]
-
-
-def get_embedding(method: str):
-  """Dispatcher for conditional-embedding strategies
-  (reference ``conditional_embedding.py:220``): 'identity' keeps labels,
-  'dictionary'/'repetition' embed them (`ConditionalEmbedding`),
-  'projection'/'sequential' embed-then-merge (`ConditionalProjection`)."""
-  method = str(method).strip().lower()
-  table = {"identity": Identity,
-           "dictionary": ConditionalEmbedding,
-           "repetition": ConditionalEmbedding,
-           "projection": ConditionalProjection,
-           "sequential": ConditionalProjection}
-  for name, cls in table.items():
-    if method == name or method in name:
-      return cls
-  raise KeyError(f"unknown embedding method '{method}'; "
-                 f"supported: {sorted(table)}")
 
 
 class DepthToSpace(nn.Module):
