@@ -117,3 +117,9 @@ def diagonal_hillclimb_search(matrix: np.ndarray) -> np.ndarray:
 
 __all__ += ["diagonal_bruteforce_search", "diagonal_greedy_search",
             "diagonal_hillclimb_search"]
+
+
+from odin_tpu.search.beam_search import (beam_search, beam_search_decode,
+                                         greedy_search)
+
+__all__ += ["beam_search", "greedy_search", "beam_search_decode"]
