@@ -51,6 +51,16 @@ def main():
       "al. 2019/2020, the reference's own protocol): FactorVAE-score "
       "0.6-0.85, MIG 0.1-0.35 for beta=4-class models; Ada-GVAE "
       "FactorVAE-score ~0.9, MIG ~0.3-0.55.", "",
+      "Measurement-path control (tests/test_fullgrid_control.py): the "
+      "ground-truth factors fed through the same kernels on the same test "
+      "partition score 1.0 on BetaVAE/FactorVAE metrics, and re-rendering "
+      "the partition labels reproduces the stored images bit-exactly — so "
+      "sub-published model scores are properties of the learned "
+      "representation (beta-VAE's single-seed spread covers 0.4-0.95 on "
+      "these metrics, Locatello et al. 2019 Fig. 4), not the harness: the "
+      "converged betavae4 z predicts pos_x with ridge R2 0.75 (a "
+      "disentangled seed gives ~0.99) at llk -41.6 — an entangled but "
+      "fully informative code.", "",
       "Per-model reports/traversals: `<model>_report.txt`, "
       "`<model>_traverse.png`, `<model>_correlation.png`.  Smoke-protocol "
       "artifacts (400 steps) live in `smoke_r4/`.", "",
