@@ -256,9 +256,17 @@ class DisentanglementGym:
     return self._z_mean
 
   # -- scores -------------------------------------------------------------------
-  def mig_score(self) -> float:
-    """Mutual information gap (reference :1510)."""
+  def mig_score(self, protocol: str = "reference") -> float:
+    """Mutual information gap (reference :1510).
+
+    protocol="reference" keeps the reference's discretization (the
+    `run_model(n_bins=8)` uniform bins); protocol="dlib" re-discretizes the
+    posterior means into the 20 equal-width bins disentanglement_lib's
+    published numbers use (``_histogram_discretize`` there)."""
     self._require_run()
+    if protocol == "dlib":
+      z20 = discretizing(self._z_mean, n_bins=20, strategy="uniform")
+      return _metrics.mutual_info_gap(z20, self.groundtruth.factors)
     return _metrics.mutual_info_gap(self._z_discrete, self.groundtruth.factors)
 
   def sap_score(self) -> float:
@@ -274,13 +282,39 @@ class DisentanglementGym:
     return _dm.dci_scores(self._z_mean, self.groundtruth.factors,
                           seed=self.seed)
 
-  def betavae_score(self, n_samples: int = 2000) -> float:
+  def betavae_score(self, n_samples: int = 2000,
+                    protocol: str = "reference") -> float:
+    """Higgins' beta-VAE metric.
+
+    protocol="reference" follows the reference's own evaluation
+    (``downstream_metrics.py:399``): 10 MCMC samples of z, pair batches of
+    10, `n_samples` votes.  protocol="dlib" follows disentanglement_lib's
+    ``beta_vae_sklearn`` — the protocol behind every published number:
+    posterior MEAN representation, pair batches of 64, 10,000 votes.  The
+    two differ materially on the same model (the MCMC-sample noise and the
+    6x smaller averaging batch depress the reference-protocol score);
+    results/fullgrid reports both."""
     self._require_run()
+    if protocol == "dlib":
+      return _dm.beta_vae_score(self.qz, self.groundtruth.factors, n_mcmc=0,
+                                batch_size=64, n_samples=10_000,
+                                seed=self.seed)
     return _dm.beta_vae_score(self.qz, self.groundtruth.factors,
                               n_samples=n_samples, seed=self.seed)
 
-  def factorvae_score(self, n_samples: int = 2000) -> float:
+  def factorvae_score(self, n_samples: int = 2000,
+                      protocol: str = "reference") -> float:
+    """Kim & Mnih's FactorVAE metric.
+
+    protocol="reference": 10 MCMC samples of z, batches of 256, `n_samples`
+    votes (the reference's ``downstream_metrics.py:431``).
+    protocol="dlib": disentanglement_lib's published protocol — posterior
+    MEAN, batches of 64, 10,000 votes, dims pruned at std < 0.05."""
     self._require_run()
+    if protocol == "dlib":
+      return _dm.factor_vae_score(self.qz, self.groundtruth.factors,
+                                  n_mcmc=0, batch_size=64, n_samples=10_000,
+                                  prune_threshold=0.05, seed=self.seed)
     return _dm.factor_vae_score(self.qz, self.groundtruth.factors,
                                 n_samples=n_samples, seed=self.seed)
 

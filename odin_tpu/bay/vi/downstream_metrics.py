@@ -259,6 +259,7 @@ def beta_vae_score(representations, factors, n_mcmc: int = 10,
 def factor_vae_score(representations, factors, n_mcmc: int = 10,
                      batch_size: int = 256, n_samples: int = 10000,
                      seed: int = 1, return_model: bool = False,
+                     prune_threshold: float = 1e-6,
                      verbose: bool = False) -> float:
   """FactorVAE metric (Kim & Mnih; reference :431): majority vote of the
   argmin-variance latent for fixed-factor batches.
@@ -276,7 +277,14 @@ def factor_vae_score(representations, factors, n_mcmc: int = 10,
   # ``downstream_metrics.py:330-334``, which ties collapsed dims with
   # informative ones when posterior scales are uniform)
   global_var = np.var(X_all, axis=0, ddof=1)
-  active = global_var > 1e-6
+  # prune_threshold >= 1e-3 is interpreted on the STD scale
+  # (disentanglement_lib's ``_prune_dims(threshold=0.05)`` semantics, used
+  # by the gym's protocol="dlib"); the default 1e-6 keeps the reference
+  # behavior of pruning only truly collapsed dims (variance scale)
+  if prune_threshold >= 1e-3:
+    active = np.sqrt(global_var) >= prune_threshold
+  else:
+    active = global_var > prune_threshold
   active_idx = np.where(active)[0]
   tables = _flat_buckets(factors, min_count=2)
   eligible = np.array([len(t[2]) > 0 for t in tables])

@@ -1,5 +1,6 @@
 """Assemble the full-grid leaderboard (results/fullgrid/README.md) from the
-per-model JSONs written by results/run_r4_fullgrid.py.
+per-model JSONs written by results/run_r4_fullgrid.py (and the retroactive
+protocol re-evals written by eval_dlib_protocol.py).
 
 Run after the queue completes:  python results/fullgrid/make_leaderboard.py
 """
@@ -9,10 +10,13 @@ import os
 
 HERE = os.path.dirname(os.path.abspath(__file__))
 ORDER = ["betavae4", "betavae8", "factorvae", "adagvae"]
-COLS = [("betavae_score", "BetaVAE"), ("factorvae_score", "FactorVAE"),
-        ("mig", "MIG"), ("sap", "SAP"),
+# reference-protocol columns (the reference's own kernels/defaults) and
+# dlib-protocol columns (disentanglement_lib's published protocol)
+COLS = [("betavae_score", "BetaVAE"), ("betavae_score_dlib", "BetaVAE*"),
+        ("factorvae_score", "FactorVAE"),
+        ("factorvae_score_dlib", "FactorVAE*"),
+        ("mig", "MIG"), ("mig_dlib", "MIG*"), ("sap", "SAP"),
         ("dci_disentanglement", "DCI-dis"),
-        ("dci_completeness", "DCI-com"),
         ("log_likelihood", "llk"), ("kl_divergence", "KL"),
         ("n_active_units", "AU")]
 LABELS = {"betavae4": "BetaVAE (beta=4)", "betavae8": "BetaVAE (beta=8)",
@@ -24,6 +28,15 @@ def main():
   for p in glob.glob(os.path.join(HERE, "*_fullgrid.json")):
     r = json.load(open(p))
     rows[r["model"]] = r
+  # retroactive dlib-protocol re-evals (betavae4 trained before the runner
+  # recorded both protocols inline)
+  for p in glob.glob(os.path.join(HERE, "*_dlib.json")):
+    r = json.load(open(p))
+    m = r["model"]
+    if m in rows:
+      for k in ("betavae_score_dlib", "factorvae_score_dlib", "mig_dlib"):
+        if rows[m].get(k) is None and r.get(k) is not None:
+          rows[m][k] = r[k]
   if not rows:
     raise SystemExit("no *_fullgrid.json yet")
   lines = [
@@ -33,6 +46,15 @@ def main():
       "split, reference budget 400 epochs = 265.4M train images "
       "(`odin/networks/image_networks.py:936-1013`), 10,000 held-out "
       "images scored by the DisentanglementGym.", "",
+      "Unstarred columns use the REFERENCE'S own metric kernels and "
+      "defaults (`odin/bay/vi/downstream_metrics.py:399,431`: 10 MCMC "
+      "samples of z, pair batches of 10, 2k votes, 8-bin MIG).  Starred "
+      "columns (`*`) use disentanglement_lib's protocol — the one behind "
+      "every published number: posterior MEAN representation, pair batches "
+      "of 64, 10,000 votes, std<0.05 pruning, 20-bin MIG.  The same "
+      "representation scores very differently under the two (see "
+      "`eval_dlib_protocol.py`); published ranges are only comparable to "
+      "the starred columns.", "",
       "| model | " + " | ".join(h for _, h in COLS) +
       " | steps | steps/s | train h |",
       "|---|" + "---|" * (len(COLS) + 3),
@@ -41,26 +63,24 @@ def main():
     if m not in rows:
       continue
     r = rows[m]
-    cells = [f"{r.get(k, float('nan')):.3f}" for k, _ in COLS]
+    cells = [f"{r[k]:.3f}" if isinstance(r.get(k), (int, float))
+             else "-" for k, _ in COLS]
     lines.append(
         f"| {LABELS[m]} | " + " | ".join(cells) +
         f" | {r['n_steps'] / 1e6:.2f}M | {r.get('steps_per_sec', 0):.0f} "
         f"| {r.get('train_wallclock_sec', 0) / 3600:.1f} |")
   lines += [
-      "", "Published full-dSprites ranges for these recipes (Locatello et "
-      "al. 2019/2020, the reference's own protocol): FactorVAE-score "
-      "0.6-0.85, MIG 0.1-0.35 for beta=4-class models; Ada-GVAE "
-      "FactorVAE-score ~0.9, MIG ~0.3-0.55.", "",
+      "", "Published full-dSprites ranges for these recipes under the "
+      "dlib protocol (Locatello et al. 2019/2020): FactorVAE-score "
+      "0.6-0.85, MIG 0.1-0.35 for beta=4-class models (with single-seed "
+      "spread covering 0.4-0.95 / 0.0-0.35); Ada-GVAE FactorVAE-score "
+      "~0.9, MIG ~0.3-0.55.", "",
       "Measurement-path control (tests/test_fullgrid_control.py): the "
       "ground-truth factors fed through the same kernels on the same test "
       "partition score 1.0 on BetaVAE/FactorVAE metrics, and re-rendering "
       "the partition labels reproduces the stored images bit-exactly — so "
       "sub-published model scores are properties of the learned "
-      "representation (beta-VAE's single-seed spread covers 0.4-0.95 on "
-      "these metrics, Locatello et al. 2019 Fig. 4), not the harness: the "
-      "converged betavae4 z predicts pos_x with ridge R2 0.75 (a "
-      "disentangled seed gives ~0.99) at llk -41.6 — an entangled but "
-      "fully informative code.", "",
+      "representation and the evaluation protocol, not the harness.", "",
       "Per-model reports/traversals: `<model>_report.txt`, "
       "`<model>_traverse.png`, `<model>_correlation.png`.  Smoke-protocol "
       "artifacts (400 steps) live in `smoke_r4/`.", "",

@@ -164,6 +164,14 @@ def main():
   gym.plot_correlation(
       path=os.path.join(OUT, f"{args.model}_correlation.png"))
   rep = {k: float(v) for k, v in rep.items() if np.isscalar(v)}
+  # both metric protocols: the reference's own (already in `rep`) and
+  # disentanglement_lib's — the protocol behind every published number
+  # (posterior mean, pair batch 64, 10k votes, 20-bin MIG; see
+  # results/fullgrid/eval_dlib_protocol.py for the full analysis)
+  rep.update(
+      betavae_score_dlib=float(gym.betavae_score(protocol="dlib")),
+      factorvae_score_dlib=float(gym.factorvae_score(protocol="dlib")),
+      mig_dlib=float(gym.mig_score(protocol="dlib")))
   rep.update(model=args.model, n_steps=steps, batch_size=batch,
              steps_per_sec=round(rate, 1), train_wallclock_sec=round(dt),
              train_images=steps * (batch * 2 if args.model == "adagvae"
