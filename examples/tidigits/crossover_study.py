@@ -182,12 +182,17 @@ def main():
   ap.add_argument("--scale", choices=list(SCALES) + ["all"], default="all")
   args = ap.parse_args()
   os.makedirs(OUT, exist_ok=True)
-  rows = []
+  path = os.path.join(OUT, "crossover.json")
+  # merge with previously recorded scales: the queue runs one scale per
+  # invocation, so overwriting with only this invocation's rows would
+  # clobber earlier results (and re-trigger their done-checks)
+  rows = json.load(open(path)) if os.path.exists(path) else []
   tags = [t for t in SCALES if t != "T"] if args.scale == "all" \
       else [args.scale]
   for tag in tags:
-    rows.append(run_scale(tag, SCALES[tag]))
-    with open(os.path.join(OUT, "crossover.json"), "w") as f:
+    row = run_scale(tag, SCALES[tag])
+    rows = [r for r in rows if r.get("scale") != tag] + [row]
+    with open(path, "w") as f:
       json.dump(rows, f, indent=1)
   print(json.dumps(rows))
 
