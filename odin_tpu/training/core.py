@@ -24,9 +24,10 @@ import jax.numpy as jnp
 import optax
 
 __all__ = ["TrainState", "TrainStep", "make_optimizer", "build_train_step_fn",
-           "scan_steps", "device_dataset_steps", "get_param_subtree",
-           "set_param_subtree", "extract_partitions", "merge_partitions",
-           "use_ema_params", "EMA_KEY"]
+           "scan_steps", "device_dataset_steps",
+           "multiseed_device_dataset_steps", "stack_states", "unstack_states",
+           "get_param_subtree", "set_param_subtree", "extract_partitions",
+           "merge_partitions", "use_ema_params", "EMA_KEY"]
 
 
 @flax.struct.dataclass
@@ -356,6 +357,15 @@ def scan_steps(step_fn: Callable, n_steps: int) -> Callable:
   return fused
 
 
+def _dequantize(a):
+  # corpora may sit in HBM as uint8 (e.g. the full 737k dSprites grid is
+  # 2.9 GB uint8 vs 11.6 GB fp32): cast per BATCH after the gather, so
+  # only batch_size images ever exist in fp32
+  if a.dtype == jnp.uint8:
+    return a.astype(jnp.float32) / 255.0
+  return a
+
+
 def device_dataset_steps(step_fn: Callable, batch_size: int,
                          n_steps: int, seed: int = 0,
                          sample_fn: Optional[Callable] = None) -> Callable:
@@ -378,14 +388,6 @@ def device_dataset_steps(step_fn: Callable, batch_size: int,
   """
   data_key = jax.random.PRNGKey(seed)
 
-  def _dequantize(a):
-    # corpora may sit in HBM as uint8 (e.g. the full 737k dSprites grid is
-    # 2.9 GB uint8 vs 11.6 GB fp32): cast per BATCH after the gather, so
-    # only batch_size images ever exist in fp32
-    if a.dtype == jnp.uint8:
-      return a.astype(jnp.float32) / 255.0
-    return a
-
   def fused(state, data):
     n = None if sample_fn is not None else \
         jax.tree_util.tree_leaves(data)[0].shape[0]
@@ -403,5 +405,68 @@ def device_dataset_steps(step_fn: Callable, batch_size: int,
     state, metrics = jax.lax.scan(body, state, None, length=n_steps)
     last = jax.tree_util.tree_map(lambda m: m[-1], metrics)
     return state, last
+
+  return fused
+
+
+def stack_states(states: Sequence[TrainState]) -> TrainState:
+  """Stack per-seed TrainStates leaf-wise into one (S, ...) state pytree
+  for `multiseed_device_dataset_steps`."""
+  return jax.tree_util.tree_map(lambda *xs: jnp.stack(xs), *states)
+
+
+def unstack_states(stacked: TrainState) -> List[TrainState]:
+  """Split a stacked (S, ...) TrainState back into per-seed states."""
+  n = int(stacked.step.shape[0])
+  return [jax.tree_util.tree_map(lambda a: a[i], stacked) for i in range(n)]
+
+
+def multiseed_device_dataset_steps(step_fn: Callable, batch_size: int,
+                                   n_steps: int, seeds: Sequence[int],
+                                   sample_fn: Optional[Callable] = None,
+                                   ) -> Callable:
+  """Train S INDEPENDENT model replicas in ONE compiled program.
+
+  TPU-native multi-seed training: published disentanglement results are
+  seed distributions (Locatello et al. 2019 train 50 seeds per recipe),
+  and the conv-VAE step at reference width uses a fraction of the MXU
+  (BASELINE.md: 16.9% MFU, conv-bound) — so instead of S sequential runs
+  (S remote compiles + S wall-clocks), `jax.vmap` over a stacked
+  `TrainState` batches all S models' convolutions into the same kernels.
+  One compile, one dispatch stream, S results.  No counterpart in the
+  reference (one process trains one model there).
+
+  Each lane draws its OWN batch stream: lane i's per-step key is
+  ``fold_in(PRNGKey(seeds[i]), state.step)`` — bit-identical to a
+  single-model `device_dataset_steps(seed=seeds[i])` run, so a lane of
+  the stacked run reproduces the standalone run exactly (pinned by
+  tests/test_multiseed.py).
+
+  Returns ``fused(stacked_state, data) -> (stacked_state, last_metrics)``
+  where `stacked_state` comes from `stack_states` and every metric leaf
+  gains a leading (S,) axis.  `data` is shared (NOT stacked) across lanes.
+  """
+  seed_keys = jnp.stack([jax.random.PRNGKey(int(s)) for s in seeds])
+
+  def fused(stacked_state, data):
+    n = None if sample_fn is not None else \
+        jax.tree_util.tree_leaves(data)[0].shape[0]
+
+    def body(stack, _):
+      def one(state, skey):
+        key = jax.random.fold_in(skey, state.step)
+        if sample_fn is not None:
+          batch = sample_fn(key, data)
+        else:
+          idx = jax.random.randint(key, (batch_size,), 0, n)
+          batch = jax.tree_util.tree_map(lambda a: _dequantize(a[idx]), data)
+        return step_fn(state, batch)
+
+      return jax.vmap(one, in_axes=(0, 0))(stack, seed_keys)
+
+    stacked, metrics = jax.lax.scan(body, stacked_state, None,
+                                    length=n_steps)
+    last = jax.tree_util.tree_map(lambda m: m[-1], metrics)
+    return stacked, last
 
   return fused
