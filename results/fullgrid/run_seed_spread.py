@@ -104,6 +104,7 @@ def main():
     for s, lane in zip(todo, unstack_states(jax.device_get(stacked))):
       vae.state = lane
       vae.step = int(lane.step)
+      vae.save_weights(os.path.join(OUT, f"betavae4_seed{s}_{kk}k.pkl"))
       rep = evaluate(vae, ds, s, args.steps, rate, args.eval_samples)
       rep["vmapped_lanes"] = len(todo)
       with open(os.path.join(OUT, f"betavae4_seed{s}_{kk}k.json"),
