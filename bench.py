@@ -17,6 +17,15 @@ matmul precision — the measured throughput peak) and
 transfer).  Set ODIN_BENCH_FAST=1 to skip those two extra compiles.
 A FLOPs+wall-clock regression tripwire for the headline kernel lives in
 tests/test_bench_regression.py.
+
+CAVEAT (VERDICT r3 weak #5): `mel_vad_frames_per_sec` rides the tunnel's
+transfer channel, whose throughput swings up to 4x across a day
+(BASELINE.md memoization audit: 0.99M-4.6M frames/s for the same code) —
+treat single draws as order-of-magnitude only; regressions smaller than
+that variance are caught by the compiled-cost extraction tripwire
+(tests/test_bench_regression.py::test_extraction_kernel_bands), not by
+this number.  The metric is measured FIRST in the process because the MXU
+config's big device_put degrades the transfer path afterwards (CLAUDE.md).
 """
 import json
 import os
