@@ -378,6 +378,38 @@ class DisentanglementGym:
   def kl_divergence(self) -> float:
     return float(np.mean(self.kl_divergence_values()))
 
+  def kl_unweighted_values(self) -> np.ndarray:
+    """Per-sample UNWEIGHTED analytic KL(q(z|x) || p(z)) of the top-level
+    latents — the information-theoretic rate that published ELBO/KL tables
+    report.  `kl_divergence()` is the OBJECTIVE's KL-side term instead: it
+    sums the model's `elbo_components` kl dict, which for the BetaVAE
+    family is beta-SCALED (4x the rate at beta=4) and for FactorVAE
+    includes the `tc_coef * TC` penalty.  Round-4 finding: conflating the
+    two made full-budget runs look like optimization failures (reported
+    "KL 69.6" at beta=4 = true rate 17.4).  Ladder-rung KLs are not
+    included here (top-level posterior only)."""
+    self._require_run()
+    prior = self.model.latents_prior
+    if prior is None:
+      return np.zeros(len(self._z_mean))
+    import jax
+    from odin_tpu.bay.helpers import kl_divergence as _kl
+    try:
+      v = _kl(self.qz, prior, analytic=True)
+    except Exception:
+      v = _kl(self.qz, prior, q_sample=10,
+              seed=jax.random.PRNGKey(self.seed))
+    return np.asarray(v)
+
+  def kl_unweighted(self) -> float:
+    return float(np.mean(self.kl_unweighted_values()))
+
+  def elbo_unweighted(self) -> float:
+    """llk - unweighted top-level KL: the STANDARD (beta=1) ELBO literature
+    reports; `elbo()` is the model's own training objective instead."""
+    return float(np.mean(self.log_likelihood_values()) -
+                 np.mean(self.kl_unweighted_values()))
+
   def accuracy_score(self) -> float:
     """Linear probe accuracy on the first factor (reference :1680)."""
     self._require_run()
@@ -697,6 +729,8 @@ class DisentanglementGym:
           out["log_likelihood"] = self.log_likelihood()
         elif s == "kl":
           out["kl_divergence"] = self.kl_divergence()
+          out["kl_unweighted"] = self.kl_unweighted()
+          out["elbo_unweighted"] = self.elbo_unweighted()
         elif s == "mig":
           out["mig"] = self.mig_score()
         elif s == "sap":

@@ -60,7 +60,13 @@ def main():
     vae.load_weights(pkl)
     gym = DisentanglementGym(dataset=ds, model=vae, batch_size=256)
     gym.run_model(n_samples=10_000, partition="test")
-    rep = {}
+    rep = dict(
+        # the literature-comparable rate/ELBO (the *_fullgrid.json
+        # "kl_divergence" is the OBJECTIVE's KL term: beta-scaled for
+        # BetaVAE, +tc_coef*TC for FactorVAE — see gym.kl_unweighted)
+        kl_unweighted=gym.kl_unweighted(),
+        elbo_unweighted=gym.elbo_unweighted(),
+        log_likelihood=gym.log_likelihood())
     for proto in ("reference", "dlib"):
       rep[f"betavae_score_{proto}"] = gym.betavae_score(protocol=proto)
       rep[f"factorvae_score_{proto}"] = gym.factorvae_score(protocol=proto)

@@ -17,7 +17,8 @@ COLS = [("betavae_score", "BetaVAE"), ("betavae_score_dlib", "BetaVAE*"),
         ("factorvae_score_dlib", "FactorVAE*"),
         ("mig", "MIG"), ("mig_dlib", "MIG*"), ("sap", "SAP"),
         ("dci_disentanglement", "DCI-dis"),
-        ("log_likelihood", "llk"), ("kl_divergence", "KL"),
+        ("log_likelihood", "llk"), ("kl_divergence", "KLobj"),
+        ("kl_unweighted", "rate"),
         ("n_active_units", "AU")]
 LABELS = {"betavae4": "BetaVAE (beta=4)", "betavae8": "BetaVAE (beta=8)",
           "factorvae": "FactorVAE (tc=35)", "adagvae": "Ada-GVAE"}
@@ -34,7 +35,8 @@ def main():
     r = json.load(open(p))
     m = r["model"]
     if m in rows:
-      for k in ("betavae_score_dlib", "factorvae_score_dlib", "mig_dlib"):
+      for k in ("betavae_score_dlib", "factorvae_score_dlib", "mig_dlib",
+                "kl_unweighted", "elbo_unweighted"):
         if rows[m].get(k) is None and r.get(k) is not None:
           rows[m][k] = r[k]
   if not rows:
@@ -55,6 +57,10 @@ def main():
       "representation scores very differently under the two (see "
       "`eval_dlib_protocol.py`); published ranges are only comparable to "
       "the starred columns.", "",
+      "`KLobj` is the OBJECTIVE's KL-side term (beta-scaled for BetaVAE; "
+      "includes the tc_coef*TC penalty for FactorVAE); `rate` is the "
+      "unweighted analytic KL(q(z|x)||p(z)) — the number published ELBO/"
+      "KL tables report (gym.kl_unweighted).", "",
       "| model | " + " | ".join(h for _, h in COLS) +
       " | steps | steps/s | train h |",
       "|---|" + "---|" * (len(COLS) + 3),

@@ -51,7 +51,10 @@ def evaluate(vae, ds, seed, steps, rate, n_eval):
   gym.run_model(n_samples=n_eval, partition="test")
   rep = dict(seed=seed, n_steps=steps, steps_per_sec=round(rate, 1),
              elbo=float(gym.elbo()),
-             kl_divergence=float(gym.kl_divergence()))
+             kl_divergence=float(gym.kl_divergence()),
+             kl_unweighted=float(gym.kl_unweighted()),
+             elbo_unweighted=float(gym.elbo_unweighted()),
+             log_likelihood=float(gym.log_likelihood()))
   for proto in ("reference", "dlib"):
     rep[f"betavae_score_{proto}"] = gym.betavae_score(protocol=proto)
     rep[f"factorvae_score_{proto}"] = gym.factorvae_score(protocol=proto)

@@ -111,6 +111,32 @@ def test_groundtruth_sampling():
   assert gt2.factors.max() <= 3
 
 
+def test_gym_kl_objective_vs_unweighted():
+  """`kl_divergence` is the OBJECTIVE's KL term (BetaVAE: beta-scaled);
+  `kl_unweighted` is the literature's information rate.  Round-4 finding:
+  conflating them made the full-budget beta=4 run read as KL 69.6 (true
+  rate 17.4) — this pins the factor-of-beta relationship on a flat model."""
+  from odin_tpu.bay.vi import BetaVAE, DisentanglementGym
+  from test_zoo_execution import _tiny_image_networks
+  X = (np.random.RandomState(0).rand(96, 8, 8, 1) > 0.5).astype("f")
+  vals = {}
+  for beta in (1.0, 4.0):
+    # analytic=True so the objective-side KL is exact (the default MC
+    # 1-sample estimate differs from the analytic rate by sampling noise)
+    vae = BetaVAE(beta=beta, analytic=True,
+                  **_tiny_image_networks()).build(seed=1)
+    gym = DisentanglementGym(model=vae, x=X, batch_size=32)
+    gym.run_model(n_samples=96)
+    vals[beta] = (gym.kl_divergence(), gym.kl_unweighted())
+  kw1, ku1 = vals[1.0]
+  kw4, ku4 = vals[4.0]
+  assert ku1 > 0 and ku4 > 0
+  # same seed -> same params -> same true rate; objective term scales by beta
+  np.testing.assert_allclose(kw1, ku1, rtol=1e-4)
+  np.testing.assert_allclose(kw4, 4.0 * ku4, rtol=1e-4)
+  np.testing.assert_allclose(ku4, ku1, rtol=1e-4)
+
+
 @pytest.mark.slow
 def test_gym_integration():
   from odin_tpu.fuel import dSpritesSmall
