@@ -82,6 +82,10 @@ class VectorQuantizer(nn.Module):
     else:
       codebook = self.param("codebook", init,
                             (self.n_codes, self.code_dim))
+    # jnp.asarray: host-side evaluation closes over device_get'ed (numpy)
+    # variables, and numpy refuses fancy-indexing by a traced array
+    # (bit the round-4 vqvae eval)
+    codebook = jnp.asarray(codebook)
     # pairwise squared distances over every position: (..., K)
     d = (jnp.sum(h * h, -1, keepdims=True) -
          2.0 * h @ codebook.T +
