@@ -24,6 +24,8 @@ def main():
     rows.append(r)
   for p in sorted(glob.glob(os.path.join(HERE, "betavae4_seed*_*k.json"))):
     rows.append(json.load(open(p)))
+  lr_rows = [json.load(open(p)) for p in sorted(
+      glob.glob(os.path.join(HERE, "betavae4lr1e4_seed*_*k.json")))]
   if not rows:
     raise SystemExit("no betavae4 results yet")
   cols = [("betavae_score", "BetaVAE"), ("betavae_score_dlib", "BetaVAE*"),
@@ -48,6 +50,20 @@ def main():
 
     lines.append(f"| {r.get('seed', '?')} | {r['n_steps'] / 1e3:.0f}k | " +
                  " | ".join(get(k) for k, _ in cols) + " |")
+  if lr_rows:
+    lines += [
+        "", "### Same seeds, Locatello et al.'s exact optimizer "
+        "(constant Adam 1e-4 instead of the reference's 1e-3 exp-decay)",
+        "",
+        "| seed | steps | " + " | ".join(h for _, h in cols) + " |",
+        "|---|---|" + "---|" * len(cols),
+    ]
+    for r in lr_rows:
+      def get(k, r=r):
+        v = r.get(k, r.get(k + "_reference"))
+        return f"{v:.3f}" if isinstance(v, (int, float)) else "-"
+      lines.append(f"| {r.get('seed', '?')} | {r['n_steps'] / 1e3:.0f}k | " +
+                   " | ".join(get(k) for k, _ in cols) + " |")
   out = "\n".join(lines)
   with open(os.path.join(HERE, "SPREAD.md"), "w") as f:
     f.write(out + "\n")
