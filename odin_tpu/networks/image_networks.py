@@ -50,7 +50,7 @@ __all__ = [
     "omniglot_networks", "cifar_networks", "cifar10_networks",
     "cifar20_networks", "cifar100_networks", "svhn_networks",
     "dsprites_networks", "vq_dsprites_networks", "shapes3d_networks",
-    "celeba_networks",
+    "locatello_networks", "celeba_networks",
     "halfmoons_networks", "cortex_networks", "pbmc_networks",
     "get_networks", "get_optimizer_info", "PackImageParams",
 ]
@@ -356,6 +356,51 @@ def shapes3d_networks(qz: str = "mvndiag", zdim: Optional[int] = None,
 
 shapes3dsmall_networks = shapes3d_networks
 shapes3d0_networks = shapes3d_networks
+
+
+def locatello_networks(qz: str = "mvndiag", zdim: Optional[int] = None,
+                       **kwargs) -> Dict[str, Any]:
+  """disentanglement_lib's EXACT conv trunk (Locatello et al. 2019;
+  `conv_encoder`/`deconv_decoder` in dlib `shared/architectures.py`) —
+  the architecture behind every published dSprites/Shapes3D benchmark
+  number.  Differs from the reference's own 64x64 trunk
+  (`dsprites_networks`) in: ReLU (not elu), encoder kernels 4-4-2-2 (not
+  4-4-4-4), an fc-256 ReLU projection (not a linear 128), an
+  fc-256 + fc-1024 ReLU decoder stem, and NO input centering (bernoulli
+  likelihood on raw [0,1] pixels).  Used by the seed-spread trunk study
+  (results/fullgrid/run_seed_spread.py --trunk dlib) to discriminate
+  architecture-level from recipe-level score differences."""
+  n_channels = int(kwargs.get("n_channels", 1))
+  input_shape = (64, 64, n_channels)
+  zdim = 10 if zdim is None else int(zdim)
+  n_params, observation = _obs_distribution(
+      input_shape, kwargs.get("distribution", "bernoulli"))
+  encoder = SequentialNetwork((
+      Conv(32, 4, 2, "relu"),   # 32, 32, 32
+      Conv(32, 4, 2, "relu"),   # 16, 16, 32
+      Conv(64, 2, 2, "relu"),   # 8, 8, 64
+      Conv(64, 2, 2, "relu"),   # 4, 4, 64
+      Flatten(),
+      Dense(256, activation="relu"),
+  ), name="encoder")
+  decoder = _decoder_network((
+      Dense(256, activation="relu"),
+      Dense(1024, activation="relu"),
+      Reshape((4, 4, 64)),
+      ConvTranspose(64, 4, 2, "relu"),  # 8, 8, 64
+      ConvTranspose(64, 4, 2, "relu"),  # 16, 16, 64
+      ConvTranspose(32, 4, 2, "relu"),  # 32, 32, 32
+      ConvTranspose(n_channels * n_params, 4, 2, None),  # 64, 64, C·n
+      PackImageParams(n_params),
+  ), kwargs.get("skip_generator", False))
+  return dict(
+      encoder=encoder,
+      decoder=decoder,
+      latents=RVconf((zdim,), qz, projection=True, name="latents"),
+      observation=observation,
+      input_shape=input_shape,
+      hierarchy=(),
+  )
 
 
 def celeba_networks(qz: str = "mvndiag", zdim: Optional[int] = None,

@@ -35,10 +35,17 @@ import optax
 from odin_tpu.bay.vi import DisentanglementGym, get_vae
 from odin_tpu.fuel import dSprites
 from odin_tpu.networks import get_networks
+from odin_tpu.networks.image_networks import locatello_networks
 from odin_tpu.training.core import (
     multiseed_device_dataset_steps, stack_states, unstack_states)
 
 OUT = os.path.dirname(os.path.abspath(__file__))
+
+
+def make_nets(trunk: str):
+  if trunk == "dlib":
+    return locatello_networks(zdim=10)
+  return get_networks("dsprites", zdim=10)
 
 
 def reference_lr():
@@ -79,6 +86,13 @@ def main():
   ap.add_argument("--tag", default="",
                   help="filename tag, e.g. 'lr1e4' -> "
                        "betavae4lr1e4_seed2_300k.json")
+  ap.add_argument("--trunk", default="ref", choices=["ref", "dlib"],
+                  help="conv trunk: 'ref' = the reference's elu 4-4-4-4 "
+                       "trunk (dsprites_networks); 'dlib' = "
+                       "disentanglement_lib's exact ReLU trunk "
+                       "(locatello_networks) — the round-5 discriminating "
+                       "experiment (VERDICT r4 task 3: is the below-median "
+                       "beta-VAE disentanglement an architecture effect?)")
   args = ap.parse_args()
 
   ds = dSprites(full_grid=True)
@@ -94,7 +108,7 @@ def main():
       print("all seeds already done", flush=True)
       return
     t0 = time.time()
-    vae = get_vae("betavae")(beta=4.0, **get_networks("dsprites", zdim=10))
+    vae = get_vae("betavae")(beta=4.0, **make_nets(args.trunk))
     states, raw = [], None
     for s in todo:
       vae.build(seed=s)
@@ -135,7 +149,7 @@ def main():
       print(f"[seed {seed}] already done", flush=True)
       continue
     t0 = time.time()
-    vae = get_vae("betavae")(beta=4.0, **get_networks("dsprites", zdim=10))
+    vae = get_vae("betavae")(beta=4.0, **make_nets(args.trunk))
     vae.build(seed=seed)
     vae.fit_device_dataset(X, n_steps=args.steps, batch_size=64,
                            learning_rate=lr,

