@@ -77,6 +77,12 @@ def main():
         f"{wall:.0f}s = {fps / 1e6:.2f}M frames/s "
         f"({corpus_gb:.2f} GB in -> {out_gb:.2f} GB features out)",
         flush=True)
+  phase = ds.attrs.get("phase_sec", {})
+  if phase:
+    tot = max(sum(phase.values()), 1e-9)
+    print("phase decomposition (host wall-clock inside run()):", flush=True)
+    for k, v in sorted(phase.items(), key=lambda kv: -kv[1]):
+      print(f"  {k:12s} {v:7.1f}s  {100 * v / tot:5.1f}%", flush=True)
 
   # --- 3. 1-core NumPy reference rate on a slice (same extractor chain)
   from odin_tpu.preprocessing import (AcousticNorm, AudioReader,
@@ -109,8 +115,15 @@ def main():
              numpy_frames_per_sec=round(ref_fps),
              speedup=round(fps / ref_fps, 1),
              features_gb=round(out_gb, 2),
+             phase_sec=phase,
              config="64 spk x 64 utt x 8 s, int16 raw ingest, batch 64")
-  with open(os.path.join(OUT, "corpus_extraction.json"), "w") as f:
+  # keep the round-4 measurement for the history (same corpus, the
+  # pre-decomposition write path)
+  prev = os.path.join(OUT, "corpus_extraction.json")
+  if os.path.exists(prev) and not os.path.exists(
+      os.path.join(OUT, "corpus_extraction_r4.json")):
+    os.rename(prev, os.path.join(OUT, "corpus_extraction_r4.json"))
+  with open(prev, "w") as f:
     json.dump(row, f, indent=1)
   print(json.dumps(row), flush=True)
 
