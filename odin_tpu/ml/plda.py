@@ -140,8 +140,11 @@ class PLDA:
     _, ld_tot = np.linalg.slogdet(tot)
     _, ld_schur = np.linalg.slogdet(tot - B @ tot_i @ B)
     const = 0.5 * (2 * ld_tot - ld_tot - ld_schur)
-    sE = -0.5 * np.einsum("ni,ij,nj->n", E, Q, E)
-    sT = -0.5 * np.einsum("ni,ij,nj->n", T, Q, T)
+    # llr = e'P t + 0.5 e'Q e + 0.5 t'Q t + const with Q = tot^-1 - Lambda
+    # (block-inverse of the same-speaker joint covariance; equal to
+    # `score_trials` evaluated pairwise — pinned by tests/test_ml.py)
+    sE = 0.5 * np.einsum("ni,ij,nj->n", E, Q, E)
+    sT = 0.5 * np.einsum("ni,ij,nj->n", T, Q, T)
     cross = E @ P @ T.T
     return cross + sE[:, None] + sT[None, :] + const
 

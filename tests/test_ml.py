@@ -93,6 +93,13 @@ def test_plda_verification():
   same = S[yte[:, None] == yte[None, :]]
   diff = S[yte[:, None] != yte[None, :]]
   assert same.mean() > diff.mean() + 1.0
+  # the Schur-complement fast path must equal the direct joint-Gaussian llr
+  # (score_trials) pairwise — this pins the quadratic-term SIGNS, which the
+  # mean-separation check above cannot (the cross term dominates ranking;
+  # round-5 caught a sign flip here that cost ~9% absolute EER open-set)
+  M = np.array([[plda.score_trials(Xte[i:i + 1], Xte[j:j + 1])[0]
+                 for j in range(0, 12, 3)] for i in range(0, 8, 2)])
+  np.testing.assert_allclose(S[0:8:2][:, 0:12:3], M, rtol=1e-8, atol=1e-8)
   # closed-set prediction
   acc = np.mean(plda.predict(Xte) == yte)
   assert acc > 0.9
