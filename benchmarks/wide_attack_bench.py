@@ -33,14 +33,15 @@ OUT = os.path.join(os.path.dirname(os.path.abspath(__file__)), "..",
 WIDTH = 4
 
 
-def wide_nets(decoder_mode: str = "convtranspose"):
+def wide_nets(decoder_mode: str = "convtranspose", s2d: bool = False):
   from odin_tpu.networks import DepthToSpace
   from odin_tpu.networks.base import (Conv, ConvTranspose, Dense, Reshape,
                                       SequentialNetwork)
   from odin_tpu.networks.image_networks import PackImageParams, \
       get_networks
 
-  nets = get_networks("dsprites", zdim=10, width=WIDTH)
+  nets = get_networks("dsprites", zdim=10, width=WIDTH,
+                      space_to_depth=s2d)
   if decoder_mode == "d2s":
     w = WIDTH
 
@@ -63,24 +64,27 @@ def run_variant(name: str):
   kw = {}
   batch = 128
   decoder = "convtranspose"
+  s2d = False
   for part in name.split("+"):
     if part == "base":
       pass
-    elif part == "batch256":
-      batch = 256
+    elif part.startswith("batch"):
+      batch = int(part[5:])
     elif part == "bf16":
       kw["compute_dtype"] = jnp.bfloat16
     elif part == "remat":
       kw["remat"] = True
     elif part == "d2s":
       decoder = "d2s"
+    elif part == "s2d":
+      s2d = True  # space-to-depth rewrite of the thin-channel first conv
     else:
       raise ValueError(part)
 
   from odin_tpu.bay.vi import BetaVAE
 
   def factory():
-    return BetaVAE(beta=1.0, **wide_nets(decoder)).build(seed=1)
+    return BetaVAE(beta=1.0, **wide_nets(decoder, s2d)).build(seed=1)
 
   steps_per_sec, mfu = bench.run_mxu_config(factory, batch=batch, **kw)
   imgs = steps_per_sec * batch

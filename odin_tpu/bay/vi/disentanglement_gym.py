@@ -10,6 +10,7 @@ relative strength/TC/elbo/llk/kl/accuracy/active units/FID (:1510-1769),
 from __future__ import annotations
 
 import os
+import warnings
 from typing import Any, Dict, List, Optional, Sequence, Tuple, Union
 
 import jax
@@ -282,41 +283,47 @@ class DisentanglementGym:
     return _dm.dci_scores(self._z_mean, self.groundtruth.factors,
                           seed=self.seed)
 
-  def betavae_score(self, n_samples: int = 2000,
+  def betavae_score(self, n_samples: Optional[int] = None,
                     protocol: str = "reference") -> float:
     """Higgins' beta-VAE metric.
 
     protocol="reference" follows the reference's own evaluation
     (``downstream_metrics.py:399``): 10 MCMC samples of z, pair batches of
-    10, `n_samples` votes.  protocol="dlib" follows disentanglement_lib's
-    ``beta_vae_sklearn`` — the protocol behind every published number:
-    posterior MEAN representation, pair batches of 64, 10,000 votes.  The
-    two differ materially on the same model (the MCMC-sample noise and the
-    6x smaller averaging batch depress the reference-protocol score);
-    results/fullgrid reports both."""
+    10, `n_samples` votes (default 2,000).  protocol="dlib" follows
+    disentanglement_lib's ``beta_vae_sklearn`` — the protocol behind every
+    published number: posterior MEAN representation, pair batches of 64,
+    `n_samples` train votes (default 10,000) scored on 5,000 held-out eval
+    votes.  The two differ materially on the same model (the MCMC-sample
+    noise and the 6x smaller averaging batch depress the
+    reference-protocol score); results/fullgrid reports both."""
     self._require_run()
     if protocol == "dlib":
       return _dm.beta_vae_score(self.qz, self.groundtruth.factors, n_mcmc=0,
-                                batch_size=64, n_samples=10_000,
-                                seed=self.seed)
+                                batch_size=64,
+                                n_samples=n_samples or 10_000,
+                                n_eval_samples=5_000, seed=self.seed)
     return _dm.beta_vae_score(self.qz, self.groundtruth.factors,
-                              n_samples=n_samples, seed=self.seed)
+                              n_samples=n_samples or 2_000, seed=self.seed)
 
-  def factorvae_score(self, n_samples: int = 2000,
+  def factorvae_score(self, n_samples: Optional[int] = None,
                       protocol: str = "reference") -> float:
     """Kim & Mnih's FactorVAE metric.
 
     protocol="reference": 10 MCMC samples of z, batches of 256, `n_samples`
-    votes (the reference's ``downstream_metrics.py:431``).
+    votes (default 2,000; the reference's ``downstream_metrics.py:431``).
     protocol="dlib": disentanglement_lib's published protocol — posterior
-    MEAN, batches of 64, 10,000 votes, dims pruned at std < 0.05."""
+    MEAN, batches of 64, `n_samples` train votes (default 10,000) with
+    5,000 held-out eval votes, dims pruned at std < 0.05."""
     self._require_run()
     if protocol == "dlib":
       return _dm.factor_vae_score(self.qz, self.groundtruth.factors,
-                                  n_mcmc=0, batch_size=64, n_samples=10_000,
-                                  prune_threshold=0.05, seed=self.seed)
+                                  n_mcmc=0, batch_size=64,
+                                  n_samples=n_samples or 10_000,
+                                  n_eval_samples=5_000,
+                                  prune_threshold=0.05, prune_scale="std",
+                                  seed=self.seed)
     return _dm.factor_vae_score(self.qz, self.groundtruth.factors,
-                                n_samples=n_samples, seed=self.seed)
+                                n_samples=n_samples or 2_000, seed=self.seed)
 
   def clustering_score(self, factor_index: int = 0) -> Dict[str, float]:
     """ARI/AMI/NMI/ASW (reference :1571)."""
@@ -393,12 +400,23 @@ class DisentanglementGym:
     if prior is None:
       return np.zeros(len(self._z_mean))
     import jax
+    from odin_tpu.bay.distributions.base import kl_registry_lookup
     from odin_tpu.bay.helpers import kl_divergence as _kl
-    try:
+    # explicit registry probe instead of a bare try/except (ADVICE r4): a
+    # registry regression must not silently inject MC noise into published
+    # rate numbers.  `kl_unweighted_estimator` records which path produced
+    # the values.
+    if kl_registry_lookup(type(self.qz), type(prior)) is not None:
       v = _kl(self.qz, prior, analytic=True)
-    except Exception:
+      self.kl_unweighted_estimator = "analytic"
+    else:
+      warnings.warn(
+          f"no analytic KL registered for ({type(self.qz).__name__}, "
+          f"{type(prior).__name__}); kl_unweighted falls back to a "
+          f"10-sample MC estimate", stacklevel=2)
       v = _kl(self.qz, prior, q_sample=10,
               seed=jax.random.PRNGKey(self.seed))
+      self.kl_unweighted_estimator = "mc10"
     return np.asarray(v)
 
   def kl_unweighted(self) -> float:

@@ -193,6 +193,7 @@ _GATHER_CHUNK = 512  # iterations per vectorized gather (bounds peak memory)
 
 def beta_vae_score(representations, factors, n_mcmc: int = 10,
                    batch_size: int = 10, n_samples: int = 10000,
+                   n_eval_samples: int = 0,
                    seed: int = 1, return_model: bool = False,
                    verbose: bool = False) -> float:
   """beta-VAE metric (Higgins et al.; reference :399): logistic regression
@@ -204,7 +205,11 @@ def beta_vae_score(representations, factors, n_mcmc: int = 10,
   that pre-draws every (factor, value, pair) index, followed by chunked
   vectorized gathers + one |z1-z2| reduction; sklearn only does the final
   logistic fit.  Same estimator (tests hold the score equal to the loop
-  implementation within sampling tolerance), >=10x faster on host."""
+  implementation within sampling tolerance), >=10x faster on host.
+
+  `n_eval_samples > 0` reports EVAL accuracy on that many independently
+  drawn pairs instead of training accuracy — disentanglement_lib's
+  published protocol (10k train / 5k eval votes; ADVICE r4)."""
   from sklearn.linear_model import LogisticRegression
   rand = np.random.RandomState(seed)
   factors = np.asarray(factors)
@@ -216,57 +221,77 @@ def beta_vae_score(representations, factors, n_mcmc: int = 10,
   mcmc, X = _representation_matrix(representations, n_mcmc, rand)
   tables = _flat_buckets(factors, min_count=2)
   eligible = np.array([len(t[2]) > 0 for t in tables])
-  fs = rand.randint(n_factors, size=n_samples)
-  fs = fs[eligible[fs]]
   n_latents = X.shape[-1] if mcmc is None else mcmc.shape[-1]
-  feats = np.empty((len(fs), n_latents), X.dtype)
-  row = 0
-  for f in range(n_factors):
-    m = int(np.sum(fs == f))
-    if m == 0:
-      continue
-    order, offsets, counts = tables[f]
-    for c0 in range(0, m, _GATHER_CHUNK):
-      cm = min(_GATHER_CHUNK, m - c0)
-      # value choice per pair slot, then two DISTINCT rows inside the value
-      vs = rand.randint(len(counts), size=(cm, batch_size))
-      c = counts[vs]
-      r1 = (rand.random_sample((cm, batch_size)) * c).astype(np.int64)
-      r2 = (rand.random_sample((cm, batch_size)) * (c - 1)).astype(np.int64)
-      r2 += (r2 >= r1)
-      ids1 = order[offsets[vs] + r1]
-      ids2 = order[offsets[vs] + r2]
-      if mcmc is None:
-        z1, z2 = X[ids1], X[ids2]
-      else:
-        # one random MCMC layer per gather, as the reference draws one
-        # layer per get_x call (:311-319)
-        l1 = rand.randint(n_mcmc, size=(cm, 1))
-        l2 = rand.randint(n_mcmc, size=(cm, 1))
-        z1, z2 = mcmc[l1, ids1], mcmc[l2, ids2]
-      feats[row + c0:row + c0 + cm] = np.mean(np.abs(z1 - z2), axis=1)
-    row += m
-  labels = np.sort(fs, kind="stable")  # rows were filled factor-major
+
+  def pair_features(n):
+    """(feats, labels) for `n` factor draws, factor-major row order."""
+    fs = rand.randint(n_factors, size=n)
+    fs = fs[eligible[fs]]
+    feats = np.empty((len(fs), n_latents), X.dtype)
+    row = 0
+    for f in range(n_factors):
+      m = int(np.sum(fs == f))
+      if m == 0:
+        continue
+      order, offsets, counts = tables[f]
+      for c0 in range(0, m, _GATHER_CHUNK):
+        cm = min(_GATHER_CHUNK, m - c0)
+        # value choice per pair slot, then two DISTINCT rows in the value
+        vs = rand.randint(len(counts), size=(cm, batch_size))
+        c = counts[vs]
+        r1 = (rand.random_sample((cm, batch_size)) * c).astype(np.int64)
+        r2 = (rand.random_sample((cm, batch_size)) * (c - 1)).astype(np.int64)
+        r2 += (r2 >= r1)
+        ids1 = order[offsets[vs] + r1]
+        ids2 = order[offsets[vs] + r2]
+        if mcmc is None:
+          z1, z2 = X[ids1], X[ids2]
+        else:
+          # one random MCMC layer per gather, as the reference draws one
+          # layer per get_x call (:311-319)
+          l1 = rand.randint(n_mcmc, size=(cm, 1))
+          l2 = rand.randint(n_mcmc, size=(cm, 1))
+          z1, z2 = mcmc[l1, ids1], mcmc[l2, ids2]
+        feats[row + c0:row + c0 + cm] = np.mean(np.abs(z1 - z2), axis=1)
+      row += m
+    return feats, np.sort(fs, kind="stable")
+
+  feats, labels = pair_features(n_samples)
   if len(np.unique(labels)) < 2:
     # every drawn factor degenerate but one: trivially separable
     return (1.0, None) if return_model else 1.0
   model = LogisticRegression(max_iter=5000, random_state=seed)
   model.fit(feats, labels)
+  if n_eval_samples > 0:
+    feats, labels = pair_features(n_eval_samples)
   score = float(model.score(feats, labels))
   return (score, model) if return_model else score
 
 
 def factor_vae_score(representations, factors, n_mcmc: int = 10,
                      batch_size: int = 256, n_samples: int = 10000,
+                     n_eval_samples: int = 0,
                      seed: int = 1, return_model: bool = False,
                      prune_threshold: float = 1e-6,
+                     prune_scale: Optional[str] = None,
                      verbose: bool = False) -> float:
   """FactorVAE metric (Kim & Mnih; reference :431): majority vote of the
   argmin-variance latent for fixed-factor batches.
 
   Vectorized like `beta_vae_score` (VERDICT r3 missing #2): all 10k
   (factor, value, batch-row) indices pre-drawn in one RandomState pass,
-  variances computed by chunked gathers, votes by one bincount per factor."""
+  variances computed by chunked gathers, votes by one bincount per factor.
+
+  `prune_scale` names the scale `prune_threshold` is interpreted on:
+  ``'std'`` (disentanglement_lib's ``_prune_dims(threshold=0.05)``) or
+  ``'var'`` (the reference's collapsed-dim variance cut).  ``None`` keeps
+  the legacy magnitude dispatch (>= 1e-3 means std) for backward
+  compatibility (ADVICE r4: a caller passing e.g. 5e-4 intending std
+  silently got variance semantics — pass prune_scale explicitly).
+
+  `n_eval_samples > 0` reports EVAL accuracy of the majority-vote
+  classifier on that many fresh votes instead of training-vote accuracy —
+  disentanglement_lib's published protocol (10k train / 5k eval)."""
   rand = np.random.RandomState(seed)
   factors = np.asarray(factors).astype(np.int64)
   n_factors = factors.shape[1]
@@ -277,48 +302,55 @@ def factor_vae_score(representations, factors, n_mcmc: int = 10,
   # ``downstream_metrics.py:330-334``, which ties collapsed dims with
   # informative ones when posterior scales are uniform)
   global_var = np.var(X_all, axis=0, ddof=1)
-  # prune_threshold >= 1e-3 is interpreted on the STD scale
-  # (disentanglement_lib's ``_prune_dims(threshold=0.05)`` semantics, used
-  # by the gym's protocol="dlib"); the default 1e-6 keeps the reference
-  # behavior of pruning only truly collapsed dims (variance scale)
-  if prune_threshold >= 1e-3:
+  if prune_scale is None:
+    prune_scale = "std" if prune_threshold >= 1e-3 else "var"
+  if prune_scale == "std":
     active = np.sqrt(global_var) >= prune_threshold
-  else:
+  elif prune_scale == "var":
     active = global_var > prune_threshold
+  else:
+    raise ValueError(f"prune_scale must be 'std'|'var', got {prune_scale}")
   active_idx = np.where(active)[0]
   tables = _flat_buckets(factors, min_count=2)
   eligible = np.array([len(t[2]) > 0 for t in tables])
-  fs = rand.randint(n_factors, size=n_samples)
-  fs = fs[eligible[fs]]
-  votes = np.zeros((n_factors, n_latents), dtype=np.int64)
-  for f in range(n_factors):
-    m = int(np.sum(fs == f))
-    if m == 0:
-      continue
-    order, offsets, counts = tables[f]
-    for c0 in range(0, m, _GATHER_CHUNK):
-      cm = min(_GATHER_CHUNK, m - c0)
-      vs = rand.randint(len(counts), size=cm)
-      c = counts[vs][:, None]
-      r = (rand.random_sample((cm, batch_size)) * c).astype(np.int64)
-      ids = order[offsets[vs][:, None] + r]
-      if mcmc is None:
-        obs = X_all[ids]                               # (cm, batch, D)
-      else:
-        layer = rand.randint(n_mcmc, size=(cm, 1))
-        obs = mcmc[layer, ids]
-      # sum/sumsq variance via einsum reductions (one pass, no centered
-      # copy, no strided-axis mean): ddof=1
-      mean = np.einsum("ibd->id", obs) / batch_size
-      local_var = (np.einsum("ibd,ibd->id", obs, obs) / batch_size
-                   - mean * mean) * (batch_size / (batch_size - 1.0))
-      if len(active_idx):
-        j = active_idx[np.argmin(local_var[:, active_idx] /
-                                 global_var[active_idx][None, :], axis=1)]
-      else:
-        j = np.zeros(cm, np.int64)
-      votes[f] += np.bincount(j, minlength=n_latents)
+
+  def vote_matrix(n):
+    fs = rand.randint(n_factors, size=n)
+    fs = fs[eligible[fs]]
+    votes = np.zeros((n_factors, n_latents), dtype=np.int64)
+    for f in range(n_factors):
+      m = int(np.sum(fs == f))
+      if m == 0:
+        continue
+      order, offsets, counts = tables[f]
+      for c0 in range(0, m, _GATHER_CHUNK):
+        cm = min(_GATHER_CHUNK, m - c0)
+        vs = rand.randint(len(counts), size=cm)
+        c = counts[vs][:, None]
+        r = (rand.random_sample((cm, batch_size)) * c).astype(np.int64)
+        ids = order[offsets[vs][:, None] + r]
+        if mcmc is None:
+          obs = X_all[ids]                               # (cm, batch, D)
+        else:
+          layer = rand.randint(n_mcmc, size=(cm, 1))
+          obs = mcmc[layer, ids]
+        # sum/sumsq variance via einsum reductions (one pass, no centered
+        # copy, no strided-axis mean): ddof=1
+        mean = np.einsum("ibd->id", obs) / batch_size
+        local_var = (np.einsum("ibd,ibd->id", obs, obs) / batch_size
+                     - mean * mean) * (batch_size / (batch_size - 1.0))
+        if len(active_idx):
+          j = active_idx[np.argmin(local_var[:, active_idx] /
+                                   global_var[active_idx][None, :], axis=1)]
+        else:
+          j = np.zeros(cm, np.int64)
+        votes[f] += np.bincount(j, minlength=n_latents)
+    return votes
+
+  votes = vote_matrix(n_samples)
   true_labels = np.argmax(votes, axis=0)
+  if n_eval_samples > 0:
+    votes = vote_matrix(n_eval_samples)
   score = float(np.sum(votes[true_labels, range(n_latents)]) /
                 max(np.sum(votes), 1))
   return (score, true_labels) if return_model else score

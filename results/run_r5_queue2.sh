@@ -48,4 +48,17 @@ EOF
   fi
 done
 
+# task 7 support: re-score the r4 dSprites rows under the r5 dlib
+# estimator (held-out eval votes) so both datasets' leaderboards carry
+# the same protocol
+echo "--- dlib re-eval $(date) ---" | tee -a $log
+timeout 10800 python results/fullgrid/reeval_dlib_r5.py \
+  > /tmp/r5_reeval.log 2>&1
+echo "--- dlib re-eval rc=$? $(date) ---" | tee -a $log
+
+if [ -x results/run_r5_queue3.sh ]; then
+  echo "=== chaining queue3 $(date) ===" | tee -a $log
+  bash results/run_r5_queue3.sh
+fi
+
 echo "=== R5 QUEUE2 COMPLETE $(date) ===" | tee -a $log
