@@ -1,6 +1,7 @@
 """Assemble the full-grid leaderboard (results/fullgrid/README.md) from the
-per-model JSONs written by results/run_r4_fullgrid.py (and the retroactive
-protocol re-evals written by eval_dlib_protocol.py).
+per-model JSONs written by results/run_r4_fullgrid.py and
+results/run_r4_shapes3d.py (plus the retroactive protocol re-evals written
+by eval_dlib_protocol.py / reeval_dlib_r5.py).
 
 Run after the queue completes:  python results/fullgrid/make_leaderboard.py
 """
@@ -10,6 +11,7 @@ import os
 
 HERE = os.path.dirname(os.path.abspath(__file__))
 ORDER = ["betavae4", "betavae8", "factorvae", "adagvae"]
+ORDER_S3D = ["betavae4_shapes3d", "factorvae_shapes3d", "adagvae_shapes3d"]
 # reference-protocol columns (the reference's own kernels/defaults) and
 # dlib-protocol columns (disentanglement_lib's published protocol)
 COLS = [("betavae_score", "BetaVAE"), ("betavae_score_dlib", "BetaVAE*"),
@@ -21,7 +23,29 @@ COLS = [("betavae_score", "BetaVAE"), ("betavae_score_dlib", "BetaVAE*"),
         ("kl_unweighted", "rate"),
         ("n_active_units", "AU")]
 LABELS = {"betavae4": "BetaVAE (beta=4)", "betavae8": "BetaVAE (beta=8)",
-          "factorvae": "FactorVAE (tc=35)", "adagvae": "Ada-GVAE"}
+          "factorvae": "FactorVAE (tc=35)", "adagvae": "Ada-GVAE",
+          "betavae4_shapes3d": "BetaVAE (beta=4)",
+          "factorvae_shapes3d": "FactorVAE (tc=7)",
+          "adagvae_shapes3d": "Ada-GVAE"}
+
+
+def table(rows, order):
+  lines = [
+      "| model | " + " | ".join(h for _, h in COLS) +
+      " | steps | steps/s | train h |",
+      "|---|" + "---|" * (len(COLS) + 3),
+  ]
+  for m in order:
+    if m not in rows:
+      continue
+    r = rows[m]
+    cells = [f"{r[k]:.3f}" if isinstance(r.get(k), (int, float))
+             else "-" for k, _ in COLS]
+    lines.append(
+        f"| {LABELS[m]} | " + " | ".join(cells) +
+        f" | {r['n_steps'] / 1e6:.2f}M | {r.get('steps_per_sec', 0):.0f} "
+        f"| {r.get('train_wallclock_sec', 0) / 3600:.1f} |")
+  return lines
 
 
 def main():
@@ -42,10 +66,11 @@ def main():
   if not rows:
     raise SystemExit("no *_fullgrid.json yet")
   lines = [
-      "# Full-grid dSprites leaderboard (round 4)", "",
-      "The reference's actual benchmark protocol: the complete "
-      "737,280-combination factor grid (uint8, device-resident), 90/5/5 "
-      "split, reference budget 400 epochs = 265.4M train images "
+      "# Full-grid leaderboards: dSprites (round 4) + Shapes3D (round 5)",
+      "",
+      "The reference's actual benchmark protocol on BOTH canonical "
+      "datasets: the complete factor grid, uint8 device-resident, 90/5/5 "
+      "split, the reference budget "
       "(`odin/networks/image_networks.py:936-1013`), 10,000 held-out "
       "images scored by the DisentanglementGym.", "",
       "Unstarred columns use the REFERENCE'S own metric kernels and "
@@ -53,34 +78,37 @@ def main():
       "samples of z, pair batches of 10, 2k votes, 8-bin MIG).  Starred "
       "columns (`*`) use disentanglement_lib's protocol — the one behind "
       "every published number: posterior MEAN representation, pair batches "
-      "of 64, 10,000 votes, std<0.05 pruning, 20-bin MIG.  The same "
-      "representation scores very differently under the two (see "
+      "of 64, 10,000 train votes scored on 5,000 HELD-OUT eval votes "
+      "(round 5; round-4 train-vote accuracies preserved as "
+      "`*_dlib_trainacc` in the JSONs), std<0.05 pruning, 20-bin MIG.  "
+      "The same representation scores very differently under the two (see "
       "`eval_dlib_protocol.py`); published ranges are only comparable to "
       "the starred columns.", "",
       "`KLobj` is the OBJECTIVE's KL-side term (beta-scaled for BetaVAE; "
       "includes the tc_coef*TC penalty for FactorVAE); `rate` is the "
       "unweighted analytic KL(q(z|x)||p(z)) — the number published ELBO/"
       "KL tables report (gym.kl_unweighted).", "",
-      "| model | " + " | ".join(h for _, h in COLS) +
-      " | steps | steps/s | train h |",
-      "|---|" + "---|" * (len(COLS) + 3),
+      "## dSprites — 737,280-image grid, 400 epochs = 265.4M train images",
+      "",
   ]
-  for m in ORDER:
-    if m not in rows:
-      continue
-    r = rows[m]
-    cells = [f"{r[k]:.3f}" if isinstance(r.get(k), (int, float))
-             else "-" for k, _ in COLS]
-    lines.append(
-        f"| {LABELS[m]} | " + " | ".join(cells) +
-        f" | {r['n_steps'] / 1e6:.2f}M | {r.get('steps_per_sec', 0):.0f} "
-        f"| {r.get('train_wallclock_sec', 0) / 3600:.1f} |")
+  lines += table(rows, ORDER)
+  if any(m in rows for m in ORDER_S3D):
+    lines += [
+        "",
+        "## Shapes3D — 480,000-image grid, 400 epochs = 172.8M train "
+        "images (round 5; procedural stand-in renderer, see "
+        "`fuel/image_data/datasets.py`)",
+        "",
+    ]
+    lines += table(rows, ORDER_S3D)
   lines += [
       "", "Published full-dSprites ranges for these recipes under the "
       "dlib protocol (Locatello et al. 2019/2020): FactorVAE-score "
       "0.6-0.85, MIG 0.1-0.35 for beta=4-class models (with single-seed "
       "spread covering 0.4-0.95 / 0.0-0.35); Ada-GVAE FactorVAE-score "
-      "~0.9, MIG ~0.3-0.55.", "",
+      "~0.9, MIG ~0.3-0.55.  Published Shapes3D ranges: FactorVAE-score "
+      "~0.8-1.0, MIG ~0.2-0.6 for beta/Factor-VAE-class models; Ada-GVAE "
+      "FactorVAE-score ~0.95+, MIG ~0.55+.", "",
       "Measurement-path control (tests/test_fullgrid_control.py): the "
       "ground-truth factors fed through the same kernels on the same test "
       "partition score 1.0 on BetaVAE/FactorVAE metrics, and re-rendering "
