@@ -69,10 +69,29 @@ def main():
                 learning_rate=_fg.reference_lr(), steps_per_call=2_000,
                 global_clipnorm=100.0, seed=1)
   if args.model == "adagvae":
-    grid_u8 = np.asarray(ds._render_grid_cached())
+    # ship the grid FLAT (rows x 12288 uint8): with the image kept 4-D the
+    # TPU compiler inserts a gather-layout copy of the whole grid whose
+    # 3-channel minor dim pads 2x (u8[480000,64,64,3] -> 10.99G HLO temp,
+    # OOM: 16.54G > 15.75G HBM).  A 2-D row gather is pad-free; reshape to
+    # images after the per-batch gather.
+    grid_u8 = np.ascontiguousarray(
+        np.asarray(ds._render_grid_cached()).reshape(len(ds.grid_factors()),
+                                                     -1))
     pairs = _fg.build_pairs(ds, n_pairs=4_000_000)
     X = (grid_u8, pairs)
-    fit_kw["sample_fn"] = _fg.make_pair_sample_fn(batch)
+    img_shape = ds.shape
+
+    def pair_sample_fn(key, data):
+      g, pp = data
+      idx = jax.random.randint(key, (batch,), 0, pp.shape[0])
+      p = pp[idx]
+      x1 = (g[p[:, 0]].astype(jnp.float32) / 255.0).reshape(
+          (batch,) + img_shape)
+      x2 = (g[p[:, 1]].astype(jnp.float32) / 255.0).reshape(
+          (batch,) + img_shape)
+      return (x1, x2)
+
+    fit_kw["sample_fn"] = pair_sample_fn
   else:
     X = ds.numpy("train", inc_labels=False)  # uint8, 5.3 GB
   print(f"[{tag}] setup {time.time() - t_setup:.0f}s; "

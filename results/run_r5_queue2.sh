@@ -6,6 +6,18 @@ cd /root/repo
 log=/tmp/r5q_driver.log
 echo "=== r5 queue2 start $(date) ===" | tee -a $log
 
+# adagvae shapes3d retry: queue1's attempts ran before the flat-grid OOM
+# fix (u8[480k,64,64,3] gather-layout copy padded 2x -> 16.5G > HBM)
+if [ ! -f results/fullgrid/adagvae_shapes3d_fullgrid.json ]; then
+  for attempt in 1 2; do
+    echo "=== shapes3d adagvae (fixed) attempt $attempt $(date) ===" \
+      | tee -a $log
+    timeout 14400 python results/run_r4_shapes3d.py adagvae \
+      >> /tmp/r5_shapes3d_adagvae.log 2>&1
+    [ -f results/fullgrid/adagvae_shapes3d_fullgrid.json ] && break
+  done
+fi
+
 # task 5: sustained-extraction decomposition (instrumented write path);
 # two draws for the transfer-variance pairing rule
 if [ ! -f results/corpus_extraction.json ] || \
