@@ -33,6 +33,12 @@ def main():
   ap.add_argument("--utt", type=int, default=64)
   ap.add_argument("--dur", type=float, default=8.0)
   ap.add_argument("--workdir", default="/tmp/odin_corpus_bench")
+  ap.add_argument("--transfer-dtype", default="",
+                  help="'float16' halves the d2h feature stream (the "
+                       "measured 81.5%% device_wait bucket); on-disk "
+                       "contract stays float32")
+  ap.add_argument("--out-tag", default="",
+                  help="suffix for the output json (paired A/B draws)")
   args = ap.parse_args()
 
   from odin_tpu.fuel.audio_data import synth_speaker_corpus
@@ -68,7 +74,9 @@ def main():
   ds = DeviceCorpusProcessor(files, feat_dir, config=cfg,
                              features=("mspec", "mfcc_cmvn", "vad"),
                              batch_size=64,
-                             pad_seconds=args.dur).run(verbose=True)
+                             pad_seconds=args.dur,
+                             transfer_dtype=args.transfer_dtype or None
+                             ).run(verbose=True)
   wall = time.time() - t0
   fps = ds.attrs["frames_per_sec"]
   out_gb = sum(os.path.getsize(os.path.join(feat_dir, f))
@@ -116,6 +124,7 @@ def main():
              speedup=round(fps / ref_fps, 1),
              features_gb=round(out_gb, 2),
              phase_sec=phase,
+             transfer_dtype=args.transfer_dtype or "float32",
              config="64 spk x 64 utt x 8 s, int16 raw ingest, batch 64")
   # keep the round-4 measurement for the history (same corpus, the
   # pre-decomposition write path)
@@ -123,7 +132,9 @@ def main():
   if os.path.exists(prev) and not os.path.exists(
       os.path.join(OUT, "corpus_extraction_r4.json")):
     os.rename(prev, os.path.join(OUT, "corpus_extraction_r4.json"))
-  with open(prev, "w") as f:
+  target = (os.path.join(OUT, f"corpus_extraction_{args.out_tag}.json")
+            if args.out_tag else prev)
+  with open(target, "w") as f:
     json.dump(row, f, indent=1)
   print(json.dumps(row), flush=True)
 

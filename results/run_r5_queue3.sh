@@ -36,4 +36,17 @@ if [ ! -f results/wide_profile_bf16.json ]; then
   echo "--- wide bf16 profile rc=$? $(date) ---" | tee -a $log
 fi
 
+# extraction attack: paired alternating fresh-process draws (tunnel
+# transfer throughput swings 4x across a day — CLAUDE.md); draws A/B
+# (queue2) were float32, so alternate f16/f32/f16 here
+for tag in f16c f32d f16e; do
+  [ -f "results/corpus_extraction_${tag}.json" ] && continue
+  dt=""
+  case $tag in f16*) dt="--transfer-dtype float16";; esac
+  echo "--- corpus_extraction $tag $(date) ---" | tee -a $log
+  timeout 7200 python benchmarks/corpus_extraction_bench.py $dt \
+    --out-tag "$tag" > "/tmp/r5_corpus_$tag.log" 2>&1
+  echo "--- corpus_extraction $tag rc=$? $(date) ---" | tee -a $log
+done
+
 echo "=== R5 QUEUE3 COMPLETE $(date) ===" | tee -a $log

@@ -389,3 +389,18 @@ def test_device_corpus_processor(tmp_path):
   # vad persisted as uint8 column
   v = loaded["vad"]
   assert np.asarray(v[:4]).dtype == np.uint8
+
+  # float16 transfer mode (halves the d2h stream — the measured bottleneck
+  # on the tunneled chip): on-disk contract unchanged (float32), values
+  # within f16 quantization of the f32 run
+  out16 = str(tmp_path / "corpus16")
+  ds16 = DeviceCorpusProcessor(files, out16, config=cfg,
+                               features=("mspec", "mfcc_cmvn", "vad"),
+                               batch_size=3,
+                               transfer_dtype="float16").run()
+  l16 = Dataset(out16)
+  arr32, arr16 = loaded["mspec"], l16["mspec"]
+  assert np.asarray(arr16[:4]).dtype == np.float32
+  a, b = np.asarray(arr32[:]), np.asarray(arr16[:])
+  assert a.shape == b.shape
+  np.testing.assert_allclose(a, b, rtol=2e-3, atol=2e-2)
