@@ -49,4 +49,15 @@ for tag in f16c f32d f16e; do
   echo "--- corpus_extraction $tag rc=$? $(date) ---" | tee -a $log
 done
 
+# renderer-parameterization control (SPREAD.md last named suspect): elu
+# trunk + constant-1e-4 Adam (the betavae4lr1e4 baseline config), lifted
+# sprite-size floor; if scores stay in the elu band the renderer is
+# exonerated and the architecture attribution stands alone
+if [ ! -f results/fullgrid/betavae4bigsprite_seed3_300k.json ]; then
+  echo "--- renderer control $(date) ---" | tee -a $log
+  timeout 14400 python results/fullgrid/run_renderer_control.py \
+    --seeds 2 3 > /tmp/r5_renderer.log 2>&1
+  echo "--- renderer control rc=$? $(date) ---" | tee -a $log
+fi
+
 echo "=== R5 QUEUE3 COMPLETE $(date) ===" | tee -a $log
