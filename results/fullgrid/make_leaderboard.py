@@ -48,6 +48,62 @@ def table(rows, order):
   return lines
 
 
+def s3d_spread_lines(rows):
+  """FactorVAE Shapes3D seed-spread section (round-5 session 2,
+  run_shapes3d_spread.py) — emitted from the per-seed JSONs so
+  regenerating the leaderboard keeps the study."""
+  seeds = []
+  for p in sorted(glob.glob(os.path.join(
+      HERE, "factorvae_shapes3d_seed*_300k.json"))):
+    seeds.append(json.load(open(p)))
+  if not seeds:
+    return []
+  lines = [
+      "", "### FactorVAE(tc=7) Shapes3D seed spread (round-5 session 2, "
+      "`run_shapes3d_spread.py`)", "",
+      "The FactorVAE Shapes3D row above is a single seed at "
+      "0.760 FactorVAE* — inside but below the published Shapes3D median "
+      "(~0.8+).  Three additional seeds at the Locatello 300k-step budget "
+      "class (batch 128 = 38.4M train images), all trained as ONE vmapped "
+      "XLA program (437 model-steps/s aggregate — three adversarial "
+      "two-optimizer models in a single fused scan):", "",
+      "| seed | steps | BetaVAE* | FactorVAE* | MIG* | rate |",
+      "|---|---|---|---|---|---|",
+  ]
+  fb = rows.get("factorvae_shapes3d")
+  if fb:
+    lines.append(
+        f"| 1 (full budget) | {fb['n_steps'] / 1e6:.2f}M "
+        f"| {fb['betavae_score_dlib']:.3f} "
+        f"| {fb['factorvae_score_dlib']:.3f} | {fb['mig_dlib']:.3f} "
+        f"| {fb['kl_unweighted']:.1f} |")
+  for r in seeds:
+    lines.append(
+        f"| {r['seed']} | {r['n_steps'] // 1000}k "
+        f"| {r['betavae_score_dlib']:.3f} "
+        f"| {r['factorvae_score_dlib']:.3f} | {r['mig_dlib']:.3f} "
+        f"| {r['kl_unweighted']:.1f} |")
+  lines += [
+      "",
+      "Reading: (a) the 300k-budget seeds cluster tightly (FactorVAE* "
+      "0.635-0.685) — seed randomness does NOT explain the gap to the "
+      "published median, exactly as the dSprites beta-VAE seed study "
+      "found for that recipe; (b) budget matters — the full-budget run "
+      "(4.5x the images) beats all three 300k seeds on every starred "
+      "metric, so part of the remaining gap is training budget; (c) the "
+      "established attribution mechanism from the dSprites "
+      "discriminating experiment (the reference's elu trunk confines "
+      "scores; disentanglement_lib's ReLU trunk restores the published "
+      "spread — SPREAD.md) is the prime suspect here too, since these "
+      "runs use the reference's elu Shapes3D trunk, though the "
+      "trunk-swap run was not repeated on Shapes3D; (d) the harness "
+      "control stands — Ada-GVAE reaches its published Shapes3D "
+      "headline (FactorVAE* 0.910, MIG* 0.505) through the same data, "
+      "loop, and kernels.",
+  ]
+  return lines
+
+
 def main():
   rows = {}
   for p in glob.glob(os.path.join(HERE, "*_fullgrid.json")):
@@ -101,6 +157,7 @@ def main():
         "",
     ]
     lines += table(rows, ORDER_S3D)
+    lines += s3d_spread_lines(rows)
   lines += [
       "", "Published full-dSprites ranges for these recipes under the "
       "dlib protocol (Locatello et al. 2019/2020): FactorVAE-score "
